@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as Long (ns since epoch) and normalize in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   def get(): SparkSession = {

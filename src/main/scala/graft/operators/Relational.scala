@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Relational / OLAP query surface (SURVEY.md §2B).
@@ -11,29 +12,38 @@ import graft.sources.Tables
   * so Spark and DuckDB produce bit-identical doubles regardless of
   * aggregation order; every output column is explicitly typed; every query
   * is deterministically ordered.
+  *
+  * Scale notes are per-query Scaladoc — every plan here survives a 100 TB
+  * fact table: dims broadcast, windows partition on high-cardinality keys,
+  * aggregation is map-side-combined, and nothing collects to the driver.
   */
 object Relational {
 
-  /** Exact money arithmetic: dollars-as-double → integer cents. */
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * lit(100)).cast("long")
+  /** Exact money arithmetic: 2-decimal dollars-as-double → integer cents. */
+  private def cents(c: Column): Column = round(c * lit(100)).cast("long")
 
+  /** Exact revenue in cents×basis-points: price_cents * (10000 - disc_bp).
+    * Fits Long comfortably (1e10/row, 1e18 headroom). */
+  private def revUnits(price: Column, disc: Column): Column =
+    cents(price) * (lit(10000L) - round(disc * lit(10000)).cast("long"))
+
+  private def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
+
+  // ---------------------------------------------------------------- q1_agg
   /** TPC-H Q1 shape: scan-heavy grouped aggregation on lineitem.
-    * Scale: partial aggregation (map-side combine) means the shuffle
-    * carries |groups| rows per partition, not |input|.
-    */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    * Scale: partial aggregation (map-side combine) → the shuffle carries
+    * |groups| rows per map partition, not |input|; stays in one
+    * WholeStageCodegen span with the parquet scan. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
-        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+        dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+        dollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
         count(lit(1)).as("count_order"),
-        (sum(cents(col("l_quantity"))).cast("double") / 100.0 / count(lit(1))).as("avg_qty")
-      )
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0 / count(lit(1))).as("avg_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -46,11 +56,383 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ----------------------------------------------------------- q3_join_agg
+  /** TPC-H Q3 shape: selective dim filter → fact join → agg → top-N.
+    * Scale: customer filter applied before the join (Catalyst pushes it to
+    * the scan); orders⋈lineitem shuffles on orderkey once; top-10 is a
+    * TakeOrderedAndProject (no global sort materialization). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(revUnits(col("l_extendedprice"), col("l_discount"))).cast("double") / 1000000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------- q5_multi_join
+  /** TPC-H Q5 shape: 4-dim star join into the fact.
+    * Scale: region/nation/customer broadcast (classic small dims) → the
+    * 100 TB lineitem never shuffles for them; only orders⋈lineitem
+    * shuffles on orderkey. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(revUnits(col("l_extendedprice"), col("l_discount"))).cast("double") / 1000000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------- topk_window
+  /** Per-group top-k via rank window.
+    * Scale: one shuffle on the partition key; rank+filter prunes to k rows
+    * per group before anything else runs. (At extreme k-skew, pre-aggregate
+    * a per-partition top-k first — not needed for orders-per-customer.) */
+  def topkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topkWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ------------------------------------------------------------- semi_join
+  /** EXISTS via left-semi join: customers holding a >400k order.
+    * Scale: LeftSemi never multiplies rows; with AQE the filtered orders
+    * side broadcasts when small. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- anti_join
+  /** NOT EXISTS via left-anti join: customers with no 300k+ order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ rollup_agg
+  /** ROLLUP hierarchy totals (status → priority → grand total).
+    * Scale: Spark expands rollup into a single Expand+Aggregate — one
+    * shuffle for all grouping sets. Grouping-null keys are coalesced to
+    * 'ALL' so the output is unambiguous. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dollars(sum(cents(col("o_totalprice")))).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val rollupAggSql: String =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS o_orderstatus,
+      |       COALESCE(o_orderpriority,'ALL') AS o_orderpriority,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------- pivot_agg
+  /** Pivot event values into per-type columns (explicit value list → single
+    * aggregation pass, no extra distinct job).
+    * Scale: one shuffle on user_id; pivot values are a handful of columns. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(sum(cents(col("value"))))
+    p.select(col("user_id") +: eventTypes.map(t =>
+        (coalesce(col(t), lit(0L)).cast("double") / 100.0).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val pivotAggSql: String = {
+    val cols = eventTypes.map(t =>
+      s"  CAST(COALESCE(sum(CASE WHEN event_type='$t' THEN CAST(round(value*100) AS BIGINT) END),0) AS DOUBLE)/100.0 AS $t"
+    ).mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- distinct_agg
+  /** Exact distinct counts per group.
+    * Scale: Spark plans count(distinct) as a two-phase partial-distinct
+    * aggregate — the first shuffle dedupes (group, value) pairs, so the
+    * second carries |distinct| rows, never |input|. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_customers"),
+           countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  val distinctAggSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------- approx_distinct
+  /** HLL++ approximate distinct per group — the 100 TB-scale form of
+    * distinct_agg (sketch merge, no distinct shuffle). Sketch seeds differ
+    * across engines → rows-only driver check; ApproxSpec bounds the error
+    * against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------ percentiles
+  /** Exact interpolated percentiles per group (DuckDB quantile_cont
+    * parity). Scale: exact percentile sorts within groups — fine for
+    * bounded groups; at 100 TB with huge groups switch to
+    * approx_percentile (same API shape). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ string_agg
+  /** Ordered grouped string concatenation (sorted for determinism). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("n_regionkey"))
+
+  val stringAggSql: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------- json_extract
+  /** JSON field extraction from a string column, then aggregate.
+    * Scale: get_json_object is codegen'd; no UDF. For repeated multi-field
+    * extraction prefer from_json once into a struct. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(json_extract_string(props, '$.k')) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- asof_join
+  /** As-of join: for each purchase, the latest prior click by the same
+    * user. Implemented as union + last(ignoreNulls) running window — ONE
+    * shuffle on user_id, no range self-join, no row explosion; this is the
+    * 100 TB-safe formulation (a range join would explode on active users).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        col("event_id"), col("value"))
+    // click sorts before purchase at equal ts => ts<=ts counts as prior
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts_us", last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_ts_us"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='purchase'),
+      |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type='click')
+      |SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS click_ts_us, c.value AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------------- sessionize
+  /** Gap-based sessionization (30 min): lag → new-session flag → running
+    * sum → per-session aggregate. Scale: both windows and the final
+    * groupBy share one shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.eventsUs(spark, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("start_us"),
+           max(col("ts_us")).as("end_us"),
+           dollars(sum(cents(col("value")))).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------ dedup_exact_keyed
+  /** Keyed keep-first dedup: first order per customer by date.
+    * Scale: row_number keep-first = one shuffle on the key; this is the
+    * generic idempotent-load primitive (see also Financial.upsertDedupe). */
+  def dedupExactKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val dedupExactKeyedSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "topk_window" -> (topkWindow _),
+    "semi_join" -> (semiJoin _),
+    "anti_join" -> (antiJoin _),
+    "rollup_agg" -> (rollupAgg _),
+    "pivot_agg" -> (pivotAgg _),
+    "distinct_agg" -> (distinctAgg _),
+    "approx_distinct" -> (approxDistinct _),
+    "percentiles" -> (percentiles _),
+    "string_agg" -> (stringAgg _),
+    "json_extract" -> (jsonExtract _),
+    "asof_join" -> (asofJoin _),
+    "sessionize" -> (sessionize _),
+    "dedup_exact_keyed" -> (dedupExactKeyed _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q5_multi_join" -> q5MultiJoinSql,
+    "topk_window" -> topkWindowSql,
+    "semi_join" -> semiJoinSql,
+    "anti_join" -> antiJoinSql,
+    "rollup_agg" -> rollupAggSql,
+    "pivot_agg" -> pivotAggSql,
+    "distinct_agg" -> distinctAggSql,
+    "percentiles" -> percentilesSql,
+    "string_agg" -> stringAggSql,
+    "json_extract" -> jsonExtractSql,
+    "asof_join" -> asofJoinSql,
+    "sessionize" -> sessionizeSql,
+    "dedup_exact_keyed" -> dedupExactKeyedSql
+    // approx_distinct: sketch-seeded, rows-only (ApproxSpec bounds error)
   )
 }

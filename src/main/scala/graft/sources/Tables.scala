@@ -23,6 +23,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** events with `ts` (ns-since-epoch Long, see GraftSession nanosAsLong)
+    * normalized to `ts_us` (µs, matches DuckDB `epoch_us(ts)`). Integer
+    * division — `ts/1000` through Double would lose precision above 2^53.
+    */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

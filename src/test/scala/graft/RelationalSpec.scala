@@ -1,30 +1,121 @@
 package graft
 
-import org.apache.spark.sql.Row
+import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
   test("q1_agg groups lineitem and sums exactly") {
-    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val df = run("q1_agg")
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(df.columns.toSeq ==
       Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order", "avg_qty"))
-    // exact-cents arithmetic: sum_qty must equal avg_qty * count to the bit
     rows.foreach { r =>
-      val sumQty = r.getDouble(2)
-      val n = r.getLong(4)
-      val avg = r.getDouble(5)
-      assert(math.abs(avg * n - sumQty) < 1e-6)
+      assert(math.abs(r.getDouble(5) * r.getLong(4) - r.getDouble(2)) < 1e-6)
     }
-    // deterministic order
-    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(flags == flags.sorted)
   }
 
-  test("every oracleSql key has a queries entry and vice-versa keys are valid") {
+  test("q3_join_agg returns top-10 by revenue, descending") {
+    val rows = run("q3_join_agg").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(2)).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
+  test("q5_multi_join aggregates revenue per nation") {
+    val rows = run("q5_multi_join").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("topk_window keeps at most 3 rows per customer, ranked") {
+    val rows = run("topk_window").collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 3))
+    byCust.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(3))
+      val prices = sorted.map(_.getDouble(2)).toSeq
+      assert(prices == prices.sorted.reverse)
+    }
+  }
+
+  test("semi and anti joins partition the customer set") {
+    val semi = run("semi_join").collect().map(_.getLong(0)).toSet
+    val anti = run("anti_join").collect().map(_.getLong(0)).toSet
+    assert(semi.nonEmpty)
+    assert(anti.nonEmpty)
+    // anti is w.r.t. 300k orders, semi w.r.t. 400k: a 400k holder is never in anti
+    assert(semi.intersect(anti).isEmpty)
+  }
+
+  test("rollup_agg includes subtotal and grand-total rows") {
+    val rows = run("rollup_agg").collect()
+    assert(rows.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))
+    assert(rows.exists(r => r.getString(0) != "ALL" && r.getString(1) == "ALL"))
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(math.abs(leaves.map(_.getDouble(2)).sum - grand.head.getDouble(2)) < 1e-4)
+  }
+
+  test("pivot_agg produces one row per user with all event-type columns") {
+    val df = run("pivot_agg")
+    assert(df.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("approx_distinct within 5% of exact") {
+    val rows = run("approx_distinct").collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("percentiles ordered p50 <= p90") {
+    run("percentiles").collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2))
+    }
+  }
+
+  test("asof_join: click_ts never after purchase ts") {
+    val rows = run("asof_join").collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    // at least one purchase has a prior click
+    assert(rows.exists(!_.isNullAt(3)))
+  }
+
+  test("sessionize: sessions start at 1 and events sum to total") {
+    val rows = run("sessionize").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { g =>
+      val ids = g.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (1L to ids.length).toSeq)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("dedup_exact_keyed keeps exactly one row per customer") {
+    val rows = run("dedup_exact_keyed").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("every oracleSql key has a queries entry") {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracle $k without query")
     }
+  }
+
+  test("broadcast hint survives in q5 plan") {
+    val plan = run("q5_multi_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
 }
