@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent append + dedupe keep-last on a natural key — the reference's
+  * monthly-load primitive (build_warehouse.py:159-169, Code.gs:264-274).
+  *
+  * Scale: one shuffle on the natural key. In a production 100 TB warehouse
+  * the fact table is partitioned by (Year, Month) so a monthly re-load
+  * rewrites a single partition; the keep-last window then runs per
+  * partition with no global shuffle.
+  */
+object UpsertDedupe {
+  /** Union `existing` and `incoming` (same schema), keep exactly one row
+    * per `keys` — the one ranked first by `precedence` (pass descending
+    * batch/time columns: highest precedence first). */
+  def keepLast(existing: DataFrame, incoming: DataFrame,
+               keys: Seq[Column], precedence: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(precedence: _*)
+    existing.unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
