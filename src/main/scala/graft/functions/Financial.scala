@@ -20,21 +20,31 @@ import org.apache.spark.sql.functions._
 object Financial {
 
   /** Parse an accounting amount string: strips '$' and ',', interprets
-    * '(…)' as negative, yields null for blanks or non-numeric garbage. */
+    * '(…)' as negative, yields null for blanks or non-numeric garbage.
+    *
+    * Order matters (matches build_warehouse.py:37-51 / Code.gs:237-249):
+    * '$'/',' are stripped FIRST, then '(…)' is detected on the stripped
+    * string — so "$(1,234.50)" is -1234.50. Only the OUTER parens are
+    * removed; interior parens ("12(34)") leave a non-numeric body → null.
+    * The numeric grammar matches Python float()/JS Number(): optional
+    * sign, ".5" / "5." / exponent forms all accepted. */
   def cleanAmount(raw: Column): Column = {
-    val s = trim(raw)
-    val neg = s.rlike("^\\(.*\\)$")
-    val stripped = trim(regexp_replace(s, "[$,()]", ""))
-    val num = when(stripped.rlike("^-?\\d+(\\.\\d+)?$"), stripped.cast("double"))
-    when(num.isNull, lit(null).cast("double"))
-      .when(neg, -num)
-      .otherwise(num)
+    val s0 = trim(regexp_replace(raw.cast("string"), "[$,]", ""))
+    val neg = s0.rlike("^\\(.*\\)$")
+    val body = trim(when(neg, regexp_replace(s0, "^\\((.*)\\)$", "$1")).otherwise(s0))
+    val num = when(body.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+      body.cast("double"))
+    when(neg, -num).otherwise(num)
   }
 
-  /** Normalize a GL code: 1-4 digit token → zero-padded 4 chars; else null. */
+  /** Normalize a GL code: 1-4 digit token → zero-padded 4 chars; else null.
+    * Numeric cells (Excel-origin doubles arrive as "123.0") are truncated
+    * to their integer part before padding, mirroring Code.gs:251-256's
+    * typeof-number branch (Math.trunc + padStart). */
   def normalizeGlCode(raw: Column): Column = {
     val s = trim(raw.cast("string"))
-    when(s.rlike("^\\d{1,4}$"), lpad(s, 4, "0"))
+    val intPart = regexp_extract(s, "^(\\d{1,4})(?:\\.\\d+)?$", 1)
+    when(intPart =!= "", lpad(intPart, 4, "0"))
   }
 
   /** True iff the value is a valid (4-digit-normalizable) GL code. */

@@ -23,9 +23,16 @@ object Relational {
   private def cents(c: Column): Column = round(c * lit(100)).cast("long")
 
   /** Exact revenue in cents×basis-points: price_cents * (10000 - disc_bp).
-    * Fits Long comfortably (1e10/row, 1e18 headroom). */
+    * ~1e10-1e11 per row — a Long SUM would overflow around 1e7 rows/group
+    * at 100 TB (ANSI error in Spark 4, silent HUGEINT promotion in
+    * DuckDB). Summed as DECIMAL(38,0) for exact 38-digit headroom, the
+    * same effective width as DuckDB's HUGEINT promotion. */
   private def revUnits(price: Column, disc: Column): Column =
     cents(price) * (lit(10000L) - round(disc * lit(10000)).cast("long"))
+
+  /** Exact overflow-safe sum of revUnits → dollars as double. */
+  private def sumRevDollars(price: Column, disc: Column): Column =
+    (sum(revUnits(price, disc).cast("decimal(38,0)")).cast("double") / 1000000.0)
 
   private def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
 
@@ -70,7 +77,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg((sum(revUnits(col("l_extendedprice"), col("l_discount"))).cast("double") / 1000000.0).as("revenue"))
+      .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -107,7 +114,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg((sum(revUnits(col("l_extendedprice"), col("l_discount"))).cast("double") / 1000000.0).as("revenue"))
+      .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -253,14 +260,29 @@ object Relational {
 
   // ------------------------------------------------------- approx_distinct
   /** HLL++ approximate distinct per group — the 100 TB-scale form of
-    * distinct_agg (sketch merge, no distinct shuffle). Sketch seeds differ
-    * across engines → rows-only driver check; ApproxSpec bounds the error
-    * against the exact count. */
+    * distinct_agg: a fixed-size mergeable sketch per group, so the plan is
+    * a single ordinary aggregation (NO partial-distinct expand/shuffle —
+    * that shuffle is exactly what HLL exists to avoid). Sketch seeds
+    * differ across engines → rows-only driver check; ApproxSpec bounds
+    * the error against the exact count. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-           countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------- approx_percentiles
+  /** Approximate percentiles per group — the 100 TB-scale form of
+    * `percentiles`: a bounded-memory mergeable quantile sketch instead of
+    * buffering whole groups (exact percentile on a 3-value grouping key
+    * means tens of TB per task at 100 TB → OOM). Sketch internals differ
+    * across engines → rows-only driver check; ApproxSpec bounds error
+    * against exact percentiles. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+           expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
       .orderBy(col("l_returnflag"))
 
   // ------------------------------------------------------------ percentiles
@@ -320,13 +342,15 @@ object Relational {
     val e = Tables.eventsUs(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"), col("value"))
+        col("event_id").as("oid"), lit(null).cast("long").as("event_id"), col("value"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
-        col("event_id"), col("value"))
-    // click sorts before purchase at equal ts => ts<=ts counts as prior
+        col("event_id").as("oid"), col("event_id"), col("value"))
+    // click sorts before purchase at equal ts => ts<=ts counts as prior;
+    // oid (source event_id) breaks equal-(ts,tag) ties so the chosen click
+    // is deterministic — the oracle SQL pins the identical ordering.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("tag"))
+      .orderBy(col("ts_us"), col("tag"), col("oid"))
       .rowsBetween(Window.unboundedPreceding, 0)
     clicks.unionByName(purchases)
       .withColumn("click_ts_us", last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
@@ -336,12 +360,22 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Oracle mirrors the union+window formulation (not ASOF JOIN) so both
+    * engines share the same deterministic tie semantics at duplicate
+    * (user_id, ts) clicks: max event_id wins. */
   val asofJoinSql: String =
-    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='purchase'),
-      |     c AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type='click')
-      |SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS click_ts_us, c.value AS click_value
-      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
-      |ORDER BY p.event_id""".stripMargin
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id AS oid,
+      |         CAST(NULL AS BIGINT) AS event_id, value FROM events WHERE event_type='click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 1, event_id, event_id, value FROM events WHERE event_type='purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN tag=0 THEN ts_us END IGNORE NULLS) OVER win AS click_ts_us,
+      |    last_value(CASE WHEN tag=0 THEN value END IGNORE NULLS) OVER win AS click_value
+      |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, oid ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, ts_us, click_ts_us, click_value
+      |FROM w WHERE tag=1 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------- sessionize
   /** Gap-based sessionization (30 min): lag → new-session flag → running
@@ -409,6 +443,7 @@ object Relational {
     "pivot_agg" -> (pivotAgg _),
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "approx_percentiles" -> (approxPercentiles _),
     "percentiles" -> (percentiles _),
     "string_agg" -> (stringAgg _),
     "json_extract" -> (jsonExtract _),
@@ -433,6 +468,7 @@ object Relational {
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
     "dedup_exact_keyed" -> dedupExactKeyedSql
-    // approx_distinct: sketch-seeded, rows-only (ApproxSpec bounds error)
+    // approx_distinct / approx_percentiles: sketch-seeded, rows-only
+    // (ApproxSpec bounds their error against the exact aggregates)
   )
 }
