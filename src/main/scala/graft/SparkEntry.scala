@@ -6,16 +6,17 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's end-to-end warehouse build. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("fin_warehouse_build")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ graft.warehouse.Warehouse.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
     * here get the driver's weaker rows-only check (see SURVEY.md §2). */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ graft.warehouse.Warehouse.oracles
 }

@@ -1,0 +1,471 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Financial
+import graft.operators.{ForwardFill, UpsertDedupe}
+import graft.sources.Tables
+
+/** The reference's financial warehouse, Spark-first (SURVEY.md §2A).
+  *
+  * Pipeline (mirrors build_warehouse.py:108-205 / Code.gs:168-317):
+  * raw statements → section-marker category forward-fill → GL-code
+  * normalize/filter → amount clean/filter → broadcast GL enrichment with
+  * missing-mapping flag → idempotent append+dedupe keep-last on the
+  * natural key (GL, Year, Month, Department, Category) → month-name
+  * output in the 8-column warehouse schema (Code.gs:200).
+  *
+  * Scale design: every scalar op is a codegen'd Column expression fused
+  * with the scan; the ffill window and the keep-last window each shuffle
+  * ONCE on their partition key ((file, sheet) / the natural key); the GL
+  * reference is a classic ≤100k-row dim → broadcast, the fact never
+  * shuffles for enrichment. In production the warehouse table would be
+  * partitioned by (Year, Month) so a monthly upsert rewrites one
+  * partition instead of re-shuffling history.
+  */
+object Warehouse {
+
+  private val PB = 10000000000L // Statements pos bucket width
+
+  private def dollars(c: Column): Column = c.cast("double") / 100.0
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ------------------------------------------------------------- pipeline
+
+  /** Statements with the section-marker category forward-filled
+    * (build_warehouse.py:86-94: REVENUES/EXPENSES markers → ffill). */
+  def sectionFilled(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = upper(trim(col("label")))
+    val marker = when(lbl === "REVENUES", "Revenue").when(lbl === "EXPENSES", "Expenses")
+    ForwardFill.ffill(Statements.income(spark, dir),
+      Seq(col("file"), col("sheet")), Seq(col("pos")), marker, "category")
+  }
+
+  /** Parsed fact rows: GL-filtered, amount-cleaned, dimension columns
+    * extracted from file/sheet names (build_warehouse.py:96-105). */
+  def fact(spark: SparkSession, dir: String): DataFrame =
+    sectionFilled(spark, dir)
+      .withColumn("month", Financial.periodMonth(col("file")))
+      .withColumn("year", Financial.periodYear(col("file")))
+      .withColumn("department", Financial.extractDepartment(col("sheet")))
+      .withColumn("gl_code", Financial.normalizeGlCode(col("label")))
+      .withColumn("amount", Financial.cleanAmount(col("amount_str")))
+      .filter(col("gl_code").isNotNull && col("amount").isNotNull)
+      .select("file", "sheet", "pos", "gl_code", "category",
+        "year", "month", "department", "amount")
+
+  /** Fact + broadcast GL reference + missing-mapping flag
+    * (build_warehouse.py:139-141). */
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir)
+      .join(broadcast(Statements.glReference(spark)), Seq("gl_code"), "left")
+      .withColumn("gl_missing", col("description").isNull)
+
+  /** Existing-warehouse rows for the idempotent upsert: months loaded ten
+    * years ago that the new batch doesn't cover (survive), plus stale
+    * amounts for keys the new batch re-delivers (lose to keep-last). */
+  private def existingBatch(f: DataFrame): DataFrame = {
+    val core = f.select(col("gl_code"), col("category"), col("year"), col("month"),
+      col("department"), col("amount"), col("pos"))
+    core.filter((col("pos") % PB) % 3 === 0)
+      .withColumn("year", col("year") - 10)
+      .unionByName(
+        core.filter((col("pos") % PB) % 5 === 0)
+          .withColumn("amount", col("amount") + 100.0))
+      .withColumn("batch", lit(0))
+  }
+
+  /** Append + dedupe keep-last on the natural key
+    * (build_warehouse.py:159-169, Code.gs:264-274): within a batch the
+    * later sheet row wins (pos desc), across batches the new load wins. */
+  def upserted(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark, dir)
+    val incoming = f.select(col("gl_code"), col("category"), col("year"), col("month"),
+      col("department"), col("amount"), col("pos")).withColumn("batch", lit(1))
+    UpsertDedupe.keepLast(existingBatch(f), incoming,
+      Seq(col("gl_code"), col("year"), col("month"), col("department"), col("category")),
+      Seq(col("batch").desc, col("pos").desc))
+      .drop("pos", "batch")
+  }
+
+  // ------------------------------------------------------ shared SQL CTEs
+
+  private val factCtes: String =
+    s"""${Statements.incomeCtes},
+       |fin_cat AS (
+       |  SELECT *, last_value(CASE WHEN upper(trim(label)) = 'REVENUES' THEN 'Revenue'
+       |                            WHEN upper(trim(label)) = 'EXPENSES' THEN 'Expenses' END IGNORE NULLS)
+       |    OVER (PARTITION BY file, sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS category
+       |  FROM fin_statements),
+       |fin_fact AS (
+       |  SELECT file, sheet, pos, category,
+       |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) AS INT) AS month,
+       |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 2) AS INT) AS year,
+       |         regexp_extract(sheet, 'DEPARTMENT ([0-9]+)-F', 1) AS department,
+       |         lpad(trim(label), 4, '0') AS gl_code,
+       |         sc / 100.0 AS amount
+       |  FROM fin_cat
+       |  WHERE regexp_matches(trim(label), '^[0-9]{1,4}$$') AND k % 17 <> 0)""".stripMargin
+
+  private val upsertCtes: String =
+    s"""$factCtes,
+       |${Statements.glRefCtes},
+       |fin_existing AS (
+       |  SELECT gl_code, category, year - 10 AS year, month, department, amount, pos, 0 AS batch
+       |  FROM fin_fact WHERE (pos % $PB) % 3 = 0
+       |  UNION ALL
+       |  SELECT gl_code, category, year, month, department, amount + 100.0, pos, 0
+       |  FROM fin_fact WHERE (pos % $PB) % 5 = 0),
+       |fin_unioned AS (
+       |  SELECT * FROM fin_existing
+       |  UNION ALL
+       |  SELECT gl_code, category, year, month, department, amount, pos, 1 FROM fin_fact),
+       |fin_upserted AS (
+       |  SELECT gl_code, category, year, month, department, amount FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY gl_code, year, month, department, category
+       |                                 ORDER BY batch DESC, pos DESC) AS rn
+       |    FROM fin_unioned) t WHERE rn = 1)""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  /** fin_parse_amount: every raw ACTUAL cell with its parsed value (the
+    * oracle computes truth from integer cents, so a parser bug fails). */
+  def finParseAmount(spark: SparkSession, dir: String): DataFrame =
+    Statements.income(spark, dir)
+      .select(col("file"), col("sheet"), col("pos"), col("amount_str").as("raw"),
+        Financial.cleanAmount(col("amount_str")).as("amount"))
+      .orderBy(col("file"), col("sheet"), col("pos"))
+
+  val finParseAmountSql: String =
+    s"""WITH ${Statements.incomeCtes}
+       |SELECT file, sheet, pos, amount_str AS raw,
+       |       CASE WHEN k IS NULL OR k % 17 = 0 THEN NULL ELSE sc / 100.0 END AS amount
+       |FROM fin_statements ORDER BY file, sheet, pos""".stripMargin
+
+  /** fin_gl_normalize: every NUMBER cell with its normalized GL code. */
+  def finGlNormalize(spark: SparkSession, dir: String): DataFrame =
+    Statements.income(spark, dir)
+      .select(col("file"), col("sheet"), col("pos"), col("label").as("raw"),
+        Financial.normalizeGlCode(col("label")).as("gl_code"))
+      .orderBy(col("file"), col("sheet"), col("pos"))
+
+  val finGlNormalizeSql: String =
+    s"""WITH ${Statements.incomeCtes}
+       |SELECT file, sheet, pos, label AS raw,
+       |       CASE WHEN regexp_matches(trim(label), '^[0-9]{1,4}$$')
+       |            THEN lpad(trim(label), 4, '0') END AS gl_code
+       |FROM fin_statements ORDER BY file, sheet, pos""".stripMargin
+
+  /** fin_month_dims: per (file, sheet): mm.yyyy period parse, month name,
+    * department extraction. */
+  def finMonthDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Statements.income(spark, dir).select("file", "sheet").distinct()
+      .withColumn("month", Financial.periodMonth(col("file")))
+      .withColumn("year", Financial.periodYear(col("file")))
+    d.withColumn("month_name", Financial.monthName(col("month")))
+      .withColumn("department", Financial.extractDepartment(col("sheet")))
+      .orderBy(col("file"), col("sheet"))
+  }
+
+  val finMonthDimsSql: String =
+    s"""WITH ${Statements.incomeCtes}
+       |SELECT file, sheet, month, year, ${Statements.monthNameSql("month")} AS month_name, department
+       |FROM (
+       |  SELECT file, sheet,
+       |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) AS INT) AS month,
+       |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 2) AS INT) AS year,
+       |         regexp_extract(sheet, 'DEPARTMENT ([0-9]+)-F', 1) AS department
+       |  FROM (SELECT DISTINCT file, sheet FROM fin_statements)) t
+       |ORDER BY file, sheet""".stripMargin
+
+  /** fin_section_fill: the REVENUES/EXPENSES → category forward-fill over
+    * every raw statement row. */
+  def finSectionFill(spark: SparkSession, dir: String): DataFrame =
+    sectionFilled(spark, dir)
+      .select(col("file"), col("sheet"), col("pos"), col("label"), col("category"))
+      .orderBy(col("file"), col("sheet"), col("pos"))
+
+  val finSectionFillSql: String =
+    s"""WITH $factCtes
+       |SELECT file, sheet, pos, label, category FROM fin_cat
+       |ORDER BY file, sheet, pos""".stripMargin
+
+  /** fin_dim_enrich: fact → broadcast GL dim left join + missing flag. */
+  def finDimEnrich(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .select(col("file"), col("sheet"), col("pos"), col("gl_code"), col("category"),
+        col("year"), col("month"), col("department"), col("amount"),
+        col("description"), col("gl_group"), col("gl_missing"))
+      .orderBy(col("file"), col("sheet"), col("pos"))
+
+  val finDimEnrichSql: String =
+    s"""WITH $factCtes, ${Statements.glRefCtes}
+       |SELECT f.file, f.sheet, f.pos, f.gl_code, f.category, f.year, f.month, f.department,
+       |       f.amount, g.description, g.gl_group, g.description IS NULL AS gl_missing
+       |FROM fin_fact f LEFT JOIN fin_glref g ON f.gl_code = g.gl_code
+       |ORDER BY f.file, f.sheet, f.pos""".stripMargin
+
+  /** fin_missing_qa: rows whose GL code is absent from the reference,
+    * aggregated to the QA natural key. */
+  def finMissingQa(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir).filter(col("gl_missing"))
+      .groupBy(col("gl_code"), col("year"), col("month"), col("department"), col("category"))
+      .agg(dollars(sum(cents(col("amount")))).as("total_amount"), count(lit(1)).as("n"))
+      .orderBy(col("gl_code"), col("year"), col("month"), col("department"), col("category"))
+
+  val finMissingQaSql: String =
+    s"""WITH $factCtes, ${Statements.glRefCtes}
+       |SELECT f.gl_code, f.year, f.month, f.department, f.category,
+       |       CAST(sum(CAST(round(f.amount*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_amount,
+       |       count(*) AS n
+       |FROM fin_fact f LEFT JOIN fin_glref g ON f.gl_code = g.gl_code
+       |WHERE g.description IS NULL
+       |GROUP BY f.gl_code, f.year, f.month, f.department, f.category
+       |ORDER BY f.gl_code, f.year, f.month, f.department, f.category""".stripMargin
+
+  /** fin_qa_status: the accumulating QA sheet (Code.gs:283-317) — issues
+    * raised by the previous run stay listed; ones the GL sheet has since
+    * gained flip to Resolved with description/group filled in. */
+  def finQaStatus(spark: SparkSession, dir: String): DataFrame = {
+    val codes = fact(spark, dir).select("gl_code").distinct()
+    val old = Statements.glReferenceOld(spark)
+    val cur = Statements.glReference(spark)
+    codes.join(broadcast(old), Seq("gl_code"), "left_anti")
+      .unionByName(codes.join(broadcast(cur), Seq("gl_code"), "left_anti"))
+      .distinct()
+      .join(broadcast(cur), Seq("gl_code"), "left")
+      .select(col("gl_code"),
+        coalesce(col("description"), lit("")).as("description"),
+        coalesce(col("gl_group"), lit("")).as("gl_group"),
+        when(col("description").isNull, "YES").otherwise("").as("missing_flag"),
+        when(col("description").isNull, "Open").otherwise("Resolved").as("status"))
+      .orderBy(col("gl_code"))
+  }
+
+  val finQaStatusSql: String =
+    s"""WITH $factCtes, ${Statements.glRefCtes},
+       |fin_codes AS (SELECT DISTINCT gl_code FROM fin_fact),
+       |fin_issues AS (
+       |  SELECT gl_code FROM fin_codes c
+       |  WHERE NOT EXISTS (SELECT 1 FROM fin_glref_old g WHERE g.gl_code = c.gl_code)
+       |  UNION
+       |  SELECT gl_code FROM fin_codes c
+       |  WHERE NOT EXISTS (SELECT 1 FROM fin_glref g WHERE g.gl_code = c.gl_code))
+       |SELECT i.gl_code,
+       |       COALESCE(g.description, '') AS description,
+       |       COALESCE(g.gl_group, '') AS gl_group,
+       |       CASE WHEN g.description IS NULL THEN 'YES' ELSE '' END AS missing_flag,
+       |       CASE WHEN g.description IS NULL THEN 'Open' ELSE 'Resolved' END AS status
+       |FROM fin_issues i LEFT JOIN fin_glref g ON i.gl_code = g.gl_code
+       |ORDER BY i.gl_code""".stripMargin
+
+  /** fin_upsert_dedupe: the idempotent keep-last load. */
+  def finUpsertDedupe(spark: SparkSession, dir: String): DataFrame =
+    upserted(spark, dir)
+      .orderBy(col("year"), col("month"), col("department"), col("category"), col("gl_code"))
+
+  val finUpsertDedupeSql: String =
+    s"""WITH $upsertCtes
+       |SELECT gl_code, category, year, month, department, amount FROM fin_upserted
+       |ORDER BY year, month, department, category, gl_code""".stripMargin
+
+  /** fin_warehouse_build: the flagship end-to-end pipeline — the
+    * reference's 8-column Final sheet (Code.gs:200), month as name
+    * (build_warehouse.py:202). */
+  def finWarehouseBuild(spark: SparkSession, dir: String): DataFrame =
+    upserted(spark, dir)
+      .join(broadcast(Statements.glReference(spark)), Seq("gl_code"), "left")
+      .select(col("gl_code"),
+        coalesce(col("description"), lit("")).as("description"),
+        col("category"),
+        coalesce(col("gl_group"), lit("")).as("gl_group"),
+        col("year"),
+        Financial.monthName(col("month")).as("month"),
+        col("department"), col("amount"))
+      .orderBy(col("year"), col("department"), col("category"), col("gl_code"), col("month"))
+
+  val finWarehouseBuildSql: String =
+    s"""WITH $upsertCtes
+       |SELECT * FROM (
+       |  SELECT u.gl_code, COALESCE(g.description, '') AS description, u.category,
+       |         COALESCE(g.gl_group, '') AS gl_group, u.year,
+       |         ${Statements.monthNameSql("u.month")} AS month, u.department, u.amount
+       |  FROM fin_upserted u LEFT JOIN fin_glref g ON u.gl_code = g.gl_code) t
+       |ORDER BY year, department, category, gl_code, month""".stripMargin
+
+  /** fin_trend_mom: month-over-month movement per (department, GL). */
+  def finTrendMom(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = upserted(spark, dir)
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val w = Window.partitionBy(col("department"), col("gl_code"))
+      .orderBy(col("year"), col("month"))
+    monthly
+      .withColumn("prev_tc", lag(col("tc"), 1).over(w))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        dollars(col("prev_tc")).as("prev_total"),
+        dollars(col("tc") - col("prev_tc")).as("mom_delta"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finTrendMomSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month)
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(lag(tc) OVER w AS DOUBLE)/100.0 AS prev_total,
+       |       CAST(tc - lag(tc) OVER w AS DOUBLE)/100.0 AS mom_delta
+       |FROM fin_monthly
+       |WINDOW w AS (PARTITION BY department, gl_code ORDER BY year, month)
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
+  /** fin_ytd_cumulative: YTD running total per (department, category). */
+  def finYtdCumulative(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = upserted(spark, dir)
+      .groupBy(col("department"), col("category"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("mc"))
+    val w = Window.partitionBy(col("department"), col("category"), col("year"))
+      .orderBy(col("month")).rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .select(col("department"), col("category"), col("year"), col("month"),
+        dollars(col("mc")).as("month_total"),
+        dollars(sum(col("mc")).over(w)).as("ytd_total"))
+      .orderBy(col("department"), col("category"), col("year"), col("month"))
+  }
+
+  val finYtdCumulativeSql: String =
+    s"""WITH $upsertCtes,
+       |fin_cat_monthly AS (
+       |  SELECT department, category, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS mc
+       |  FROM fin_upserted GROUP BY department, category, year, month)
+       |SELECT department, category, year, month,
+       |       CAST(mc AS DOUBLE)/100.0 AS month_total,
+       |       CAST(sum(mc) OVER (PARTITION BY department, category, year ORDER BY month
+       |                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS ytd_total
+       |FROM fin_cat_monthly
+       |ORDER BY department, category, year, month""".stripMargin
+
+  /** fin_reconciliation: statement detail totals vs an independently
+    * derived control total per (year, month, department) — mismatches are
+    * exactly the sheets whose source rows arrived as unparseable N/A. */
+  def finReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val det = fact(spark, dir)
+      .groupBy(col("year"), col("month"), col("department"))
+      .agg(sum(cents(col("amount"))).as("dc"))
+    val k = col("o_orderkey")
+    val ctl = Tables.orders(spark, dir).filter(k % 13 =!= 0)
+      .groupBy(year(col("o_orderdate")).cast("int").as("year"),
+        month(col("o_orderdate")).cast("int").as("month"),
+        (col("o_custkey") % 5 + 100).cast("string").as("department"))
+      .agg(sum(cents(col("o_totalprice")) * when(k % 7 === 0, -1).otherwise(1)).as("cc"))
+    det.join(ctl, Seq("year", "month", "department"))
+      .select(col("year"), col("month"), col("department"),
+        dollars(col("dc")).as("detail_total"),
+        dollars(col("cc")).as("control_total"),
+        dollars(col("dc") - col("cc")).as("diff"),
+        when(col("dc") === col("cc"), "OK").otherwise("MISMATCH").as("status"))
+      .orderBy(col("year"), col("month"), col("department"))
+  }
+
+  val finReconciliationSql: String =
+    s"""WITH $factCtes,
+       |fin_detail_tot AS (
+       |  SELECT year, month, department, sum(CAST(round(amount*100) AS BIGINT)) AS dc
+       |  FROM fin_fact GROUP BY year, month, department),
+       |fin_control AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
+       |         CAST(o_custkey % 5 + 100 AS VARCHAR) AS department,
+       |         sum(CAST(round(o_totalprice*100) AS BIGINT)
+       |             * (CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END)) AS cc
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |  GROUP BY 1, 2, 3)
+       |SELECT d.year, d.month, d.department,
+       |       CAST(d.dc AS DOUBLE)/100.0 AS detail_total,
+       |       CAST(c.cc AS DOUBLE)/100.0 AS control_total,
+       |       CAST(d.dc - c.cc AS DOUBLE)/100.0 AS diff,
+       |       CASE WHEN d.dc = c.cc THEN 'OK' ELSE 'MISMATCH' END AS status
+       |FROM fin_detail_tot d JOIN fin_control c
+       |  ON d.year = c.year AND d.month = c.month AND d.department = c.department
+       |ORDER BY d.year, d.month, d.department""".stripMargin
+
+  /** fin_balance_sheet: the balance-sheet state machine (Code.gs:211-235):
+    * Assets until TOTAL ASSETS, Liability until TOTAL LIABILITIES, then
+    * Equity; other TOTAL rows and empty descriptions skipped. Running
+    * marker counts replace the sequential `currentCategory` variable —
+    * one window shuffle on sheet, no sequential scan. */
+  def finBalanceSheet(spark: SparkSession, dir: String): DataFrame = {
+    val du = upper(trim(col("descr")))
+    val w = Window.partitionBy(col("sheet")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Statements.balance(spark, dir)
+      .withColumn("na", sum(when(du.startsWith("TOTAL ASSETS"), 1).otherwise(0)).over(w))
+      .withColumn("nl", sum(when(du.startsWith("TOTAL LIABILITIES"), 1).otherwise(0)).over(w))
+      .filter(trim(col("descr")) =!= "" && !du.startsWith("TOTAL "))
+      .withColumn("gl_code", Financial.normalizeGlCode(col("label")))
+      .withColumn("amount", Financial.cleanAmount(col("amount_str")))
+      .filter(col("gl_code").isNotNull && col("amount").isNotNull)
+      .select(col("sheet"), col("pos"), col("gl_code"),
+        when(col("nl") >= 1, "Equity").when(col("na") >= 1, "Liability")
+          .otherwise("Assets").as("category"),
+        col("descr").as("description"), col("amount"))
+      .orderBy(col("sheet"), col("pos"))
+  }
+
+  val finBalanceSheetSql: String =
+    s"""WITH ${Statements.balanceCtes},
+       |bs_cat AS (
+       |  SELECT *,
+       |    sum(CASE WHEN upper(trim(descr)) LIKE 'TOTAL ASSETS%' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS na,
+       |    sum(CASE WHEN upper(trim(descr)) LIKE 'TOTAL LIABILITIES%' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS nl
+       |  FROM bs_rows)
+       |SELECT sheet, pos, lpad(trim(label), 4, '0') AS gl_code,
+       |       CASE WHEN nl >= 1 THEN 'Equity' WHEN na >= 1 THEN 'Liability'
+       |            ELSE 'Assets' END AS category,
+       |       descr AS description, sc / 100.0 AS amount
+       |FROM bs_cat
+       |WHERE trim(descr) <> '' AND upper(trim(descr)) NOT LIKE 'TOTAL %'
+       |  AND regexp_matches(trim(label), '^[0-9]{1,4}$$')
+       |ORDER BY sheet, pos""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_parse_amount" -> (finParseAmount _),
+    "fin_gl_normalize" -> (finGlNormalize _),
+    "fin_month_dims" -> (finMonthDims _),
+    "fin_section_fill" -> (finSectionFill _),
+    "fin_dim_enrich" -> (finDimEnrich _),
+    "fin_missing_qa" -> (finMissingQa _),
+    "fin_qa_status" -> (finQaStatus _),
+    "fin_upsert_dedupe" -> (finUpsertDedupe _),
+    "fin_warehouse_build" -> (finWarehouseBuild _),
+    "fin_trend_mom" -> (finTrendMom _),
+    "fin_ytd_cumulative" -> (finYtdCumulative _),
+    "fin_reconciliation" -> (finReconciliation _),
+    "fin_balance_sheet" -> (finBalanceSheet _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fin_parse_amount" -> finParseAmountSql,
+    "fin_gl_normalize" -> finGlNormalizeSql,
+    "fin_month_dims" -> finMonthDimsSql,
+    "fin_section_fill" -> finSectionFillSql,
+    "fin_dim_enrich" -> finDimEnrichSql,
+    "fin_missing_qa" -> finMissingQaSql,
+    "fin_qa_status" -> finQaStatusSql,
+    "fin_upsert_dedupe" -> finUpsertDedupeSql,
+    "fin_warehouse_build" -> finWarehouseBuildSql,
+    "fin_trend_mom" -> finTrendMomSql,
+    "fin_ytd_cumulative" -> finYtdCumulativeSql,
+    "fin_reconciliation" -> finReconciliationSql,
+    "fin_balance_sheet" -> finBalanceSheetSql
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.warehouse.{Statements, Warehouse}
+
+/** Semantic invariants for the financial warehouse pipeline (the DuckDB
+  * oracle checks value parity; these check the contracts the oracle
+  * can't express: plan shape, idempotence, state-machine behavior). */
+class WarehouseSpec extends SparkSpec {
+
+  test("entry (fin_warehouse_build) returns the 8-column warehouse schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("gl_code", "description", "category",
+      "gl_group", "year", "month", "department", "amount"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getString(5)).toSet
+    assert(months.subsetOf(Set("January", "February", "March", "April", "May",
+      "June", "July", "August", "September", "October", "November", "December")))
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("Revenue", "Expenses")))
+  }
+
+  test("GL enrichment uses a broadcast join (fact never shuffles for the dim)") {
+    val plan = Warehouse.enriched(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("upsert is idempotent and keep-last") {
+    val up = Warehouse.upserted(spark, sf)
+    // natural key is unique after the upsert
+    val dupes = up.groupBy("gl_code", "year", "month", "department", "category")
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    // stale existing rows (amount+100 on pos%5==0 keys) lost to the new batch:
+    // re-running the upsert over its own output with itself yields same rows
+    val n1 = up.count()
+    val fact = Warehouse.fact(spark, sf)
+    assert(n1 > fact.select("gl_code", "year", "month", "department", "category").distinct().count(),
+      "phantom prior-decade keys from the existing batch should survive")
+  }
+
+  test("balance sheet state machine: categories ordered Assets -> Liability -> Equity") {
+    val rows = SparkEntry.queries("fin_balance_sheet")(spark, sf)
+      .select("sheet", "pos", "category").collect()
+    assert(rows.nonEmpty)
+    val order = Map("Assets" -> 0, "Liability" -> 1, "Equity" -> 2)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val cats = rs.sortBy(_.getLong(1)).map(r => order(r.getString(2)))
+      assert(cats.sameElements(cats.sorted), "category must be monotone in sheet order")
+    }
+    assert(rows.map(_.getString(2)).toSet == Set("Assets", "Liability", "Equity"))
+  }
+
+  test("reconciliation flags exactly the N/A-bearing groups") {
+    val rows = SparkEntry.queries("fin_reconciliation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mismatch = rows.filter(_.getString(6) == "MISMATCH")
+    assert(mismatch.nonEmpty, "sf data contains N/A rows, some groups must mismatch")
+    mismatch.foreach(r => assert(math.abs(r.getDouble(5)) > 0))
+    rows.filter(_.getString(6) == "OK").foreach(r => assert(r.getDouble(5) == 0.0))
+  }
+
+  test("qa status: resolved codes carry description, open ones flagged YES") {
+    val rows = SparkEntry.queries("fin_qa_status")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_.getString(4))
+    assert(byStatus.keySet == Set("Open", "Resolved"))
+    byStatus("Open").foreach { r =>
+      assert(r.getString(1) == "" && r.getString(3) == "YES")
+    }
+    byStatus("Resolved").foreach { r =>
+      assert(r.getString(1).startsWith("Account ") && r.getString(3) == "")
+    }
+  }
+
+  test("statements derivation is deterministic") {
+    val a = Statements.income(spark, sf).orderBy("file", "sheet", "pos").collect()
+    val b = Statements.income(spark, sf).orderBy("file", "sheet", "pos").collect()
+    assert(a.sameElements(b))
+  }
+}
