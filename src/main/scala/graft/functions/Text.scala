@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators —
+  * all pure `Column` expressions (codegen'd, no UDFs: at 100 TB these
+  * fuse with the parquet scan and shuffle nothing).
+  *
+  * Cross-engine parity notes (the DuckDB oracle mirrors each):
+  * counting is done with `regexp_extract_all`/length-difference tricks
+  * that behave identically in Java regex and RE2; hashes are md5 (same
+  * hex in every engine); ratios divide identical integers so the IEEE
+  * result is bit-identical without rounding.
+  */
+object Text {
+
+  /** Words = single-space tokens (the test corpus is single-spaced;
+    * normalize() first for arbitrary whitespace). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Count of non-space runs (robust to leading/multiple spaces). */
+  def nWords(c: Column): Column = size(regexp_extract_all(c, lit("[^ ]+"), lit(0)))
+
+  /** Count of tokens under a BPE-ish pre-tokenizer: letter runs, digit
+    * runs, or single non-alphanumeric marks. */
+  def nBpeTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Count of characters outside [a-zA-Z0-9 ] via length difference. */
+  def nPunct(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+
+  /** How many words of `c` are in the given stopword list. */
+  def stopwordCount(c: Column, stops: Seq[String]): Column =
+    size(filter(words(c), w => w.isInCollection(stops)))
+
+  /** Distinct-word count. */
+  def nUniqueWords(c: Column): Column = size(array_distinct(words(c)))
+
+  /** Whitespace-collapsed, lowercased, trimmed normal form. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** md5 content fingerprint of the normal form. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Word k-shingles ("a b c" 3-grams); empty array when under k words. */
+  def shingles(c: Column, k: Int): Column = {
+    val ws = words(c)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** md5 of every shingle — the rolling-hash fingerprint set. */
+  def shingleHashes(c: Column, k: Int): Column =
+    transform(shingles(c, k), s => md5(s))
+
+  /** Stopword lists for the language-ID heuristic (es/fr share 'la' —
+    * the scoring tie-break is deterministic and mirrored in the oracle). */
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "et", "est"))
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis query suite over the documents table (SURVEY.md §2C).
+  *
+  * Scale: every query is a single codegen'd projection over the scan —
+  * zero shuffles, embarrassingly parallel, the ideal 100 TB shape. The
+  * only ordering is the oracle-determinism `ORDER BY doc_id` (in
+  * production these write back partition-local, unsorted).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------- text_quality
+  /** Quality scoring: length, word count, punctuation/stopword/unique
+    * ratios — the standard pre-training corpus quality signals. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nw = Text.nWords(t)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nw.as("n_words"),
+      Text.nPunct(t).as("n_punct"),
+      (Text.stopwordCount(t, Text.langStops.head._2) / nw).as("stop_ratio"),
+      (Text.nUniqueWords(t) / nw).as("uniq_ratio"),
+      (length(t) / nw).as("chars_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+      |  length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+      |  len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','of','and','to','in','is')))
+      |    / len(regexp_extract_all(text, '[^ ]+')) AS stop_ratio,
+      |  len(list_distinct(string_split(text, ' ')))
+      |    / len(regexp_extract_all(text, '[^ ]+')) AS uniq_ratio,
+      |  length(text) / len(regexp_extract_all(text, '[^ ]+')) AS chars_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- text_tokens
+  /** Token counting: whitespace tokens and a BPE-ish pre-tokenization. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.nWords(t).as("ws_tokens"),
+      Text.nBpeTokens(t).as("bpe_tokens"),
+      (length(t) / Text.nBpeTokens(t)).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
+      |  length(text) / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- text_langid
+  /** Stopword-score language ID: per-language hit counts, deterministic
+    * argmax (list order breaks ties), 'und' when nothing matches. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), col("lang")) ++
+        Text.langStops.map { case (l, stops) =>
+          Text.stopwordCount(t, stops).as(s"s_$l")
+        }: _*)
+    val Seq(en, es, de, fr) = Text.langStops.map { case (l, _) => col(s"s_$l") }
+    scored.withColumn("pred_lang",
+        when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+          .when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    val scores = Text.langStops.map { case (l, stops) =>
+      val in = stops.map(s => s"'$s'").mkString(",")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS s_$l"
+    }.mkString(",\n  ")
+    s"""SELECT *,
+       |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS pred_lang,
+       |  (CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END) = lang AS is_match
+       |FROM (SELECT doc_id, lang,
+       |  $scores
+       |FROM documents) t ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ text_fingerprint
+  /** Content fingerprint: md5 of the whitespace-collapsed lowercase
+    * normal form (md5: identical hex across engines, SURVEY.md §5). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(Text.normalize(t)).as("norm_chars"),
+      Text.fingerprint(t).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- text_shingle_fp
+  /** Rolling word-3-shingle fingerprints: shingle count, distinct count,
+    * and the minimum shingle hash (a 1-hash MinHash — the primitive under
+    * the dedup suite's candidate generation). */
+  def textShingleFp(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(Text.shingles(t, 3)).as("n_shingles"),
+      size(array_distinct(Text.shingles(t, 3))).as("n_distinct_shingles"),
+      array_min(Text.shingleHashes(t, 3)).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textShingleFpSql: String =
+    """SELECT doc_id, len(sh) AS n_shingles,
+      |  len(list_distinct(sh)) AS n_distinct_shingles,
+      |  list_min(list_transform(sh, s -> md5(s))) AS min_shingle_hash
+      |FROM (SELECT doc_id,
+      |        [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |         for i in range(0, len(words)-2)] AS sh
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w) s
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_shingle_fp" -> (textShingleFp _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "text_shingle_fp" -> textShingleFpSql
+  )
+}
