@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+
+/** Document deduplication suite (SURVEY.md §2D) — the LLM-pretraining
+  * corpus dedup toolchain, each variant built so candidate generation is
+  * bucket-keyed (shuffle on a bucket key, candidate pairs O(near-dups)),
+  * NEVER an all-pairs cross join:
+  *
+  *  - exact: md5-of-normal-form grouping (one shuffle on the hash);
+  *  - ngram-jaccard: candidates share their minimum shingle hash (1-hash
+  *    MinHash = a 1-band LSH), true Jaccard computed on the candidates;
+  *  - minhash-LSH: 32-hash signature, 8 bands x 4 rows, bucket join —
+  *    pair probability ~ 1-(1-j^4)^8, the classic banding curve;
+  *  - simhash: 64-bit per-doc signature, hamming-comparable;
+  *  - embedding: metadata-blocked exact cosine over the label buckets
+  *    (at 100 TB the blocking key becomes Ann.hyperplaneBucket — same
+  *    machinery, finer buckets).
+  *
+  * minhash/simhash use Spark's xxhash64 (seed differs from any DuckDB
+  * equivalent) → rows-only at the driver; DedupSpec is their correctness
+  * authority. The other three are DuckDB-oracled.
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-shingle set + min shingle md5 (the LSH key). */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = array_distinct(Text.shingles(col("text"), 3))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), sh.as("sh"),
+      array_min(transform(sh, s => md5(s))).as("minh"))
+  }
+
+  // ----------------------------------------------------------- dedup_exact
+  /** Exact dedup: group by normalized-text md5, keep the minimum doc_id.
+    * Scale: one hash-keyed shuffle carrying (hash, id) pairs only. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+
+  val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // -------------------------------------------------- dedup_ngram_jaccard
+  /** N-gram Jaccard near-dup: candidate pairs share their min shingle
+    * hash; true Jaccard on the distinct shingle sets decides. Scale: the
+    * join shuffles on the min-hash bucket; a popular bucket is a skew
+    * risk handled by AQE skew-join; no cross product anywhere. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val s = docShingles(spark, dir)
+    val a = s.as("a"); val b = s.as("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    a.join(b, col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |                        for i in range(0, len(words)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
+      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       len(list_intersect(a.sh, b.sh))
+      |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------- dedup_minhash_lsh
+  private val NumHashes = 32
+  private val Bands = 8
+  private val Rows = NumHashes / Bands
+
+  /** 32-hash MinHash signature per doc. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+
+  /** MinHash + banded LSH: signature → 8 band buckets → bucket self-join
+    * → candidate pairs with the signature-agreement Jaccard estimate.
+    * Scale: the only shuffle is on (band, bucket); pair count is
+    * O(near-dup pairs x bands), deduplicated before the estimate. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = docShingles(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b) +: (0 until Rows).map(r => col("sig")(b * Rows + r)): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val agree = aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (agree / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------- dedup_simhash
+  /** 64-bit SimHash from word xxhash64s: bit b of the signature is the
+    * majority vote of bit b across the doc's word hashes. Pure column
+    * expressions — the 64 bit-votes stay in one codegen'd projection
+    * (a custom Catalyst Expression could do one pass; at 64x~100 ops/doc
+    * this is still scan-dominated). */
+  def simhash(text: Column): Column = {
+    val hs = transform(Text.words(text), w => xxhash64(w))
+    val n = size(hs)
+    (0 until 64).map { bit =>
+      val ones = size(filter(hs, h => shiftright(h, bit).bitwiseAND(1) === 1))
+      when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Hamming distance between two simhash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------ dedup_embedding
+  /** Embedding near-dup candidates: label-blocked exact cosine. Double
+    * arithmetic end-to-end and a 4dp boundary round so Spark's
+    * sequential fold and DuckDB's list_cosine_similarity agree exactly. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        (round(Vectors.cosine(col("a.v"), col("b.v")), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  /** Oracle computes the same sequential double fold as Vectors.dot
+    * (NOT list_cosine_similarity, which works at float precision and
+    * diverges at the rounding boundary). */
+  val dedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
+      |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, id_a, id_b,
+      |  CAST(round(
+      |    list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
+      |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
+      |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y))), 4) AS DOUBLE) + 0.0 AS cos_sim
+      |FROM p ORDER BY label, id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql
+    // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;
+    // DedupSpec bounds recall and estimate error.
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.Text
+
+/** Correctness authority for the sketch-based dedup operators (driver
+  * check is rows-only: xxhash64 seeds aren't reproducible in DuckDB). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into " +
+    "the deep green forest where tall trees grow beside a cold clear river"
+  private val nearDup = base.replace("cold clear river", "cold muddy river")
+  private val distinct1 = "completely different content about spark engines and shuffle " +
+    "partitions with broadcast joins and adaptive query execution at scale"
+
+  test("dedup_exact collapses case/whitespace variants to min doc_id") {
+    val df = Seq((1L, base), (2L, base.toUpperCase), (3L, "  " + base + "  "), (4L, distinct1))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("minhash signature estimates Jaccard within 0.15 on a near-dup pair") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh")))
+    val Array(a, b, c) = df.orderBy("doc_id").collect()
+    def jac(x: Seq[String], y: Seq[String]): Double =
+      x.toSet.intersect(y.toSet).size.toDouble / x.toSet.union(y.toSet).size
+    def est(x: Seq[Long], y: Seq[Long]): Double =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    val shA = a.getSeq[String](1); val shB = b.getSeq[String](1); val shC = c.getSeq[String](1)
+    val sigA = a.getSeq[Long](2); val sigB = b.getSeq[Long](2); val sigC = c.getSeq[Long](2)
+    assert(math.abs(est(sigA, sigB) - jac(shA, shB)) <= 0.15,
+      s"est ${est(sigA, sigB)} vs true ${jac(shA, shB)}")
+    assert(est(sigA, sigC) <= 0.2, "unrelated docs must not look similar")
+  }
+
+  test("minhash LSH finds the corpus's planted near-dups") {
+    // ground truth: candidate pairs with true Jaccard >= 0.9 from the oracled query
+    val truth = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "sf corpus should contain planted near-dups")
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"banded LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: near-dup hamming below unrelated hamming") {
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)),
+      s"near-dup ${ham(m(1L), m(2L))} !< unrelated ${ham(m(1L), m(3L))}")
+    assert(ham(m(1L), m(2L)) <= 16, "near-dup should be within 16 bits")
+  }
+
+  test("embedding pairs are label-blocked and cosine is bounded") {
+    val rows = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(r.getLong(1) < r.getLong(2))
+    }
+  }
+}
