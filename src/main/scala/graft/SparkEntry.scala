@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.warehouse.Warehouse.queries ++
-      TextAnalysis.queries ++ Dedup.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Ann.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
     * here get the driver's weaker rows-only check (see SURVEY.md §2). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ graft.warehouse.Warehouse.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Ann.oracles
 }

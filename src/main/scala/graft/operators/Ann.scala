@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2E).
+  *
+  * ann_brute_topk is the exact baseline (and the recall yardstick): the
+  * query set broadcasts against the corpus — O(|Q|·n), only acceptable
+  * because |Q| is small. ann_lsh_topk is the scale path: random-
+  * hyperplane sign buckets (6 tables x 3 planes) shrink candidates to
+  * same-bucket vectors, so the join shuffles on (table, bucket) and the
+  * work is O(n·avg-bucket) — no cross product of the corpus with itself.
+  *
+  * vec_stats aggregates in exact integer micro-units (round(x*1e6)):
+  * distributed float summation is order-dependent, so double sums can't
+  * hash-match an oracle; integer sums can, and the centroid norm folds
+  * the per-position sums in position order on both engines.
+  */
+object Ann {
+
+  private val K = 10
+  private val NQueries = 20
+  private val Tables_ = 6 // LSH tables
+  private val Planes = 3 // hyperplanes per table → 8 buckets/table
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  /** Deterministic ±1 hyperplane component for (table, plane, dim). */
+  private def planeSign(t: Int, p: Int, d: Int): Int =
+    if ((((t * 31 + p) * 131 + d) * 2654435761L % 97) % 2 == 0) 1 else -1
+
+  /** Sign-bucket of vector `v` in table `t`: one bit per hyperplane. */
+  def hyperplaneBucket(v: Column, t: Int): Column =
+    (0 until Planes).map { p =>
+      val plane = array((0 until 64).map(d => lit(planeSign(t, p, d).toDouble)): _*)
+      when(Vectors.dot(v, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // --------------------------------------------------------- ann_brute_topk
+  /** Exact cosine top-k for the first 20 vectors as queries, tie-broken
+    * by neighbor id. The oracle mirrors the identical double fold. */
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv")).filter(col("q_id") < NQueries)
+    val cos = Vectors.cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val cosFoldSql =
+    """list_reduce([qv[i]*v[i] for i in range(1, len(qv)+1)], (x, y) -> x + y)
+      |    / (sqrt(list_reduce([qv[i]*qv[i] for i in range(1, len(qv)+1)], (x, y) -> x + y))
+      |     * sqrt(list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y)))""".stripMargin
+
+  val annBruteTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |p AS (SELECT q_id, vec_id AS n_id,
+       |  $cosFoldSql AS cos
+       |  FROM q JOIN e ON vec_id <> q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM p)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- ann_lsh_topk
+  /** Hyperplane-LSH top-k: queries meet only same-bucket vectors (unioned
+    * over 6 tables, deduped), exact cosine re-ranks the candidates.
+    * xxhash-free but Spark-computed buckets → rows-only at the driver;
+    * AnnSpec bounds recall@10 against the brute-force baseline. */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bucketed = e.select(col("vec_id"), col("v"),
+      explode(array((0 until Tables_).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
+    val q = bucketed
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"), col("bucket"))
+      .filter(col("q_id") < NQueries)
+    val cands = q.join(bucketed, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands.withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------- vec_stats
+  /** Per-label vector statistics in exact integer micro-units. */
+  def vecStats(spark: SparkSession, dir: String): DataFrame = {
+    val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
+    val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
+    val base = emb(spark, dir).select(col("vec_id"), col("label"), vi.as("vi"), sq.as("sq"))
+    val g1 = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("ssq"))
+    val comps = base
+      .select(col("label"), posexplode(col("vi")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("ci"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("ci")))).as("comps"))
+    val nMicro = col("n").cast("double") * 1000000.0
+    val centroidNorm = sqrt(aggregate(col("comps"), lit(0.0),
+      (acc, s) => acc + (s.getField("ci") / nMicro) * (s.getField("ci") / nMicro)))
+    g1.join(comps, Seq("label"))
+      .select(col("label"), col("n"),
+        (col("ssq").cast("double") / (col("n").cast("double") * 1000000000000.0)).as("avg_sq_norm"),
+        sqrt(col("ssq").cast("double") / (col("n").cast("double") * 1000000000000.0)).as("rms_norm"),
+        centroidNorm.as("centroid_norm"),
+        (element_at(col("comps"), 1).getField("ci") / nMicro).as("centroid_c0"))
+      .orderBy(col("label"))
+  }
+
+  val vecStatsSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |             [CAST(round(x*1000000) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vi
+      |           FROM embeddings),
+      |s AS (SELECT label, vec_id,
+      |        list_reduce([vi[i]*vi[i] for i in range(1, len(vi)+1)], (x, y) -> x + y) AS sq
+      |      FROM e),
+      |g1 AS (SELECT label, count(*) AS n, sum(sq) AS ssq FROM s GROUP BY label),
+      |c AS (SELECT label, i AS pos, sum(vi[i]) AS ci FROM e, range(1, 65) t(i) GROUP BY label, i),
+      |g2 AS (SELECT label, list(ci ORDER BY pos) AS comps FROM c GROUP BY label)
+      |SELECT g1.label, g1.n,
+      |  CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS avg_sq_norm,
+      |  sqrt(CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)) AS rms_norm,
+      |  sqrt(list_reduce([(comps[i] / (CAST(n AS DOUBLE) * 1000000.0))
+      |                    * (comps[i] / (CAST(n AS DOUBLE) * 1000000.0))
+      |                    for i in range(1, len(comps)+1)], (x, y) -> x + y)) AS centroid_norm,
+      |  comps[1] / (CAST(n AS DOUBLE) * 1000000.0) AS centroid_c0
+      |FROM g1 JOIN g2 ON g1.label = g2.label
+      |ORDER BY g1.label""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (annBruteTopk _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "vec_stats" -> (vecStats _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> annBruteTopkSql,
+    "vec_stats" -> vecStatsSql
+    // ann_lsh_topk: bucket assignment is engine-side → rows-only;
+    // AnnSpec bounds recall@10 vs the brute-force baseline.
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+/** Correctness authority for the LSH ANN variant (rows-only at the
+  * driver) + sanity bounds on the oracled queries. */
+class AnnSpec extends SparkSpec {
+
+  test("ann_lsh_topk recall@10 >= 0.5 vs brute force") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val lsh = neighbors("ann_lsh_topk")
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (q, t) =>
+      lsh.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg")
+  }
+
+  test("brute-force top-k is ranked descending with k rows per query") {
+    val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val sims = byRank.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("vec_stats: centroid norm bounded by RMS norm (Jensen)") {
+    val rows = SparkEntry.queries("vec_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rms = r.getAs[Double]("rms_norm")
+      val cn = r.getAs[Double]("centroid_norm")
+      assert(cn <= rms + 1e-9, s"label ${r.get(0)}: centroid $cn > rms $rms")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+}
