@@ -34,18 +34,23 @@ object Warehouse {
   // ------------------------------------------------------------- pipeline
 
   /** Statements with the section-marker category forward-filled
-    * (build_warehouse.py:86-94: REVENUES/EXPENSES markers → ffill). */
-  def sectionFilled(spark: SparkSession, dir: String): DataFrame = {
+    * (build_warehouse.py:86-94: REVENUES/EXPENSES markers → ffill).
+    * Works over any statements-shaped frame — the derived test frame or
+    * one ingested from csv (see sources.Ingest.statementsCsv). */
+  def sectionFilledFrom(statements: DataFrame): DataFrame = {
     val lbl = upper(trim(col("label")))
     val marker = when(lbl === "REVENUES", "Revenue").when(lbl === "EXPENSES", "Expenses")
-    ForwardFill.ffill(Statements.income(spark, dir),
+    ForwardFill.ffill(statements,
       Seq(col("file"), col("sheet")), Seq(col("pos")), marker, "category")
   }
 
+  def sectionFilled(spark: SparkSession, dir: String): DataFrame =
+    sectionFilledFrom(Statements.income(spark, dir))
+
   /** Parsed fact rows: GL-filtered, amount-cleaned, dimension columns
     * extracted from file/sheet names (build_warehouse.py:96-105). */
-  def fact(spark: SparkSession, dir: String): DataFrame =
-    sectionFilled(spark, dir)
+  def factFrom(statements: DataFrame): DataFrame =
+    sectionFilledFrom(statements)
       .withColumn("month", Financial.periodMonth(col("file")))
       .withColumn("year", Financial.periodYear(col("file")))
       .withColumn("department", Financial.extractDepartment(col("sheet")))
@@ -54,6 +59,9 @@ object Warehouse {
       .filter(col("gl_code").isNotNull && col("amount").isNotNull)
       .select("file", "sheet", "pos", "gl_code", "category",
         "year", "month", "department", "amount")
+
+  def fact(spark: SparkSession, dir: String): DataFrame =
+    factFrom(Statements.income(spark, dir))
 
   /** Fact + broadcast GL reference + missing-mapping flag
     * (build_warehouse.py:139-141). */
