@@ -125,16 +125,22 @@ object TextAnalysis {
   // ------------------------------------------------------- text_shingle_fp
   /** Rolling word-3-shingle fingerprints: shingle count, distinct count,
     * and the minimum shingle hash (a 1-hash MinHash — the primitive under
-    * the dedup suite's candidate generation). */
-  def textShingleFp(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(Text.shingles(t, 3)).as("n_shingles"),
-      size(array_distinct(Text.shingles(t, 3))).as("n_distinct_shingles"),
-      array_min(Text.shingleHashes(t, 3)).as("min_shingle_hash"))
+    * the dedup suite's candidate generation).
+    *
+    * Shape note: higher-order array expressions don't enter whole-stage
+    * codegen, so computing the array once per stat re-evaluates it per
+    * output column (3x the shingle work, interpreted). explode + partial
+    * aggregation materializes each shingle hash exactly once; the shuffle
+    * carries one pre-aggregated row per doc per map partition. Counting
+    * hashes ≙ counting shingles (md5 is collision-free at these sizes). */
+  def textShingleFp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(Text.shingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).cast("int").as("n_shingles"),
+        countDistinct(col("h")).cast("int").as("n_distinct_shingles"),
+        min(col("h")).as("min_shingle_hash"))
       .orderBy(col("doc_id"))
-  }
 
   val textShingleFpSql: String =
     """SELECT doc_id, len(sh) AS n_shingles,

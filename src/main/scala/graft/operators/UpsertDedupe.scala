@@ -13,15 +13,20 @@ import org.apache.spark.sql.functions._
   * partition with no global shuffle.
   */
 object UpsertDedupe {
-  /** Union `existing` and `incoming` (same schema), keep exactly one row
-    * per `keys` — the one ranked first by `precedence` (pass descending
-    * batch/time columns: highest precedence first). */
-  def keepLast(existing: DataFrame, incoming: DataFrame,
-               keys: Seq[Column], precedence: Seq[Column]): DataFrame = {
+  /** Keep exactly one row per `keys` — the one ranked first by
+    * `precedence` (pass descending batch/time columns: highest
+    * precedence first). One shuffle on the natural key; Spark plans the
+    * rank filter as WindowGroupLimit, pruning per partition before the
+    * final window. */
+  def keepLastWithin(df: DataFrame, keys: Seq[Column], precedence: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(precedence: _*)
-    existing.unionByName(incoming)
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Union `existing` and `incoming` (same schema) then keep-last. */
+  def keepLast(existing: DataFrame, incoming: DataFrame,
+               keys: Seq[Column], precedence: Seq[Column]): DataFrame =
+    keepLastWithin(existing.unionByName(incoming), keys, precedence)
 }

@@ -70,28 +70,31 @@ object Warehouse {
       .join(broadcast(Statements.glReference(spark)), Seq("gl_code"), "left")
       .withColumn("gl_missing", col("description").isNull)
 
-  /** Existing-warehouse rows for the idempotent upsert: months loaded ten
-    * years ago that the new batch doesn't cover (survive), plus stale
-    * amounts for keys the new batch re-delivers (lose to keep-last). */
-  private def existingBatch(f: DataFrame): DataFrame = {
-    val core = f.select(col("gl_code"), col("category"), col("year"), col("month"),
-      col("department"), col("amount"), col("pos"))
-    core.filter((col("pos") % PB) % 3 === 0)
-      .withColumn("year", col("year") - 10)
-      .unionByName(
-        core.filter((col("pos") % PB) % 5 === 0)
-          .withColumn("amount", col("amount") + 100.0))
-      .withColumn("batch", lit(0))
-  }
-
   /** Append + dedupe keep-last on the natural key
     * (build_warehouse.py:159-169, Code.gs:264-274): within a batch the
-    * later sheet row wins (pos desc), across batches the new load wins. */
+    * later sheet row wins (pos desc), across batches the new load wins.
+    *
+    * The existing-warehouse rows (months loaded ten years ago that the
+    * new batch doesn't cover — survive; stale amounts for re-delivered
+    * keys — lose) are emitted by exploding per-row variants, so the
+    * statements parse runs ONCE: a 3-branch union would re-scan and
+    * re-window the statements per branch (Catalyst can't reuse the
+    * exchange once per-branch pruning differentiates the subtrees). In
+    * production the parsed fact would be a staged table and `existing`
+    * the warehouse's own (Year, Month) partitions. */
   def upserted(spark: SparkSession, dir: String): DataFrame = {
     val f = fact(spark, dir)
-    val incoming = f.select(col("gl_code"), col("category"), col("year"), col("month"),
-      col("department"), col("amount"), col("pos")).withColumn("batch", lit(1))
-    UpsertDedupe.keepLast(existingBatch(f), incoming,
+    def variant(batch: Int, year: Column, amount: Column) =
+      struct(col("gl_code"), col("category"), year.as("year"), col("month"),
+        col("department"), amount.as("amount"), col("pos"), lit(batch).as("batch"))
+    val k = col("pos") % PB
+    val variants = filter(array(
+      variant(1, col("year"), col("amount")),
+      when(k % 3 === 0, variant(0, col("year") - 10, col("amount"))),
+      when(k % 5 === 0, variant(0, col("year"), col("amount") + 100.0))),
+      v => v.isNotNull)
+    UpsertDedupe.keepLastWithin(
+      f.select(explode(variants).as("v")).select(col("v.*")),
       Seq(col("gl_code"), col("year"), col("month"), col("department"), col("category")),
       Seq(col("batch").desc, col("pos").desc))
       .drop("pos", "batch")
