@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text sketch kernels, callable from generated code.
+  *
+  * The declarative formulations of MinHash/SimHash (nested transform/
+  * filter/aggregate lambdas) evaluate interpreted — higher-order array
+  * expressions are excluded from whole-stage codegen, and at 32 hashes x
+  * ~70 shingles/doc the tree-walk dominates the query (SURVEY.md §4,
+  * BASELINE.md). These kernels do the same work in one tight compiled
+  * pass per row; the Expressions below splice them into codegen via
+  * defineCodeGen, so the projection stays inside the codegen stage.
+  *
+  * Hashing: one xxhash64 pass over each shingle's bytes, then the n
+  * signature lanes derive via cheap hashLong mixing — standard multi-
+  * hash MinHash construction (n byte-passes would cost n-fold more for
+  * no estimator benefit).
+  */
+object TextHashes {
+
+  /** n MinHash lanes over word k-shingles; empty/short text → empty array. */
+  def shingleMinHashes(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val words = text.toString.split(' ')
+    val mins = Array.fill(n)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i + k <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      val base = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      var l = 0
+      while (l < n) {
+        val h = XXH64.hashLong(base, l.toLong)
+        if (h < mins(l)) mins(l) = h
+        l += 1
+      }
+      any = true
+      i += 1
+    }
+    new GenericArrayData(if (any) mins else Array.emptyLongArray)
+  }
+
+  /** 64-bit SimHash: per-word xxhash64, majority vote per bit. */
+  def simHash64(text: UTF8String): Long = {
+    val words = text.toString.split(' ')
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(words(i)), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** shingle_minhashes(text, k, n): array<long> MinHash signature. */
+case class ShingleMinHashes(child: Expression, k: Int, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleMinHashes(input.asInstanceOf[UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMinHashes($c, $k, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashes =
+    copy(child = newChild)
+}
+
+/** simhash64(text): 64-bit SimHash signature. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

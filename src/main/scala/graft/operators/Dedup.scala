@@ -26,14 +26,6 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** doc_id + distinct 3-shingle set + min shingle md5 (the LSH key). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = array_distinct(Text.shingles(col("text"), 3))
-    Tables.documents(spark, dir).select(
-      col("doc_id"), sh.as("sh"),
-      array_min(transform(sh, s => md5(s))).as("minh"))
-  }
-
   // ----------------------------------------------------------- dedup_exact
   /** Exact dedup: group by normalized-text md5, keep the minimum doc_id.
     * Scale: one hash-keyed shuffle carrying (hash, id) pairs only. */
@@ -51,11 +43,22 @@ object Dedup {
 
   // -------------------------------------------------- dedup_ngram_jaccard
   /** N-gram Jaccard near-dup: candidate pairs share their min shingle
-    * hash; true Jaccard on the distinct shingle sets decides. Scale: the
-    * join shuffles on the min-hash bucket; a popular bucket is a skew
-    * risk handled by AQE skew-join; no cross product anywhere. */
+    * hash; true Jaccard on the distinct shingle-hash sets decides (md5 is
+    * collision-free at corpus scale, so hash-set sizes ≙ shingle-set
+    * sizes and the oracle can keep comparing shingle strings).
+    *
+    * Scale/shape: the per-doc hash sets are built by explode + partial
+    * aggregation (each shingle hash materialized once, codegen'd explode)
+    * and BOTH sides of the self-join consume the SAME shuffle — identical
+    * aggregate subtrees → Catalyst's ReuseExchange; the interpreted
+    * higher-order work would otherwise run twice. The join shuffles on
+    * the min-hash bucket; a popular bucket is a skew risk handled by AQE
+    * skew-join; no cross product anywhere. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = docShingles(spark, dir)
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh"))
     val a = s.as("a"); val b = s.as("b")
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     a.join(b, col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
@@ -82,18 +85,20 @@ object Dedup {
   private val Bands = 8
   private val Rows = NumHashes / Bands
 
-  /** 32-hash MinHash signature per doc. */
-  def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  /** 32-lane MinHash signature straight from text — the native
+    * graft.expressions.ShingleMinHashes kernel, one compiled pass per
+    * row inside whole-stage codegen (the declarative 32x transform/
+    * array_min chain evaluated interpreted and dominated the query). */
+  def minhashSignature(text: Column): Column =
+    expr(s"shingle_minhashes(${text.toString}, 3, $NumHashes)")
 
   /** MinHash + banded LSH: signature → 8 band buckets → bucket self-join
     * → candidate pairs with the signature-agreement Jaccard estimate.
     * Scale: the only shuffle is on (band, bucket); pair count is
     * O(near-dup pairs x bands), deduplicated before the estimate. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = docShingles(spark, dir)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
@@ -113,19 +118,10 @@ object Dedup {
   }
 
   // -------------------------------------------------------- dedup_simhash
-  /** 64-bit SimHash from word xxhash64s: bit b of the signature is the
-    * majority vote of bit b across the doc's word hashes. Pure column
-    * expressions — the 64 bit-votes stay in one codegen'd projection
-    * (a custom Catalyst Expression could do one pass; at 64x~100 ops/doc
-    * this is still scan-dominated). */
-  def simhash(text: Column): Column = {
-    val hs = transform(Text.words(text), w => xxhash64(w))
-    val n = size(hs)
-    (0 until 64).map { bit =>
-      val ones = size(filter(hs, h => shiftright(h, bit).bitwiseAND(1) === 1))
-      when(ones * 2 > n, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash (majority vote per bit over word hashes) via the
+    * native graft.expressions.SimHash64 kernel — one compiled pass per
+    * row; the declarative 64-bit-vote formulation ran interpreted. */
+  def simhash(text: Column): Column = expr(s"simhash64(${text.toString})")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -27,8 +27,8 @@ class DedupSpec extends SparkSpec {
 
   test("minhash signature estimates Jaccard within 0.15 on a near-dup pair") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
-      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
-      .withColumn("sig", Dedup.minhashSignature(col("sh")))
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"),
+        Dedup.minhashSignature(col("text")).as("sig"))
     val Array(a, b, c) = df.orderBy("doc_id").collect()
     def jac(x: Seq[String], y: Seq[String]): Double =
       x.toSet.intersect(y.toSet).size.toDouble / x.toSet.union(y.toSet).size

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.TextHashes
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions: registration, codegen/eval parity,
+  * edge-case handling. */
+class ExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingle_minhashes registered via GraftExtensions and deterministic") {
+    val df = Seq("a b c d e", "a b c d e", "x y z w v").toDF("text")
+      .select(expr("shingle_minhashes(text, 3, 8)").as("sig"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 8)
+    assert(rows(0) == rows(1), "same text, same signature")
+    assert(rows(0) != rows(2))
+  }
+
+  test("codegen result matches direct kernel eval") {
+    val texts = Seq("the quick brown fox jumps", "a b", "")
+    val viaSql = texts.toDF("text")
+      .select(expr("shingle_minhashes(text, 3, 4)").as("s"),
+        expr("simhash64(text)").as("h"))
+      .collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val direct = TextHashes.shingleMinHashes(UTF8String.fromString(t), 3, 4)
+      assert(viaSql(i).getSeq[Long](0) == direct.toLongArray().toSeq)
+      assert(viaSql(i).getLong(1) == TextHashes.simHash64(UTF8String.fromString(t)))
+    }
+  }
+
+  test("short/empty text yields empty signature, null stays null") {
+    val rows = Seq(Some("a b"), Some(""), None).toDF("text")
+      .select(expr("shingle_minhashes(text, 3, 4)").as("s")).collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)
+    assert(rows(1).getSeq[Long](0).isEmpty)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("simhash64 flips few bits for small edits") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy cat again and again today")
+      .toDF("text").select(expr("simhash64(text)")).collect()
+    val d = java.lang.Long.bitCount(rows(0).getLong(0) ^ rows(1).getLong(0))
+    assert(d <= 16, s"one-word edit flipped $d bits")
+  }
+}
