@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+
+/** Training-data preparation operators (SURVEY.md §2C+): the steps between
+  * a cleaned corpus and a training run — sequence packing, corpus
+  * statistics, PII scrubbing, embedding quantization. All oracled.
+  */
+object TrainPrep {
+
+  // ------------------------------------------------------ text_pack_tokens
+  /** Greedy-ish sequence packing: docs are pre-partitioned into shards
+    * (doc_id % 32) and packed into fixed token-capacity windows by a
+    * running token count per shard. Scale: a GLOBAL running sum would
+    * serialize on one task; sharding first keeps every window bounded and
+    * parallel — the shard count scales with the cluster, and packs are
+    * only ever built within a shard. */
+  def textPackTokens(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val nTok = Text.nBpeTokens(col("text"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 32).as("shard"), nTok.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        ((col("cum_tokens") - col("n_tokens")) / cap).cast("long").as("pack_id"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  val textPackTokensSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 32 AS shard,
+      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT shard, doc_id, n_tokens, cum_tokens,
+      |       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id
+      |FROM c ORDER BY shard, doc_id""".stripMargin
+
+  // ------------------------------------------------------- text_ngram_freq
+  /** Corpus-level bigram frequencies, top 50. Scale: explode + partial
+    * aggregation (map-side combine) → the shuffle carries per-partition
+    * bigram counts, not the corpus; the top-k is a TakeOrdered. */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  val textNgramFreqSql: String =
+    """SELECT bigram, count(*) AS n
+      |FROM (
+      |  SELECT unnest([words[i+1] || ' ' || words[i+2] for i in range(0, len(words)-1)]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS words FROM documents) w) t
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------- text_pii_scrub
+  /** PII scrubbing: regex redaction of emails and phone numbers. The test
+    * corpus carries no PII, so a deterministic contact line is appended
+    * per doc before scrubbing — the operator under test is the redaction.
+    * Patterns are ASCII-class-only so Java regex and RE2 agree. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val augmented = concat(col("text"), lit(" Contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(regexp_replace(augmented, email, "<EMAIL>"), phone, "<PHONE>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(augmented, lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(augmented, lit(phone), lit(0))).as("n_phones"),
+      md5(scrubbed).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiScrubSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+      |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(aug,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- embed_quantize
+  /** Per-vector int8 quantization audit: min/max range, scale, and the
+    * reconstruction error of round-trip quantization — the check run
+    * before shipping a quantized embedding table. All error sums are
+    * sequential element-order folds (oracle mirrors them exactly). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val vmin = array_min(v); val vmax = array_max(v)
+    val scale = greatest((vmax - vmin) / 255.0, lit(1e-12))
+    val err = transform(v, x => abs(round((x - vmin) / scale) * scale + vmin - x))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      (round(vmin, 6) + 0.0).as("vmin"),
+      (round(vmax, 6) + 0.0).as("vmax"),
+      (round(array_max(err), 6) + 0.0).as("max_abs_err"),
+      (round(aggregate(err, lit(0.0), (a, x) => a + x) / size(v), 6) + 0.0).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+      |             greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale FROM e),
+      |r AS (SELECT vec_id, vmin, vmax,
+      |             [abs(round((x - vmin) / scale) * scale + vmin - x) for x in v] AS err,
+      |             len(v) AS n
+      |      FROM s)
+      |SELECT vec_id,
+      |  CAST(round(vmin, 6) AS DOUBLE) + 0.0 AS vmin,
+      |  CAST(round(vmax, 6) AS DOUBLE) + 0.0 AS vmax,
+      |  CAST(round(list_max(err), 6) AS DOUBLE) + 0.0 AS max_abs_err,
+      |  CAST(round(list_reduce(err, (a, x) -> a + x) / n, 6) AS DOUBLE) + 0.0 AS mean_abs_err
+      |FROM r ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_tokens" -> (textPackTokens _),
+    "text_ngram_freq" -> (textNgramFreq _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "embed_quantize" -> (embedQuantize _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_pack_tokens" -> textPackTokensSql,
+    "text_ngram_freq" -> textNgramFreqSql,
+    "text_pii_scrub" -> textPiiScrubSql,
+    "embed_quantize" -> embedQuantizeSql
+  )
+}
