@@ -11,7 +11,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      // static conf: saveAsTable targets (ScaleSpec buckets) land in /tmp
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
