@@ -62,6 +62,63 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join: each purchase matched to the same user's
+    * clicks in the preceding hour. Watermarks on BOTH sides bound the
+    * join state (Spark evicts click state older than purchase watermark
+    * minus the range) — the only state-safe way to join two 100 TB/day
+    * streams. Works on batch frames too (the range condition just
+    * becomes a join predicate). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"), col("value").as("c_value"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"))
+  }
+
+  /** interval_join: the oracled batch equivalent of clickPurchaseJoin on
+    * integer microseconds. Scale: equi-key (user_id) sort-merge join with
+    * a residual range filter — shuffles once per side on user_id; never a
+    * cross product (the range alone would be one; the user key makes it
+    * an equi join). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts_us"),
+        col("event_id").as("c_event_id"), col("value").as("c_value"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"),
+        col("event_id").as("p_event_id"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts_us") >= col("p_ts_us") - hourUs && col("c_ts_us") <= col("p_ts_us"))
+      .select(col("p_event_id"), col("user_id"), col("p_ts_us"),
+        col("c_event_id"), col("c_ts_us"), col("c_value"))
+      .orderBy(col("p_event_id"), col("c_event_id"))
+  }
+
+  val intervalJoinSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS c_ts_us, event_id AS c_event_id, value AS c_value
+      |           FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, epoch_us(ts) AS p_ts_us, event_id AS p_event_id
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT p.p_event_id, p.user_id, p.p_ts_us, c.c_event_id, c.c_ts_us, c.c_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND c.c_ts_us >= p.p_ts_us - 3600000000 AND c.c_ts_us <= p.p_ts_us
+      |ORDER BY p_event_id, c_event_id""".stripMargin
+
+  /** Streaming exact dedup bounded by watermark: duplicates arriving
+    * within the watermark horizon are dropped, state is evicted beyond
+    * it — the streaming face of dedup_exact (unbounded-state dedup is
+    * impossible on an infinite stream). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** stream_tumbling_agg: the oracled batch equivalent of tumblingAgg —
     * identical grouping expressed on integer microseconds so the oracle
     * needs no window-struct parity. One map-side-combined shuffle. */
@@ -82,8 +139,10 @@ object EventStreams {
       |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tumbling_agg" -> (streamTumblingAgg _))
+    "stream_tumbling_agg" -> (streamTumblingAgg _),
+    "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
-    "stream_tumbling_agg" -> streamTumblingAggSql)
+    "stream_tumbling_agg" -> streamTumblingAggSql,
+    "interval_join" -> intervalJoinSql)
 }

@@ -6,6 +6,9 @@ import graft.sources.Tables
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
+/** MemoryStream payloads (top-level: encoders require stable types). */
+case class StreamEv(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+
 /** Streaming specs: drive the streaming operators through MemoryStream
   * and assert they converge to their batch-equivalent answers. */
 class StreamingSpec extends SparkSpec {
@@ -36,6 +39,50 @@ class StreamingSpec extends SparkSpec {
         .orderBy("window_start_us", "event_type").collect()
       val want = SparkEntry.queries("stream_tumbling_agg")(spark, sf).collect()
       assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join converges to the oracled batch interval_join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.eventsUs(spark, sf)
+      .select("event_id", "user_id", "ts_us", "event_type", "value").collect()
+    def mk(kind: String) = evs.filter(_.getString(3) == kind)
+      .map(r => StreamEv(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    val clicks = MemoryStream[StreamEv]; val purchases = MemoryStream[StreamEv]
+    def withTs(s: MemoryStream[StreamEv]) =
+      s.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.clickPurchaseJoin(withTs(clicks), withTs(purchases))
+      .select(col("p_event_id"), col("c_event_id"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      clicks.addData(mk("click")); purchases.addData(mk("purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("interval_join")(spark, sf)
+        .select("p_event_id", "c_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want, s"stream ${got.size} vs batch ${want.size}")
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1L to 100L).map(i => StreamEv(i, i % 7, i * 1000000L, 0.0))
+    val dups = base.filter(_.event_id % 3 == 0) // replayed events
+    val stream = MemoryStream[StreamEv]
+    val q = EventStreams.dedupStream(
+        stream.toDF().withColumn("ts", timestamp_micros(col("ts_us"))))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      stream.addData(base ++ dups)
+      q.processAllAvailable()
+      stream.addData(dups) // replay again in a later batch, still in horizon
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.length == base.length && ids.toSet == base.map(_.event_id).toSet)
     } finally q.stop()
   }
 
