@@ -13,14 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ graft.warehouse.Warehouse.queries ++
+    Relational.queries ++ Analytics.queries ++ graft.warehouse.Warehouse.queries ++
       TextAnalysis.queries ++ TrainPrep.queries ++ Dedup.queries ++ Ann.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
     * here get the driver's weaker rows-only check (see SURVEY.md §2). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ graft.warehouse.Warehouse.oracles ++
+    Relational.oracles ++ Analytics.oracles ++ graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TrainPrep.oracles ++ Dedup.oracles ++ Ann.oracles ++
       graft.streaming.EventStreams.oracles
       // mm_metadata: binary column semantics, rows-only (MultimodalSpec)

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Downstream-analytics operators the warehouse exists to feed
+  * (reference `docs/architecture_overview.md`: "reporting, trend
+  * analysis, reconciliation, and downstream analytics") — the behavioral
+  * and reporting shapes beyond plain aggregation. All oracled. */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def dollars(c: org.apache.spark.sql.Column) = c.cast("double") / 100.0
+
+  // --------------------------------------------------------------- cube_agg
+  /** CUBE over (status, priority): all four grouping-set combinations in
+    * one Expand+Aggregate — one shuffle for the whole lattice. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dollars(sum(cents(col("o_totalprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val cubeAggSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ rank_stats
+  /** Distribution windows: ntile/cume_dist/percent_rank per status. The
+    * full (price, orderkey) ordering makes every rank deterministic. */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cume"),
+        percent_rank().over(w).as("prank"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  val rankStatsSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  cume_dist() OVER w AS cume,
+      |  percent_rank() OVER w AS prank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------- events_funnel
+  /** Conversion funnel per user: first view → first click after it →
+    * first purchase after that. Three aggregations + two joins, all
+    * keyed on user_id — one logical shuffle key end to end. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts_us") >= col("first_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts_us") >= col("first_click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    views.join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+        col("first_purchase_us"),
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .otherwise(1).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS first_view_us FROM e WHERE event_type='view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts_us) AS first_click_us
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type='click' AND e.ts_us >= v.first_view_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts_us) AS first_purchase_us
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type='purchase' AND e.ts_us >= c.first_click_us GROUP BY e.user_id)
+      |SELECT v.user_id, v.first_view_us, c.first_click_us, p.first_purchase_us,
+      |       CASE WHEN p.first_purchase_us IS NOT NULL THEN 3
+      |            WHEN c.first_click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ------------------------------------------------------- retention_cohort
+  /** Cohort retention: customers grouped by first-order month, distinct
+    * active customers per (cohort, months-since). Classic warehouse
+    * report; two shuffles (per-customer cohort, then the matrix). */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val monthId = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("month_id")
+    val e = Tables.orders(spark, dir).select(col("o_custkey"), monthId)
+    val cohorts = e.groupBy(col("o_custkey")).agg(min(col("month_id")).as("cohort_id"))
+    e.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort_id"), (col("month_id") - col("cohort_id")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("active_users"))
+      .orderBy(col("cohort_id"), col("months_since"))
+  }
+
+  val retentionCohortSql: String =
+    """WITH e AS (SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS month_id
+      |           FROM orders),
+      |c AS (SELECT o_custkey, min(month_id) AS cohort_id FROM e GROUP BY o_custkey)
+      |SELECT c.cohort_id, e.month_id - c.cohort_id AS months_since,
+      |       count(DISTINCT e.o_custkey) AS active_users
+      |FROM e JOIN c ON e.o_custkey = c.o_custkey
+      |GROUP BY c.cohort_id, e.month_id - c.cohort_id
+      |ORDER BY cohort_id, months_since""".stripMargin
+
+  // -------------------------------------------------------- fin_sparse_fill
+  /** Month-gap filling: every (department, GL, year) gets all 12 months,
+    * zero where the statements had no rows — the shape reporting needs
+    * for dense time series. Scale: the dimension frame is tiny (distinct
+    * triples x 12), the actuals aggregate is map-side combined, and the
+    * join is broadcast-able. */
+  def finSparseFill(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.warehouse.Warehouse.fact(spark, dir)
+    val actual = f.groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val dims = f.select(col("department"), col("gl_code"), col("year")).distinct()
+      .withColumn("month", explode(sequence(lit(1), lit(12))))
+    dims.join(actual, Seq("department", "gl_code", "year", "month"), "left")
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(coalesce(col("tc"), lit(0L))).as("total"),
+        col("tc").isNull.as("filled"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finSparseFillSql: String = {
+    val factCte = graft.warehouse.Warehouse.factCtesPublic
+    s"""WITH $factCte,
+       |actual AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_fact GROUP BY department, gl_code, year, month),
+       |dims AS (
+       |  SELECT department, gl_code, year, m.month
+       |  FROM (SELECT DISTINCT department, gl_code, year FROM fin_fact)
+       |  CROSS JOIN (SELECT CAST(i AS INT) AS month FROM range(1, 13) t(i)) m)
+       |SELECT d.department, d.gl_code, d.year, d.month,
+       |       CAST(COALESCE(a.tc, 0) AS DOUBLE)/100.0 AS total,
+       |       a.tc IS NULL AS filled
+       |FROM dims d LEFT JOIN actual a
+       |  ON d.department = a.department AND d.gl_code = a.gl_code
+       | AND d.year = a.year AND d.month = a.month
+       |ORDER BY d.department, d.gl_code, d.year, d.month""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> (cubeAgg _),
+    "rank_stats" -> (rankStats _),
+    "events_funnel" -> (eventsFunnel _),
+    "retention_cohort" -> (retentionCohort _),
+    "fin_sparse_fill" -> (finSparseFill _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "cube_agg" -> cubeAggSql,
+    "rank_stats" -> rankStatsSql,
+    "events_funnel" -> eventsFunnelSql,
+    "retention_cohort" -> retentionCohortSql,
+    "fin_sparse_fill" -> finSparseFillSql
+  )
+}

@@ -66,6 +66,15 @@ object Multimodal {
     }
   }
 
+  /** mm_features: the batched stub-decode as a registered query
+    * (rows-only: binary + stub semantics; MultimodalSpec is authority). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaTable(spark, dir).as[MediaRow]).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_metadata" -> (mmMetadata _))
+    "mm_metadata" -> (mmMetadata _),
+    "mm_features" -> (mmFeatures _))
 }

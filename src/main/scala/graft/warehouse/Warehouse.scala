@@ -102,6 +102,10 @@ object Warehouse {
 
   // ------------------------------------------------------ shared SQL CTEs
 
+  /** Shared with operators that derive from the statement fact
+    * (e.g. Analytics.finSparseFill). */
+  def factCtesPublic: String = factCtes
+
   private val factCtes: String =
     s"""${Statements.incomeCtes},
        |fin_cat AS (
