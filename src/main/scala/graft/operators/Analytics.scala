@@ -37,7 +37,11 @@ object Analytics {
 
   // ------------------------------------------------------------ rank_stats
   /** Distribution windows: ntile/cume_dist/percent_rank per status. The
-    * full (price, orderkey) ordering makes every rank deterministic. */
+    * full (price, orderkey) ordering makes every rank deterministic.
+    * Scale caveat: the partition key has 3 values, so each window is a
+    * third of the table on one task — exact rank stats over low-
+    * cardinality partitions don't survive 100x; at that scale use
+    * approx_percentiles (sketch) or re-key to a finer partition. */
   def rankStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
