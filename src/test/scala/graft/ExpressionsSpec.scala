@@ -40,6 +40,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("VectorDot kernel is bit-identical to the declarative fold") {
+    val df = Seq((Seq(1.1, -2.2, 3.3, 0.004), Seq(0.5, 1.5, -2.5, 100.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.functions.Vectors.dot(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("fold"))
+      .collect()(0)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+  }
+
   test("simhash64 flips few bits for small edits") {
     val rows = Seq(
       "the quick brown fox jumps over the lazy dog again and again today",
