@@ -119,6 +119,19 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Session-window aggregation via Spark's native `session_window`
+    * (dynamic gap-closed windows) — the declarative alternative to the
+    * flatMapGroupsWithState sessionizer; works on streaming (with
+    * watermark) and batch frames. StreamingSpec proves it matches the
+    * oracled batch sessionize. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
+        col("n_events"), col("sum_cents"))
+
   /** stream_tumbling_agg: the oracled batch equivalent of tumblingAgg —
     * identical grouping expressed on integer microseconds so the oracle
     * needs no window-struct parity. One map-side-combined shuffle. */

@@ -41,6 +41,17 @@ class SourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("orc round-trip preserves values (columnar alternative to parquet)") {
+    val out = tmp("orders-orc")
+    val src = Tables.orders(spark, sf)
+    src.coalesce(1).write.mode("overwrite").orc(out)
+    val back = spark.read.schema(src.schema).orc(out)
+    assert(back.schema == src.schema)
+    val a = src.orderBy("o_orderkey").collect()
+    val b = back.select(src.columns.map(col): _*).orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
   test("partitioned parquet write prunes partitions on filtered read") {
     val out = tmp("wh-part")
     val wh = SparkEntry.queries("fin_warehouse_build")(spark, sf)

@@ -86,6 +86,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agg matches the oracled batch sessionize") {
+    // batch-mode session_window: same gap semantics as the window-based
+    // sessionize query (session end = last event, not last+gap, so
+    // compare on (user, start, n, sum))
+    val got = EventStreams.sessionWindowAgg(
+        Tables.eventsUs(spark, sf).withColumn("ts", timestamp_micros(col("ts_us"))))
+      .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+        col("n_events"), col("sum_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("sessionize")(spark, sf)
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty && got == want, s"session_window ${got.size} vs batch ${want.size}")
+  }
+
   test("flatMapGroupsWithState sessionizer converges to batch sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
