@@ -73,6 +73,47 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("incremental loads via dynamic partition overwrite converge to the batch build") {
+    // the production 100 TB path: each statement batch rewrites ONLY its
+    // own (year, month) partitions; replaying a batch is a no-op
+    val out = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val stmts = Statements.income(spark, sf)
+      val keys = Seq(col("gl_code"), col("year"), col("month"),
+        col("department"), col("category"))
+      def dedupBatch(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.UpsertDedupe.keepLastWithin(
+          df.select(col("gl_code"), col("category"), col("year"), col("month"),
+            col("department"), col("amount"), col("pos")),
+          keys, Seq(col("pos").desc)).drop("pos")
+      val years = Warehouse.factFrom(stmts).select("year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      assert(years.length > 1)
+      for (y <- years) {
+        dedupBatch(Warehouse.factFrom(stmts).filter(col("year") === y))
+          .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+      }
+      // replay the middle year — dynamic overwrite must leave the rest intact
+      dedupBatch(Warehouse.factFrom(stmts).filter(col("year") === years(1)))
+        .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+      val got = spark.read.parquet(out)
+        .select("gl_code", "category", "year", "month", "department", "amount")
+        .collect().map(_.toSeq).toSet
+      val want = dedupBatch(Warehouse.factFrom(stmts))
+        .select("gl_code", "category", "year", "month", "department", "amount")
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want,
+        s"incremental ${got.size} vs batch ${want.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("statements derivation is deterministic") {
     val a = Statements.income(spark, sf).orderBy("file", "sheet", "pos").collect()
     val b = Statements.income(spark, sf).orderBy("file", "sheet", "pos").collect()
