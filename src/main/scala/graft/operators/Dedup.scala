@@ -88,9 +88,14 @@ object Dedup {
   /** 32-lane MinHash signature straight from text — the native
     * graft.expressions.ShingleMinHashes kernel, one compiled pass per
     * row inside whole-stage codegen (the declarative 32x transform/
-    * array_min chain evaluated interpreted and dominated the query). */
-  def minhashSignature(text: Column): Column =
-    expr(s"shingle_minhashes(${text.toString}, 3, $NumHashes)")
+    * array_min chain evaluated interpreted and dominated the query).
+    * Built via the column bridge so it works in ANY session — the
+    * GraftExtensions SQL registration is for SQL-text users. */
+  def minhashSignature(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleMinHashes(
+      GraftColumnBridge.expression(text), 3, NumHashes))
+  }
 
   /** MinHash + banded LSH: signature → 8 band buckets → bucket self-join
     * → candidate pairs with the signature-agreement Jaccard estimate.
@@ -121,7 +126,11 @@ object Dedup {
   /** 64-bit SimHash (majority vote per bit over word hashes) via the
     * native graft.expressions.SimHash64 kernel — one compiled pass per
     * row; the declarative 64-bit-vote formulation ran interpreted. */
-  def simhash(text: Column): Column = expr(s"simhash64(${text.toString})")
+  def simhash(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.SimHash64(
+      GraftColumnBridge.expression(text)))
+  }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
