@@ -409,6 +409,62 @@ object Warehouse {
        |  ON d.year = c.year AND d.month = c.month AND d.department = c.department
        |ORDER BY d.year, d.month, d.department""".stripMargin
 
+  /** fin_header_detect: the reference scans each sheet for the header row
+    * (NUMBER | DESCRIPTION, Code.gs:176-184) and ignores everything above
+    * it — title rows, company banners, even things that LOOK like GL
+    * codes. Derived here from supplier: each sheet gets banner rows (one
+    * per s_suppkey%9==0, including deceptive numeric labels), a header at
+    * a fixed bucket boundary, and detail rows after it. The sequential
+    * "found the header yet?" scan becomes a running max over the header
+    * flag — one window shuffle on sheet, no sequential pass. */
+  def finHeaderDetect(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val det = Tables.supplier(spark, dir).select(
+      concat(lit("S"), (k % 7).cast("string")).as("sheet"),
+      ((k % 50) * 1000000L + k).as("pos"),
+      when(k % 9 === 0, ((k % 30) + 1).cast("string")) // deceptive pre-header numeric
+        .otherwise(concat(lit("row "), k.cast("string"))).as("labelA"),
+      concat(lit("v"), k.cast("string")).as("labelB"))
+    val hdr = det.select(col("sheet")).distinct()
+      .select(col("sheet"), lit(10L * 1000000 - 1).as("pos"),
+        lit("NUMBER").as("labelA"), lit("DESCRIPTION").as("labelB"))
+    val rows = det.unionByName(hdr)
+    val isHdr = when(upper(trim(col("labelA"))) === "NUMBER" &&
+      upper(trim(col("labelB"))) === "DESCRIPTION", 1).otherwise(0)
+    val w = Window.partitionBy(col("sheet")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("hdr_seen", max(isHdr).over(w))
+      .withColumn("is_hdr", isHdr)
+      .filter(col("hdr_seen") === 1 && col("is_hdr") === 0)
+      .select(col("sheet"), col("pos"), col("labelA"), col("labelB"))
+      .orderBy(col("sheet"), col("pos"))
+  }
+
+  val finHeaderDetectSql: String =
+    """WITH det AS (
+      |  SELECT 'S' || CAST(s_suppkey % 7 AS VARCHAR) AS sheet,
+      |         (s_suppkey % 50) * 1000000 + s_suppkey AS pos,
+      |         CASE WHEN s_suppkey % 9 = 0 THEN CAST((s_suppkey % 30) + 1 AS VARCHAR)
+      |              ELSE 'row ' || CAST(s_suppkey AS VARCHAR) END AS labelA,
+      |         'v' || CAST(s_suppkey AS VARCHAR) AS labelB
+      |  FROM supplier),
+      |hdr AS (
+      |  SELECT sheet, CAST(9999999 AS BIGINT) AS pos,
+      |         'NUMBER' AS labelA, 'DESCRIPTION' AS labelB
+      |  FROM (SELECT DISTINCT sheet FROM det)),
+      |rows_ AS (SELECT * FROM det UNION ALL SELECT * FROM hdr),
+      |m AS (
+      |  SELECT *,
+      |    CASE WHEN upper(trim(labelA)) = 'NUMBER' AND upper(trim(labelB)) = 'DESCRIPTION'
+      |         THEN 1 ELSE 0 END AS is_hdr,
+      |    max(CASE WHEN upper(trim(labelA)) = 'NUMBER' AND upper(trim(labelB)) = 'DESCRIPTION'
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS hdr_seen
+      |  FROM rows_)
+      |SELECT sheet, pos, labelA, labelB FROM m
+      |WHERE hdr_seen = 1 AND is_hdr = 0
+      |ORDER BY sheet, pos""".stripMargin
+
   /** fin_balance_sheet: the balance-sheet state machine (Code.gs:211-235):
     * Assets until TOTAL ASSETS, Liability until TOTAL LIABILITIES, then
     * Equity; other TOTAL rows and empty descriptions skipped. Running
@@ -465,7 +521,8 @@ object Warehouse {
     "fin_trend_mom" -> (finTrendMom _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_reconciliation" -> (finReconciliation _),
-    "fin_balance_sheet" -> (finBalanceSheet _)
+    "fin_balance_sheet" -> (finBalanceSheet _),
+    "fin_header_detect" -> (finHeaderDetect _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -481,6 +538,7 @@ object Warehouse {
     "fin_trend_mom" -> finTrendMomSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_reconciliation" -> finReconciliationSql,
-    "fin_balance_sheet" -> finBalanceSheetSql
+    "fin_balance_sheet" -> finBalanceSheetSql,
+    "fin_header_detect" -> finHeaderDetectSql
   )
 }
