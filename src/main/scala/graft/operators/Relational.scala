@@ -411,6 +411,30 @@ object Relational {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------- range_window
+  /** RANGE-framed window: each order's sum of same-customer order value
+    * within ±5 days — a sliding value-based frame (vs ROWS frames
+    * everywhere else). Scale: one shuffle on custkey; the range frame
+    * evaluates per partition with a moving aggregate, O(n) per key. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-5, 5)
+    Tables.orders(spark, dir)
+      .withColumn("day", unix_date(to_date(col("o_orderdate"))).cast("long"))
+      .withColumn("nearby_cents", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        dollars(col("nearby_cents")).as("nearby_value"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val rangeWindowSql: String =
+    """SELECT o_custkey, o_orderkey, day,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+      |       OVER (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE)/100.0 AS nearby_value
+      |FROM (SELECT *, CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day FROM orders) t
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------ dedup_exact_keyed
   /** Keyed keep-first dedup: first order per customer by date.
     * Scale: row_number keep-first = one shuffle on the key; this is the
@@ -449,6 +473,7 @@ object Relational {
     "json_extract" -> (jsonExtract _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
+    "range_window" -> (rangeWindow _),
     "dedup_exact_keyed" -> (dedupExactKeyed _)
   )
 
@@ -467,6 +492,7 @@ object Relational {
     "json_extract" -> jsonExtractSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
+    "range_window" -> rangeWindowSql,
     "dedup_exact_keyed" -> dedupExactKeyedSql
     // approx_distinct / approx_percentiles: sketch-seeded, rows-only
     // (ApproxSpec bounds their error against the exact aggregates)

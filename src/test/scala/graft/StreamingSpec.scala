@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    // static dim broadcast-joined into every micro-batch — the standard
+    // streaming-enrichment shape (dim re-read per batch, no state)
+    val q = stream.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("c_mktsegment")).count()
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("enrich").collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val want = Tables.eventsUs(spark, sf).join(broadcast(dim), Seq("user_id"), "left")
+        .groupBy(col("c_mktsegment")).count().collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("native session_window agg matches the oracled batch sessionize") {
     // batch-mode session_window: same gap semantics as the window-based
     // sessionize query (session end = last event, not last+gap, so
