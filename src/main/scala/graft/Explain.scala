@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Plan-audit main: prints the formatted physical plan of the named
   * queries (all when none named) at SPARK_GRAFT_SF_DIR — the loop used

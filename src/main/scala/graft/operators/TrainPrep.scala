@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{Text, Vectors}
+import graft.functions.Text
 import graft.sources.Tables
 
 /** Training-data preparation operators (SURVEY.md §2C+): the steps between
