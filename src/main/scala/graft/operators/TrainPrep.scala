@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
 import graft.sources.Tables
+import graft.operators.Dedup
 
 /** Training-data preparation operators (SURVEY.md §2C+): the steps between
   * a cleaned corpus and a training run — sequence packing, corpus
@@ -131,8 +132,66 @@ object TrainPrep {
       |  CAST(round(list_reduce(err, (a, x) -> a + x) / n, 6) AS DOUBLE) + 0.0 AS mean_abs_err
       |FROM r ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------- corpus_curate
+  /** The curation composite: quality gate (length + lexical diversity) ∧
+    * language gate (English by stopword argmax) ∧ near-dup removal (drop
+    * the higher doc_id of every ≥0.9-Jaccard candidate pair) — the whole
+    * keep/drop decision a pretraining pipeline makes per document, as
+    * one query. All thresholds compare exactly-computed ratios, so the
+    * oracle can't flake at the boundary. Scale: the gates are scan-fused
+    * column predicates; only the dedup arm shuffles (bucketed candidate
+    * join + an anti join on doc_id). */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nw = Text.nWords(t)
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), nw.as("n_words"),
+        (Text.nUniqueWords(t) / nw).as("uniq_ratio")) ++
+        Text.langStops.map { case (l, stops) =>
+          Text.stopwordCount(t, stops).as(s"s_$l")
+        }: _*)
+    val gated = scored.filter(col("n_words") >= 20 && col("uniq_ratio") >= 0.3 &&
+      col("s_en") > 0 && col("s_en") >= col("s_es") &&
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"))
+    val dupIds = Dedup.dedupNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_b").as("doc_id")).distinct()
+    gated.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_words"), col("uniq_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCurateSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / len(regexp_extract_all(text, '[^ ]+')) AS uniq_ratio,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS s_en,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','de','que','y','en'))) AS s_es,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','von'))) AS s_de,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','un','une','et','est'))) AS s_fr
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |                        for i in range(0, len(words)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
+      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM sh),
+      |dups AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9)
+      |SELECT doc_id, n_words, uniq_ratio FROM scored s
+      |WHERE n_words >= 20 AND uniq_ratio >= 0.3 AND s_en > 0
+      |  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+      |  AND NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = s.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate" -> (corpusCurate _),
     "text_pack_tokens" -> (textPackTokens _),
     "text_ngram_freq" -> (textNgramFreq _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -140,6 +199,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_curate" -> corpusCurateSql,
     "text_pack_tokens" -> textPackTokensSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii_scrub" -> textPiiScrubSql,

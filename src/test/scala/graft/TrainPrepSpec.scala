@@ -38,6 +38,21 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("corpus curation drops near-dup partners and junk docs") {
+    val kept = SparkEntry.queries("corpus_curate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    // every >=0.9-Jaccard pair contributes at most its lower doc_id
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (_, b) => assert(!kept.contains(b), s"dup partner $b kept") }
+    // kept docs satisfy the gates
+    SparkEntry.queries("corpus_curate")(spark, sf).collect().foreach { r =>
+      assert(r.getInt(1) >= 20 && r.getDouble(2) >= 0.3)
+    }
+  }
+
   test("ngram frequencies are descending and deduplicated") {
     val rows = SparkEntry.queries("text_ngram_freq")(spark, sf).collect()
     assert(rows.length == 50)
