@@ -46,6 +46,36 @@ object TextHashes {
     new GenericArrayData(if (any) mins else Array.emptyLongArray)
   }
 
+  /** md5 hex of each word k-shingle — identical strings to
+    * `transform(shingles, md5)` (and to DuckDB's md5), so every oracle
+    * built on md5 shingles stays valid; one compiled pass with a reused
+    * digest instead of an interpreted lambda chain. */
+  def shingleMd5s(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(' ')
+    val n = math.max(0, words.length - k + 1)
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = hex((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = hex(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(cs))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: per-word xxhash64, majority vote per bit. */
   def simHash64(text: UTF8String): Long = {
     val words = text.toString.split(' ')
@@ -80,6 +110,20 @@ case class ShingleMinHashes(child: Expression, k: Int, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMinHashes($c, $k, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHashes =
+    copy(child = newChild)
+}
+
+/** shingle_md5s(text, k): array<string> of md5-hex word k-shingles. */
+case class ShingleMd5s(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5s"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleMd5s(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5s($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
     copy(child = newChild)
 }
 

@@ -54,9 +54,15 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** md5 of every shingle — the rolling-hash fingerprint set. */
-  def shingleHashes(c: Column, k: Int): Column =
-    transform(shingles(c, k), s => md5(s))
+  /** md5 of every shingle — the rolling-hash fingerprint set. Native
+    * compiled kernel; produces the identical md5-hex strings as
+    * `transform(shingles(c,k), md5)` (and as the DuckDB oracles), just
+    * without the interpreted lambda chain. */
+  def shingleHashes(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleMd5s(
+      GraftColumnBridge.expression(c), k))
+  }
 
   /** Stopword lists for the language-ID heuristic (es/fr share 'la' —
     * the scoring tie-break is deterministic and mirrored in the oracle). */

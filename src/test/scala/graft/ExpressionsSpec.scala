@@ -40,6 +40,15 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("ShingleMd5s kernel equals transform(shingles, md5) exactly") {
+    val df = Seq("the quick brown fox jumps over", "a b", "").toDF("text")
+      .select(graft.functions.Text.shingleHashes(col("text"), 3).as("kernel"),
+        transform(graft.functions.Text.shingles(col("text"), 3), s => md5(s)).as("declarative"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("VectorDot kernel is bit-identical to the declarative fold") {
     val df = Seq((Seq(1.1, -2.2, 3.3, 0.004), Seq(0.5, 1.5, -2.5, 100.0)))
       .toDF("a", "b")
