@@ -20,12 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature lanes derive via cheap hashLong mixing — standard multi-
   * hash MinHash construction (n byte-passes would cost n-fold more for
   * no estimator benefit).
+  *
+  * Tokenization is `split(" ", -1)` — KEEPING trailing empty tokens —
+  * because the declarative `split(col, " ")` and DuckDB's `string_split`
+  * both keep them; `split(' ')` (limit 0) silently drops them and the
+  * kernels would diverge from their oracles on trailing-space text.
   */
 object TextHashes {
 
   /** n MinHash lanes over word k-shingles; empty/short text → empty array. */
   def shingleMinHashes(text: UTF8String, k: Int, n: Int): ArrayData = {
-    val words = text.toString.split(' ')
+    val words = text.toString.split(" ", -1)
     val mins = Array.fill(n)(Long.MaxValue)
     var any = false
     var i = 0
@@ -51,7 +56,7 @@ object TextHashes {
     * built on md5 shingles stays valid; one compiled pass with a reused
     * digest instead of an interpreted lambda chain. */
   def shingleMd5s(text: UTF8String, k: Int): ArrayData = {
-    val words = text.toString.split(' ')
+    val words = text.toString.split(" ", -1)
     val n = math.max(0, words.length - k + 1)
     val out = new Array[Any](n)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -78,7 +83,7 @@ object TextHashes {
 
   /** 64-bit SimHash: per-word xxhash64, majority vote per bit. */
   def simHash64(text: UTF8String): Long = {
-    val words = text.toString.split(' ')
+    val words = text.toString.split(" ", -1)
     val counts = new Array[Int](64)
     var i = 0
     while (i < words.length) {

@@ -27,9 +27,10 @@ object Text {
   def nBpeTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
 
-  /** Count of characters outside [a-zA-Z0-9 ] via length difference. */
+  /** Count of characters outside [a-zA-Z0-9 ]: stripping the alphanumeric/
+    * space class leaves exactly the punctuation, so its length IS the count. */
   def nPunct(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+    length(regexp_replace(c, "[a-zA-Z0-9 ]", ""))
 
   /** How many words of `c` are in the given stopword list. */
   def stopwordCount(c: Column, stops: Seq[String]): Column =

@@ -101,9 +101,17 @@ object Dedup {
     * → candidate pairs with the signature-agreement Jaccard estimate.
     * Scale: the only shuffle is on (band, bucket); pair count is
     * O(near-dup pairs x bands), deduplicated before the estimate. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(Tables.documents(spark, dir))
+
+  /** LSH over any (doc_id, text) frame. Documents under k words produce
+    * an EMPTY signature (ShingleMinHashes) and are non-candidates by
+    * definition — they are filtered before banding, because indexing
+    * sig[i] on an empty array would throw under ANSI mode. */
+  def minhashLshFrom(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .filter(size(col("sig")) === NumHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),

@@ -34,7 +34,7 @@ object TextAnalysis {
   val textQualitySql: String =
     """SELECT doc_id, length(text) AS n_chars,
       |  len(regexp_extract_all(text, '[^ ]+')) AS n_words,
-      |  length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+      |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
       |  len(list_filter(string_split(text, ' '),
       |      w -> w IN ('the','a','of','and','to','in','is')))
       |    / len(regexp_extract_all(text, '[^ ]+')) AS stop_ratio,

@@ -17,8 +17,11 @@ import graft.sources.Tables
   *  - each order is a statement row at position pos (the row's place in
   *    the sheet; detail rows with o_orderkey%100 >= 50 sort after the
   *    EXPENSES marker, below);
-  *  - the NUMBER cell is a 1-4 digit GL code ((o_orderkey%40+1)*25), or
-  *    the non-GL junk line "Total Revenue" for o_orderkey%13==0;
+  *  - the NUMBER cell is a 1-4 digit GL code ((o_orderkey%40+1)*25), the
+  *    non-GL junk line "Total Revenue" for o_orderkey%13==0, or the
+  *    Excel-numeric form "NNN.0" for o_orderkey%19==0 (numeric cells
+  *    arrive stringified with a decimal part — Code.gs:251-256's
+  *    typeof-number branch must truncate them);
   *  - the ACTUAL cell is an accounting-formatted currency string built
   *    from exact integer cents ("$1,234.50"; parens-negative for
   *    o_orderkey%7==0; unparseable "N/A" for o_orderkey%17==0);
@@ -33,21 +36,30 @@ import graft.sources.Tables
   */
 object Statements {
 
-  private val POS_BUCKET = 10000000000L // pos = (k%100)*POS_BUCKET + k, unique & ordered by bucket
+  /** pos = (k%100)*POS_BUCKET + k, unique & ordered by bucket. Shared
+    * with Warehouse (the upsert's variant selectors key off pos%POS_BUCKET). */
+  val POS_BUCKET = 10000000000L
 
   /** Accounting format from signed integer cents: 1013.70 dollars →
-    * "$1,013.70"; negative → "$(1,013.70)". Thousands comma for the
-    * 4-6 digit dollar magnitudes in the test data. */
+    * "$1,013.70"; negative → "$(1,013.70)". Grouped thousands separators
+    * up to $999,999,999.99 (dollar magnitudes above that are out of the
+    * supported range — asserted in PropertySpec). */
   def fmtAmount(sc: Column): Column = {
     val a = abs(sc)
     val d = (a / 100).cast("long")
     val f = (a % 100).cast("string")
-    val base = concat(
-      when(d >= 1000,
-        concat((d / 1000).cast("long").cast("string"), lit(","),
+    val dk = (d / 1000).cast("long")
+    val dm = (d / 1000000).cast("long")
+    val grouped =
+      when(d >= 1000000,
+        concat(dm.cast("string"), lit(","),
+          lpad((dk % 1000).cast("string"), 3, "0"), lit(","),
           lpad((d % 1000).cast("string"), 3, "0")))
-        .otherwise(d.cast("string")),
-      lit("."), lpad(f, 2, "0"))
+        .when(d >= 1000,
+          concat(dk.cast("string"), lit(","),
+            lpad((d % 1000).cast("string"), 3, "0")))
+        .otherwise(d.cast("string"))
+    val base = concat(grouped, lit("."), lpad(f, 2, "0"))
     when(sc < 0, concat(lit("$("), base, lit(")")))
       .otherwise(concat(lit("$"), base))
   }
@@ -55,7 +67,10 @@ object Statements {
   /** Identical formatter as a DuckDB SQL expression over column `c`. */
   def fmtAmountSql(c: String): String =
     s"""CASE WHEN $c < 0 THEN '$$(' ELSE '$$' END ||
-       |CASE WHEN abs($c)//100 >= 1000
+       |CASE WHEN abs($c)//100 >= 1000000
+       |     THEN CAST(abs($c)//100//1000000 AS VARCHAR) || ',' || lpad(CAST(abs($c)//100//1000 % 1000 AS VARCHAR),3,'0')
+       |          || ',' || lpad(CAST(abs($c)//100 % 1000 AS VARCHAR),3,'0')
+       |     WHEN abs($c)//100 >= 1000
        |     THEN CAST(abs($c)//100//1000 AS VARCHAR) || ',' || lpad(CAST(abs($c)//100 % 1000 AS VARCHAR),3,'0')
        |     ELSE CAST(abs($c)//100 AS VARCHAR) END ||
        |'.' || lpad(CAST(abs($c) % 100 AS VARCHAR),2,'0') ||
@@ -83,6 +98,7 @@ object Statements {
       concat(lit("DEPARTMENT "), (col("o_custkey") % 5 + 100).cast("string"), lit("-F")).as("sheet"),
       ((k % 100) * POS_BUCKET + k).as("pos"),
       when(k % 13 === 0, lit("Total Revenue"))
+        .when(k % 19 === 0, concat(((k % 40 + 1) * 25).cast("string"), lit(".0")))
         .otherwise(((k % 40 + 1) * 25).cast("string")).as("label"),
       when(k % 17 === 0, lit("N/A")).otherwise(fmtAmount(sc)).as("amount_str"))
     val markers = spark.createDataFrame(Seq(
@@ -107,7 +123,9 @@ object Statements {
        |  SELECT 'Financials ' || lpad(CAST(mn AS VARCHAR),2,'0') || '.' || CAST(yr AS VARCHAR) || '.xlsx' AS file,
        |         'DEPARTMENT ' || department || '-F' AS sheet,
        |         (k % 100) * $POS_BUCKET + k AS pos,
-       |         CASE WHEN k % 13 = 0 THEN 'Total Revenue' ELSE CAST((k % 40 + 1) * 25 AS VARCHAR) END AS label,
+       |         CASE WHEN k % 13 = 0 THEN 'Total Revenue'
+       |              WHEN k % 19 = 0 THEN CAST((k % 40 + 1) * 25 AS VARCHAR) || '.0'
+       |              ELSE CAST((k % 40 + 1) * 25 AS VARCHAR) END AS label,
        |         CASE WHEN k % 17 = 0 THEN 'N/A' ELSE ${fmtAmountSql("sc")} END AS amount_str,
        |         k, sc
        |  FROM fin_src),

@@ -26,7 +26,7 @@ import graft.sources.Tables
   */
 object Warehouse {
 
-  private val PB = 10000000000L // Statements pos bucket width
+  private val PB = Statements.POS_BUCKET
 
   private def dollars(c: Column): Column = c.cast("double") / 100.0
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -118,10 +118,10 @@ object Warehouse {
        |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) AS INT) AS month,
        |         CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 2) AS INT) AS year,
        |         regexp_extract(sheet, 'DEPARTMENT ([0-9]+)-F', 1) AS department,
-       |         lpad(trim(label), 4, '0') AS gl_code,
+       |         lpad(regexp_extract(trim(label), '^([0-9]{1,4})(\\.[0-9]+)?$$', 1), 4, '0') AS gl_code,
        |         sc / 100.0 AS amount
        |  FROM fin_cat
-       |  WHERE regexp_matches(trim(label), '^[0-9]{1,4}$$') AND k % 17 <> 0)""".stripMargin
+       |  WHERE regexp_extract(trim(label), '^([0-9]{1,4})(\\.[0-9]+)?$$', 1) <> '' AND k % 17 <> 0)""".stripMargin
 
   private val upsertCtes: String =
     s"""$factCtes,
@@ -168,8 +168,9 @@ object Warehouse {
   val finGlNormalizeSql: String =
     s"""WITH ${Statements.incomeCtes}
        |SELECT file, sheet, pos, label AS raw,
-       |       CASE WHEN regexp_matches(trim(label), '^[0-9]{1,4}$$')
-       |            THEN lpad(trim(label), 4, '0') END AS gl_code
+       |       CASE WHEN regexp_extract(trim(label), '^([0-9]{1,4})(\\.[0-9]+)?$$', 1) <> ''
+       |            THEN lpad(regexp_extract(trim(label), '^([0-9]{1,4})(\\.[0-9]+)?$$', 1), 4, '0')
+       |       END AS gl_code
        |FROM fin_statements ORDER BY file, sheet, pos""".stripMargin
 
   /** fin_month_dims: per (file, sheet): mm.yyyy period parse, month name,

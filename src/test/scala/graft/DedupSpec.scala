@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"banded LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("minhash LSH survives short/empty documents (ANSI array indexing)") {
+    // docs under k words have an EMPTY signature; unguarded sig[i]
+    // banding would throw INVALID_ARRAY_INDEX under ANSI mode
+    val docs = Seq((1L, base), (2L, base), (3L, "too short"), (4L, ""), (5L, distinct1))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), "identical docs pair; short docs drop out quietly")
+  }
+
   test("simhash: near-dup hamming below unrelated hamming") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))

@@ -41,7 +41,12 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("ShingleMd5s kernel equals transform(shingles, md5) exactly") {
-    val df = Seq("the quick brown fox jumps over", "a b", "").toDF("text")
+    // includes trailing / consecutive / leading spaces: the kernel must
+    // tokenize with split(" ", -1) semantics (keep empty tokens) exactly
+    // like the declarative split and DuckDB string_split
+    val df = Seq("the quick brown fox jumps over", "a b", "",
+      "a b c ", "a b c  ", "a  b c", " a b c", "  ")
+      .toDF("text")
       .select(graft.functions.Text.shingleHashes(col("text"), 3).as("kernel"),
         transform(graft.functions.Text.shingles(col("text"), 3), s => md5(s)).as("declarative"))
     df.collect().foreach { r =>

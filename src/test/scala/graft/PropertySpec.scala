@@ -17,8 +17,9 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("cleanAmount inverts fmtAmount for any signed cents") {
-    val cents = samples(Gen.chooseNum(-99999999L, 99999999L), 500) ++
-      Seq(0L, -1L, 1L, 99L, 100L, 99999L, 100000L, -100000L, 99999999L)
+    val cents = samples(Gen.chooseNum(-99999999999L, 99999999999L), 500) ++
+      Seq(0L, -1L, 1L, 99L, 100L, 99999L, 100000L, -100000L, 99999999L,
+        100000000L, 123456789L, -123456789L, 99999999999L, -99999999999L)
     val out = cents.toDF("cents")
       .select(col("cents"),
         Financial.cleanAmount(Statements.fmtAmount(col("cents"))).as("v"))
@@ -31,22 +32,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("normalizeGlCode accepts exactly 1-4 digit tokens") {
+  test("normalizeGlCode accepts 1-4 digit tokens and Excel-numeric NNN.d forms") {
     val raws = (samples(Gen.chooseNum(0, 9999), 200).map(_.toString) ++
       samples(Gen.alphaStr, 50) ++
       samples(Gen.chooseNum(10000, 999999), 50).map(_.toString) ++
-      Seq("", "12a4", " 42 ", "0000")).distinct
+      samples(Gen.chooseNum(0, 9999), 50).map(_.toString + ".0") ++
+      Seq("", "12a4", " 42 ", "0000", "123.0", "123.45", "12345.0", ".5", "123.")).distinct
     val out = raws.toDF("raw")
       .select(col("raw"), Financial.normalizeGlCode(col("raw")).as("gl"))
       .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    val glPat = "^(\\d{1,4})(?:\\.\\d+)?$".r
     out.foreach { case (raw, gl) =>
-      val t = raw.trim
-      val expected =
-        if (t.nonEmpty && t.length <= 4 && t.forall(_.isDigit))
-          Some(("0000" + t).takeRight(4))
-        else None
+      val expected = glPat.findFirstMatchIn(raw.trim).map(m => ("0000" + m.group(1)).takeRight(4))
       assert(gl == expected, s"raw '$raw' -> $gl, want $expected")
     }
+  }
+
+  test("fmtAmount groups thousands correctly into the millions") {
+    val cases = Seq(
+      0L -> "$0.00", 99L -> "$0.99", 123456L -> "$1,234.56",
+      -123456L -> "$(1,234.56)", 100000000L -> "$1,000,000.00",
+      123456789L -> "$1,234,567.89", -123456789L -> "$(1,234,567.89)",
+      99999999999L -> "$999,999,999.99")
+    val out = cases.map(_._1).toDF("cents")
+      .select(col("cents"), Statements.fmtAmount(col("cents")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (c, want) => assert(out(c) == want, s"$c -> ${out(c)}") }
   }
 
   test("monthName/monthNumber invert each other over the whole domain") {

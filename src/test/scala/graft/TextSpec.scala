@@ -14,6 +14,13 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(1) != fps(2))
   }
 
+  test("nPunct counts punctuation characters, not the alphanumeric complement") {
+    import spark.implicits._
+    val rows = Seq("ab,c!", "no punct here", "!!!", "").toDF("text")
+      .select(Text.nPunct(col("text")).as("n")).collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(2, 0, 3, 0))
+  }
+
   test("shingles: n-2 shingles for n words, empty under k") {
     import spark.implicits._
     val rows = Seq("a b c d e", "a b").toDF("text")
