@@ -1,9 +1,10 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
 
 /** Vector kernels callable from generated code. The fold order is
   * IDENTICAL to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` — left-to-right
@@ -19,6 +20,52 @@ object VectorKernels {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Spark's round(double) semantics exactly: NaN/Inf pass through,
+    * otherwise BigDecimal.valueOf(x).setScale(0, HALF_UP) — the same
+    * code Catalyst's Round generates, so the kernel cannot diverge from
+    * the declarative round() on any input, including exact .5 halves. */
+  private def sparkRound0(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** int8 round-trip quantization audit of one vector, single compiled
+    * pass replacing the interpreted `transform`+`aggregate` chain:
+    *   vmin/vmax      — array_min/array_max (Double.compare ordering)
+    *   scale          — greatest((vmax-vmin)/255, 1e-12)
+    *   err_i          — abs(round((x-vmin)/scale)*scale + vmin - x)
+    *   max_abs_err    — array_max(err)
+    *   mean_abs_err   — aggregate(err, 0.0, _+_) / size(v), the SAME
+    *                    left-to-right element-order fold, so DuckDB's
+    *                    list_reduce oracle stays bit-identical.
+    * Assumes non-null elements (the embeddings table guarantees it);
+    * an empty vector yields all-null fields like array_min(empty). */
+  def quantError(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    if (n == 0) return new GenericInternalRow(Array[Any](null, null, null, null))
+    var vmin = v.getDouble(0)
+    var vmax = vmin
+    var i = 1
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (java.lang.Double.compare(x, vmin) < 0) vmin = x
+      if (java.lang.Double.compare(x, vmax) > 0) vmax = x
+      i += 1
+    }
+    val scale = math.max((vmax - vmin) / 255.0, 1e-12)
+    var maxErr = Double.NegativeInfinity
+    var sumErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val e = math.abs(sparkRound0((x - vmin) / scale) * scale + vmin - x)
+      if (java.lang.Double.compare(e, maxErr) > 0) maxErr = e
+      sumErr += e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](vmin, vmax, maxErr, sumErr / n))
+  }
 }
 
 /** vec_dot(a, b): sequential-order dot product of two array<double>. */
@@ -32,4 +79,22 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VectorDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** vec_quant_error(v): struct(vmin, vmax, max_abs_err, mean_abs_err) of
+  * int8 round-trip quantization over an array<double>, one codegen'd
+  * pass (see VectorKernels.quantError for the exact fold contract). */
+case class VectorQuantError(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("vmin", DoubleType),
+    StructField("vmax", DoubleType),
+    StructField("max_abs_err", DoubleType),
+    StructField("mean_abs_err", DoubleType)))
+  override def prettyName: String = "vec_quant_error"
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantError(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.VectorKernels.quantError($v)")
+  override protected def withNewChildInternal(newChild: Expression): VectorQuantError =
+    copy(child = newChild)
 }

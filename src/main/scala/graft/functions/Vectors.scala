@@ -20,5 +20,15 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** struct(vmin, vmax, max_abs_err, mean_abs_err) of int8 round-trip
+    * quantization — the native one-pass twin of the declarative
+    * array_min/array_max + transform + aggregate chain (same element
+    * order, same Spark round() semantics; see VectorKernels.quantError). */
+  def quantError(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.VectorQuantError(
+      GraftColumnBridge.expression(v)))
+  }
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

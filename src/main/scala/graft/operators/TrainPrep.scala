@@ -101,19 +101,23 @@ object TrainPrep {
   // -------------------------------------------------------- embed_quantize
   /** Per-vector int8 quantization audit: min/max range, scale, and the
     * reconstruction error of round-trip quantization — the check run
-    * before shipping a quantized embedding table. All error sums are
-    * sequential element-order folds (oracle mirrors them exactly). */
+    * before shipping a quantized embedding table. The per-element work
+    * is the native VectorQuantError kernel (one codegen'd pass) — the
+    * declarative transform+aggregate twin evaluates interpreted
+    * (higher-order exprs are codegen-excluded) and was the single worst
+    * bench query; the kernel's folds are bit-identical (same element
+    * order, same Spark round() semantics) so the DuckDB oracle below is
+    * unchanged. ExpressionsSpec pins kernel == declarative chain. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val vmin = array_min(v); val vmax = array_max(v)
-    val scale = greatest((vmax - vmin) / 255.0, lit(1e-12))
-    val err = transform(v, x => abs(round((x - vmin) / scale) * scale + vmin - x))
-    Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      (round(vmin, 6) + 0.0).as("vmin"),
-      (round(vmax, 6) + 0.0).as("vmax"),
-      (round(array_max(err), 6) + 0.0).as("max_abs_err"),
-      (round(aggregate(err, lit(0.0), (a, x) => a + x) / size(v), 6) + 0.0).as("mean_abs_err"))
+    val q = graft.functions.Vectors.quantError(col("embedding").cast("array<double>"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), q.as("q"))
+      .select(
+        col("vec_id"),
+        (round(col("q.vmin"), 6) + 0.0).as("vmin"),
+        (round(col("q.vmax"), 6) + 0.0).as("vmax"),
+        (round(col("q.max_abs_err"), 6) + 0.0).as("max_abs_err"),
+        (round(col("q.mean_abs_err"), 6) + 0.0).as("mean_abs_err"))
       .orderBy(col("vec_id"))
   }
 

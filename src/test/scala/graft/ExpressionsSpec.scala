@@ -66,6 +66,37 @@ class ExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(r.getDouble(1)))
   }
 
+  test("VectorQuantError kernel is bit-identical to the declarative chain") {
+    // [0, 127.5, 255] makes scale exactly 1.0 and (x-vmin)/scale an exact
+    // .5 half — where HALF_UP (Spark round) and rint (HALF_EVEN) diverge;
+    // plus random float-ish vectors like the embeddings table carries
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq(
+      Seq(0.0, 127.5, 255.0),
+      Seq(-1.5, -0.5, 0.5, 1.5),
+      Seq(3.25, 3.25, 3.25),          // zero range -> 1e-12 scale floor
+      Seq(0.0)) ++
+      (1 to 20).map(_ => Seq.fill(64)(rnd.nextFloat().toDouble * 4 - 2))
+    val v = col("v")
+    val vmin = array_min(v); val vmax = array_max(v)
+    val scale = greatest((vmax - vmin) / 255.0, lit(1e-12))
+    val err = transform(v, x => abs(round((x - vmin) / scale) * scale + vmin - x))
+    val rows = vecs.toDF("v").select(
+      graft.functions.Vectors.quantError(v).as("k"),
+      struct(vmin.as("vmin"), vmax.as("vmax"),
+        array_max(err).as("max_abs_err"),
+        (aggregate(err, lit(0.0), (a, x) => a + x) / size(v)).as("mean_abs_err")).as("d"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getStruct(0); val d = r.getStruct(1)
+      (0 until 4).foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(k.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(d.getDouble(i)),
+          s"field $i: kernel ${k.getDouble(i)} vs declarative ${d.getDouble(i)}")
+      }
+    }
+  }
+
   test("simhash64 flips few bits for small edits") {
     val rows = Seq(
       "the quick brown fox jumps over the lazy dog again and again today",
