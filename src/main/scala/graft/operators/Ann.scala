@@ -31,13 +31,17 @@ object Ann {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
-  /** Deterministic ±1 hyperplane component for (table, plane, dim). */
-  private def planeSign(t: Int, p: Int, d: Int): Int =
+  /** Deterministic ±1 hyperplane component for (table, plane, dim).
+    * Shared with Dedup's embedding blocker, whose DuckDB oracle bakes
+    * these same signs into its SQL — one source, no drift. */
+  private[operators] def planeSign(t: Int, p: Int, d: Int): Int =
     if ((((t * 31 + p) * 131 + d) * 2654435761L % 97) % 2 == 0) 1 else -1
 
-  /** Sign-bucket of vector `v` in table `t`: one bit per hyperplane. */
-  def hyperplaneBucket(v: Column, t: Int): Column =
-    (0 until Planes).map { p =>
+  /** Sign-bucket of vector `v` in table `t`: one bit per hyperplane.
+    * `planes` is the scale knob — 2^planes buckets; pick ~log2(n/B) for
+    * a target bucket size B as the corpus grows. */
+  def hyperplaneBucket(v: Column, t: Int, planes: Int = Planes): Column =
+    (0 until planes).map { p =>
       val plane = array((0 until 64).map(d => lit(planeSign(t, p, d).toDouble)): _*)
       when(Vectors.dot(v, plane) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -16,9 +16,9 @@ import graft.sources.Tables
   *  - minhash-LSH: 32-hash signature, 8 bands x 4 rows, bucket join —
   *    pair probability ~ 1-(1-j^4)^8, the classic banding curve;
   *  - simhash: 64-bit per-doc signature, hamming-comparable;
-  *  - embedding: metadata-blocked exact cosine over the label buckets
-  *    (at 100 TB the blocking key becomes Ann.hyperplaneBucket — same
-  *    machinery, finer buckets).
+  *  - embedding: exact cosine within (label, hyperplane-bucket) blocks
+  *    unioned over 3 LSH tables — bucket count 2^planes is the knob
+  *    that grows with data, so block size (and pair work) stays bounded.
   *
   * minhash/simhash use Spark's xxhash64 (seed differs from any DuckDB
   * equivalent) → rows-only at the driver; DedupSpec is their correctness
@@ -149,33 +149,79 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ------------------------------------------------------ dedup_embedding
-  /** Embedding near-dup candidates: label-blocked exact cosine. Double
-    * arithmetic end-to-end and a 4dp boundary round so Spark's
-    * sequential fold and DuckDB's list_cosine_similarity agree exactly. */
+  private val BlockTables = Seq(6, 7, 8) // distinct from ann_lsh's tables 0-5
+  private val BlockPlanes = 4 // 16 sign-buckets per (label, table)
+
+  /** Embedding near-dup candidates: exact cosine within
+    * (label, hyperplane-bucket) blocks, unioned over 3 LSH tables.
+    *
+    * Scale: label alone is a FIXED-cardinality key — within-block pairs
+    * are O(n²/|labels|), i.e. 100× data → 10,000× pairs. The hyperplane
+    * bucket is the knob that grows with data: block count per label is
+    * 2^planes per table, so planes ≈ log2(n/B) holds block size at B and
+    * total pair work at O(n·B·tables). A τ-similar pair lands in the
+    * same bucket of one table with prob (1-θ/π)^planes (θ = arccos τ),
+    * so 3 tables keep recall ≈ 1-(1-(1-θ/π)^planes)³ ≈ 0.995 at τ=0.99.
+    * The only shuffle is on (label, table, bucket); duplicate candidate
+    * pairs collapse before the cosine is computed.
+    *
+    * Oracle parity: buckets are deterministic sign(dot(v, plane))
+    * expressions whose ±1 plane components (Ann.planeSign) are baked
+    * into the SQL below from the SAME Scala function; the cosine is the
+    * sequential double fold Vectors.dot mirrors (NOT DuckDB's
+    * float-precision list_cosine_similarity). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val bucketed = e.select(col("vec_id"), col("label"), col("v"),
+      explode(array(BlockTables.map(t => struct(lit(t).as("t"),
+        Ann.hyperplaneBucket(col("v"), t, BlockPlanes).as("block"))): _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("v"), col("tb.t"), col("tb.block"))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
-        col("b.vec_id").as("id_b"),
-        (round(Vectors.cosine(col("a.v"), col("b.v")), 4) + 0.0).as("cos_sim"))
+        col("b.vec_id").as("id_b"), col("a.v").as("av"), col("b.v").as("bv"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("label"), col("id_a"), col("id_b"),
+        (round(Vectors.cosine(col("av"), col("bv")), 4) + 0.0).as("cos_sim"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
-  /** Oracle computes the same sequential double fold as Vectors.dot
-    * (NOT list_cosine_similarity, which works at float precision and
-    * diverges at the rounding boundary). */
+  /** ±1 plane components of block table `t`, plane `p`, as a DuckDB
+    * list literal — generated from Ann.planeSign so Spark and the
+    * oracle cannot drift. */
+  private def planeListSql(t: Int, p: Int): String =
+    (0 until 64).map(d => s"${Ann.planeSign(t, p, d)}.0").mkString("[", ", ", "]")
+
+  /** Bucket of `v` in block table `t` as a DuckDB expression: the same
+    * sequential dot fold (list_reduce folds left in element order; its
+    * first-element seed equals Spark's 0.0 seed bit-for-bit because
+    * 0.0 + x == x) and the same >= 0 sign test. */
+  private def bucketSql(t: Int): String =
+    (0 until BlockPlanes).map { p =>
+      s"""(CASE WHEN list_reduce([v[i] * (${planeListSql(t, p)})[i]
+         |  for i in range(1, 65)], (x, y) -> x + y) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** A pair is a candidate iff SOME table buckets it together — the OR
+    * below is exactly the Spark side's explode-join-dropDuplicates. */
   val dedupEmbeddingSql: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
-      |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT label, id_a, id_b,
-      |  CAST(round(
-      |    list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
-      |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
-      |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y))), 4) AS DOUBLE) + 0.0 AS cos_sim
-      |FROM p ORDER BY label, id_a, id_b""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, label, v,
+       |        ${bucketSql(6)} AS b0,
+       |        ${bucketSql(7)} AS b1,
+       |        ${bucketSql(8)} AS b2
+       |        FROM e),
+       |p AS (SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b, x.v AS av, y.v AS bv
+       |      FROM bkt x JOIN bkt y ON x.label = y.label AND x.vec_id < y.vec_id
+       |       AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2))
+       |SELECT label, id_a, id_b,
+       |  CAST(round(
+       |    list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
+       |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
+       |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y))), 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM p ORDER BY label, id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
