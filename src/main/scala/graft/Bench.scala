@@ -11,13 +11,23 @@ import org.apache.spark.sql.SparkSession
   *    ~50 s of fixed cost;
   *  - timing materializes the FULL result via a noop-format write (sorts
   *    and projections execute; `.count()` would let Catalyst elide them);
-  *  - a failing query reports in `errors` instead of being silently timed
-  *    as if it succeeded.
+  *  - each query is sampled once per ROUND-ROBIN pass (3 passes by
+  *    default, SPARK_GRAFT_BENCH_PASSES to override) and reports its
+  *    MEDIAN. The passes space a query's samples across the whole bench
+  *    duration, so a minutes-long box-contention episode — the r2 bench
+  *    measured a 5k-row md5 groupBy at 339 s while its near-twin ran
+  *    2.7 s in the same run — inflates at most one sample per query and
+  *    the median stays a plan-cost signal;
+  *  - `value` is the sum of per-query medians; per-pass sums are
+  *    reported in `pass_totals` so run-to-run variance is visible;
+  *  - a failing query reports in `errors` instead of being silently
+  *    timed as if it succeeded, and is skipped in later passes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,14 +48,31 @@ object Bench {
     for (w <- Seq("q1_agg", "topk_window", "q3_join_agg"))
       try materialize(w) catch { case _: Throwable => () }
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name)
-      catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val passTotals = (1 to passes).map { _ =>
+      var passSum = 0.0
+      names.foreach { name =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            materialize(name)
+            val dt = (System.nanoTime() - t0) / 1e9
+            samples(name) = dt :: samples.getOrElse(name, Nil)
+            passSum += dt
+          } catch { case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            samples -= name
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      passSum
+    }
+
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
     def jstr(s: String): String =
@@ -53,12 +80,13 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filter { case (n, _) => !errors.contains(n) }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val meds = names.filterNot(errors.contains).map(n => n -> median(samples(n)))
+    val qs = meds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = meds.map(_._2).sum
+    val pts = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
