@@ -135,7 +135,10 @@ object Analytics {
     * triples x 12), the actuals aggregate is map-side combined, and the
     * join is broadcast-able. */
   def finSparseFill(spark: SparkSession, dir: String): DataFrame = {
-    val f = graft.warehouse.Warehouse.fact(spark, dir)
+    // factStaged: both aggregates below group directly over the statements
+    // derivation — see Warehouse.factStaged (64 KB codegen guard).
+    val f = graft.warehouse.Warehouse.factStaged(
+      spark, dir, "department", "gl_code", "year", "month", "amount")
     val actual = f.groupBy(col("department"), col("gl_code"), col("year"), col("month"))
       .agg(sum(cents(col("amount"))).as("tc"))
     val dims = f.select(col("department"), col("gl_code"), col("year")).distinct()

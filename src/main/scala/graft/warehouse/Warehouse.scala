@@ -3,6 +3,7 @@ package graft.warehouse
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.GraftColumnBridge.stageBarrier
 import graft.functions.Financial
 import graft.operators.{ForwardFill, UpsertDedupe}
 import graft.sources.Tables
@@ -47,21 +48,40 @@ object Warehouse {
   def sectionFilled(spark: SparkSession, dir: String): DataFrame =
     sectionFilledFrom(Statements.income(spark, dir))
 
-  /** Parsed fact rows: GL-filtered, amount-cleaned, dimension columns
-    * extracted from file/sheet names (build_warehouse.py:96-105). */
-  def factFrom(statements: DataFrame): DataFrame =
+  /** The statements derivation before the GL/amount null-filter. */
+  private def factDerived(statements: DataFrame): DataFrame =
     sectionFilledFrom(statements)
       .withColumn("month", Financial.periodMonth(col("file")))
       .withColumn("year", Financial.periodYear(col("file")))
       .withColumn("department", Financial.extractDepartment(col("sheet")))
       .withColumn("gl_code", Financial.normalizeGlCode(col("label")))
       .withColumn("amount", Financial.cleanAmount(col("amount_str")))
+
+  /** Parsed fact rows: GL-filtered, amount-cleaned, dimension columns
+    * extracted from file/sheet names (build_warehouse.py:96-105). */
+  def factFrom(statements: DataFrame): DataFrame =
+    factDerived(statements)
       .filter(col("gl_code").isNotNull && col("amount").isNotNull)
       .select("file", "sheet", "pos", "gl_code", "category",
         "year", "month", "department", "amount")
 
   def fact(spark: SparkSession, dir: String): DataFrame =
     factFrom(Statements.income(spark, dir))
+
+  /** fact() for consumers that aggregate DIRECTLY over the derivation:
+    * the parse chain runs once, in its own codegen stage (stageBarrier),
+    * and the null-filter evaluates on the materialized columns above the
+    * barrier. Without this, predicate pushdown duplicates the
+    * fmt→re-parse expression tree below the projection AND whole-stage
+    * codegen inlines the lot into the aggregate's generated method —
+    * past Janino's 64 KB limit → silent interpreted fallback on the
+    * hottest stage (CodegenGateSpec gates the whole registry). */
+  def factStaged(spark: SparkSession, dir: String, cols: String*): DataFrame = {
+    val need = (cols ++ Seq("gl_code", "amount")).distinct
+    stageBarrier(factDerived(Statements.income(spark, dir)).select(need.map(col): _*))
+      .filter(col("gl_code").isNotNull && col("amount").isNotNull)
+      .select(cols.map(col): _*)
+  }
 
   /** Fact + broadcast GL reference + missing-mapping flag
     * (build_warehouse.py:139-141). */
@@ -244,7 +264,7 @@ object Warehouse {
     * raised by the previous run stay listed; ones the GL sheet has since
     * gained flip to Resolved with description/group filled in. */
   def finQaStatus(spark: SparkSession, dir: String): DataFrame = {
-    val codes = fact(spark, dir).select("gl_code").distinct()
+    val codes = factStaged(spark, dir, "gl_code").distinct()
     val old = Statements.glReferenceOld(spark)
     val cur = Statements.glReference(spark)
     codes.join(broadcast(old), Seq("gl_code"), "left_anti")
@@ -371,7 +391,7 @@ object Warehouse {
     * derived control total per (year, month, department) — mismatches are
     * exactly the sheets whose source rows arrived as unparseable N/A. */
   def finReconciliation(spark: SparkSession, dir: String): DataFrame = {
-    val det = fact(spark, dir)
+    val det = factStaged(spark, dir, "year", "month", "department", "amount")
       .groupBy(col("year"), col("month"), col("department"))
       .agg(sum(cents(col("amount"))).as("dc"))
     val k = col("o_orderkey")

@@ -10,4 +10,26 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Rebase `df` onto its own physical plan as a LogicalRDD leaf: the
+    * subtree below becomes its OWN whole-stage-codegen unit and operators
+    * above consume plain attributes from an InternalRow scan — zero
+    * serde, zero shuffle, same rows bit-for-bit.
+    *
+    * Why: whole-stage codegen emits an entire fused stage (scan →
+    * projections → joins → partial aggregate) into one generated method;
+    * a scalar derivation big enough (e.g. graft's statements
+    * format+re-parse chain) pushes `doAggregateWithKeys` past Janino's
+    * 64 KB hard limit and Spark silently falls back to interpreted
+    * execution for the hottest stage. Splitting at the plan level is the
+    * supported-shape fix (CodegenGateSpec keeps the whole registry
+    * fallback-free).
+    *
+    * Caveat: the child plan is compiled at construction time, and any
+    * exchange below the barrier would be scheduled by AQE eagerly — use
+    * only on exchange-free derivation subtrees. */
+  def stageBarrier(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+  }
 }
