@@ -13,12 +13,14 @@ import org.apache.spark.sql.SparkSession
   *    and projections execute; `.count()` would let Catalyst elide them);
   *  - each query is sampled once per ROUND-ROBIN pass (3 passes by
   *    default, SPARK_GRAFT_BENCH_PASSES to override) and reports its
-  *    MEDIAN. The passes space a query's samples across the whole bench
-  *    duration, so a minutes-long box-contention episode — the r2 bench
-  *    measured a 5k-row md5 groupBy at 339 s while its near-twin ran
-  *    2.7 s in the same run — inflates at most one sample per query and
-  *    the median stays a plan-cost signal;
-  *  - `value` is the sum of per-query medians; per-pass sums are
+  *    MIN across passes. The passes space a query's samples across the
+  *    whole bench duration; min is the right plan-cost estimator under
+  *    co-tenant contention, because contention only ever ADDS time — the
+  *    r3/r4 driver runs each had 2 of 3 passes contended (pass_totals
+  *    645/197/762 s and 1672/175/781 s), which a 3-sample median cannot
+  *    reject but a min shrugs off as long as ONE pass ran quiet. Medians
+  *    are still emitted as `queries_median` for variance visibility;
+  *  - `value` is the sum of per-query minima; per-pass sums are
   *    reported in `pass_totals` so run-to-run variance is visible;
   *  - a failing query reports in `errors` instead of being silently
   *    timed as if it succeeded, and is skipped in later passes.
@@ -80,13 +82,16 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val meds = names.filterNot(errors.contains).map(n => n -> median(samples(n)))
-    val qs = meds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ok = names.filterNot(errors.contains)
+    val mins = ok.map(n => n -> samples(n).min)
+    val meds = ok.map(n => n -> median(samples(n)))
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = meds.map(_._2).sum
+    val total = mins.map(_._2).sum
     val pts = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},"queries_median":${jmap(meds)},"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
