@@ -62,6 +62,68 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  // ---------------------------------------------- rank_stats_scalable
+  /** The same rows as rank_stats, computed without any window partition
+    * wider than ~1/BUCKETS of a status — the 100x-safe variant.
+    *
+    * rank_stats puts each o_orderstatus (3 values) in ONE window
+    * partition: a third of the table sorts on a single task, which at
+    * 100x the data is a straggler or an OOM. Here the global rank
+    * decomposes into two passes over fine partitions:
+    *
+    *  1. bucket each row by equi-width price range (BUCKETS per status;
+    *     on a cluster set BUCKETS ~ 2-4x cores/statuses, so the largest
+    *     task holds ~n/BUCKETS rows instead of n);
+    *  2. per-(status, bucket) histogram (3*BUCKETS rows — driver-scale)
+    *     gives every bucket its global rank offset and each status its
+    *     total n via tiny windows over the histogram itself;
+    *  3. row_number() within (status, bucket) + bucket offset = exact
+    *     global rank; ntile/cume_dist/percent_rank then follow from
+    *     their closed-form definitions on (rank, n) — the order key
+    *     (price, orderkey) is unique, so rank has no tie classes.
+    *
+    * Skewed distributions make equi-width buckets uneven; at scale the
+    * boundaries would come from approx_percentile (equi-depth) instead —
+    * the merge logic is identical. Exactness means the DuckDB oracle is
+    * the SAME SQL as rank_stats: bucketing must not change one bit. */
+  def rankStatsScalable(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val rng = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val bucketed = o.crossJoin(broadcast(rng))
+      .withColumn("bkt",
+        coalesce(greatest(lit(0L), least(lit(B - 1L),
+          floor((col("o_totalprice") - col("mn")) * B / (col("mx") - col("mn") + lit(1e-6))))),
+          lit(0L)))
+      .drop("mn", "mx")
+    val hist = bucketed.groupBy(col("o_orderstatus"), col("bkt")).agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("o_orderstatus"))))
+      .select(col("o_orderstatus"), col("bkt"), col("off"), col("n"))
+    val wLoc = Window.partitionBy(col("o_orderstatus"), col("bkt"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    bucketed
+      .withColumn("rn", row_number().over(wLoc))
+      .join(broadcast(offs), Seq("o_orderstatus", "bkt"))
+      .withColumn("rk", col("off") + col("rn"))
+      // ntile(4): n = q*4 + r; first r buckets hold q+1 rows (Spark's NTile).
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN rk <= (n % 4) * (n DIV 4 + 1)
+          |          THEN (rk - 1) DIV (n DIV 4 + 1) + 1
+          |          ELSE (n % 4) + (rk - 1 - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4) + 1
+          |     END AS INT)""".stripMargin))
+      .withColumn("cume", col("rk").cast("double") / col("n").cast("double"))
+      .withColumn("prank", when(col("n") === 1, 0.0)
+        .otherwise((col("rk") - 1).cast("double") / (col("n") - 1).cast("double")))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("cume"), col("prank"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------- events_funnel
   /** Conversion funnel per user: first view → first click after it →
     * first purchase after that. Three aggregations + two joins, all
@@ -174,6 +236,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
+    "rank_stats_scalable" -> (rankStatsScalable _),
     "events_funnel" -> (eventsFunnel _),
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _)
@@ -182,6 +245,9 @@ object Analytics {
   def oracles: Map[String, String] = Map(
     "cube_agg" -> cubeAggSql,
     "rank_stats" -> rankStatsSql,
+    // exact by construction → the oracle is literally rank_stats' SQL:
+    // the bucketed two-pass rank must not change one bit of output.
+    "rank_stats_scalable" -> rankStatsSql,
     "events_funnel" -> eventsFunnelSql,
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql
