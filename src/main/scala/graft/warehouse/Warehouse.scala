@@ -306,6 +306,66 @@ object Warehouse {
        |SELECT gl_code, category, year, month, department, amount FROM fin_upserted
        |ORDER BY year, month, department, category, gl_code""".stripMargin
 
+  /** The multi-file load expressed as one batch-stamped frame: every fact
+    * row carries its file's period index as `batch` (the position the
+    * file takes in Code.gs:96-106's (year, month) sort), and re-delivered
+    * correction files — rows with pos%PB % 23 == 0, amended +50.00 —
+    * arrive as a later wave (period index + 100000), exactly as a
+    * revised workbook re-enters the sorted list after the originals. */
+  def multiLoadBatches(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark, dir)
+    val periodBatch = (col("year") * 12 + col("month")).cast("long")
+    val k = col("pos") % PB
+    def v(amount: Column, batch: Column) =
+      struct(col("gl_code"), col("category"), col("year"), col("month"),
+        col("department"), amount.as("amount"), col("pos"), batch.as("batch"))
+    val variants = filter(array(
+      v(col("amount"), periodBatch),
+      when(k % 23 === 0, v(col("amount") + 50.0, periodBatch + 100000L))),
+      x => x.isNotNull)
+    f.select(explode(variants).as("v")).select(col("v.*"))
+  }
+
+  /** Fold a batch-stamped frame into the warehouse: later batch wins per
+    * natural key, later sheet row wins within a batch. ONE shuffle total
+    * regardless of file count — the whole point of re-expressing the
+    * loop (order-insensitivity + idempotence proven in MultiLoadSpec). */
+  def multiLoadFold(batches: DataFrame): DataFrame =
+    UpsertDedupe.keepLastWithin(batches,
+      Seq(col("gl_code"), col("year"), col("month"), col("department"), col("category")),
+      Seq(col("batch").desc, col("pos").desc))
+      .drop("pos", "batch")
+
+  /** fin_multi_load: the reference's operating loop (Code.gs:87-109 —
+    * getAllMonthlyXlsx_ lists every monthly workbook, sorts by (year,
+    * month), and upserts each into the warehouse in that order). The
+    * sequential N-file loop is re-expressed Spark-first: stamp each row
+    * with its file's period index as the batch and run ONE windowed
+    * keep-last over the natural key ordered by (batch desc, pos desc) —
+    * the fold's fixed point is identical, but N files cost one shuffle
+    * instead of N upsert passes over the growing warehouse. */
+  def finMultiLoad(spark: SparkSession, dir: String): DataFrame =
+    multiLoadFold(multiLoadBatches(spark, dir))
+      .orderBy(col("year"), col("month"), col("department"), col("category"), col("gl_code"))
+
+  val finMultiLoadSql: String =
+    s"""WITH $factCtes,
+       |ml_batches AS (
+       |  SELECT gl_code, category, year, month, department, amount, pos,
+       |         CAST(year*12 + month AS BIGINT) AS batch
+       |  FROM fin_fact
+       |  UNION ALL
+       |  SELECT gl_code, category, year, month, department, amount + 50.0, pos,
+       |         CAST(year*12 + month + 100000 AS BIGINT)
+       |  FROM fin_fact WHERE (pos % $PB) % 23 = 0),
+       |ml_final AS (
+       |  SELECT gl_code, category, year, month, department, amount FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY gl_code, year, month, department, category
+       |                                 ORDER BY batch DESC, pos DESC) AS rn
+       |    FROM ml_batches) t WHERE rn = 1)
+       |SELECT gl_code, category, year, month, department, amount FROM ml_final
+       |ORDER BY year, month, department, category, gl_code""".stripMargin
+
   /** fin_warehouse_build: the flagship end-to-end pipeline — the
     * reference's 8-column Final sheet (Code.gs:200), month as name
     * (build_warehouse.py:202). */
@@ -538,6 +598,7 @@ object Warehouse {
     "fin_missing_qa" -> (finMissingQa _),
     "fin_qa_status" -> (finQaStatus _),
     "fin_upsert_dedupe" -> (finUpsertDedupe _),
+    "fin_multi_load" -> (finMultiLoad _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
@@ -555,6 +616,7 @@ object Warehouse {
     "fin_missing_qa" -> finMissingQaSql,
     "fin_qa_status" -> finQaStatusSql,
     "fin_upsert_dedupe" -> finUpsertDedupeSql,
+    "fin_multi_load" -> finMultiLoadSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,

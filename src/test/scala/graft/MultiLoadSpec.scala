@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.warehouse.Warehouse
+
+/** The two properties the reference's sequential file loop
+  * (Code.gs:87-109) silently relies on, proven for the one-shuffle
+  * re-expression: re-running the same files changes nothing, and the
+  * physical arrival order of rows changes nothing. */
+class MultiLoadSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("fin_multi_load is idempotent: re-delivering every file as a later wave is a no-op") {
+    val b = Warehouse.multiLoadBatches(spark, sf)
+    val once = canon(Warehouse.multiLoadFold(b))
+    val rerun = canon(Warehouse.multiLoadFold(
+      b.unionByName(b.withColumn("batch", col("batch") + 1000000L))))
+    assert(once == rerun)
+  }
+
+  test("fin_multi_load is order-insensitive: shuffled arrival order yields the same warehouse") {
+    val b = Warehouse.multiLoadBatches(spark, sf)
+    val ordered = canon(Warehouse.multiLoadFold(b))
+    val shuffled = canon(Warehouse.multiLoadFold(b.repartition(13, col("pos"))))
+    assert(ordered == shuffled)
+  }
+
+  test("fin_multi_load applies corrections: re-delivered keys carry the amended amount") {
+    val out = Warehouse.finMultiLoad(spark, sf)
+    val b = Warehouse.multiLoadBatches(spark, sf)
+    // every key whose correction wave exists must surface the wave-2 amount
+    val corrected = b.filter(col("batch") >= 100000L)
+      .select(col("gl_code"), col("year"), col("month"), col("department"),
+        col("category"), col("amount"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gl_code"), col("year"), col("month"), col("department"), col("category"))
+      .orderBy(col("pos").desc)
+    val winners = corrected.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "pos")
+      .withColumnRenamed("amount", "expected_amount")
+    val joined = out.join(winners,
+      Seq("gl_code", "year", "month", "department", "category"), "inner")
+    assert(joined.count() == winners.count())
+    assert(joined.filter(col("amount") =!= col("expected_amount")).count() == 0)
+  }
+}
