@@ -262,9 +262,15 @@ object Warehouse {
 
   /** fin_qa_status: the accumulating QA sheet (Code.gs:283-317) — issues
     * raised by the previous run stay listed; ones the GL sheet has since
-    * gained flip to Resolved with description/group filled in. */
+    * gained flip to Resolved with description/group filled in. Each row
+    * carries Last Seen (QA_HEADERS, Code.gs:12): the reference stamps
+    * wall-clock `now` (Code.gs:298); the deterministic, oracle-able
+    * stand-in is the latest statement period (mm.yyyy) that contained
+    * the code — the run that would have stamped it. */
   def finQaStatus(spark: SparkSession, dir: String): DataFrame = {
-    val codes = factStaged(spark, dir, "gl_code").distinct()
+    val codes = factStaged(spark, dir, "gl_code", "year", "month")
+      .groupBy(col("gl_code"))
+      .agg(max(col("year") * 100 + col("month")).as("lsi"))
     val old = Statements.glReferenceOld(spark)
     val cur = Statements.glReference(spark)
     codes.join(broadcast(old), Seq("gl_code"), "left_anti")
@@ -275,24 +281,28 @@ object Warehouse {
         coalesce(col("description"), lit("")).as("description"),
         coalesce(col("gl_group"), lit("")).as("gl_group"),
         when(col("description").isNull, "YES").otherwise("").as("missing_flag"),
-        when(col("description").isNull, "Open").otherwise("Resolved").as("status"))
+        when(col("description").isNull, "Open").otherwise("Resolved").as("status"),
+        concat(lpad((col("lsi") % 100).cast("string"), 2, "0"), lit("."),
+          expr("lsi DIV 100").cast("string")).as("last_seen"))
       .orderBy(col("gl_code"))
   }
 
   val finQaStatusSql: String =
     s"""WITH $factCtes, ${Statements.glRefCtes},
-       |fin_codes AS (SELECT DISTINCT gl_code FROM fin_fact),
+       |fin_codes AS (SELECT gl_code, max(year*100 + month) AS lsi
+       |              FROM fin_fact GROUP BY gl_code),
        |fin_issues AS (
-       |  SELECT gl_code FROM fin_codes c
+       |  SELECT gl_code, lsi FROM fin_codes c
        |  WHERE NOT EXISTS (SELECT 1 FROM fin_glref_old g WHERE g.gl_code = c.gl_code)
        |  UNION
-       |  SELECT gl_code FROM fin_codes c
+       |  SELECT gl_code, lsi FROM fin_codes c
        |  WHERE NOT EXISTS (SELECT 1 FROM fin_glref g WHERE g.gl_code = c.gl_code))
        |SELECT i.gl_code,
        |       COALESCE(g.description, '') AS description,
        |       COALESCE(g.gl_group, '') AS gl_group,
        |       CASE WHEN g.description IS NULL THEN 'YES' ELSE '' END AS missing_flag,
-       |       CASE WHEN g.description IS NULL THEN 'Open' ELSE 'Resolved' END AS status
+       |       CASE WHEN g.description IS NULL THEN 'Open' ELSE 'Resolved' END AS status,
+       |       lpad(CAST(i.lsi % 100 AS VARCHAR), 2, '0') || '.' || CAST(i.lsi // 100 AS VARCHAR) AS last_seen
        |FROM fin_issues i LEFT JOIN fin_glref g ON i.gl_code = g.gl_code
        |ORDER BY i.gl_code""".stripMargin
 
