@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.parsers.{DocumentBuilderFactory, SAXParserFactory}
+import org.xml.sax.Attributes
+import org.xml.sax.helpers.DefaultHandler
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real `.xlsx` ingestion with ZERO added dependencies: a workbook is a
+  * zip of SpreadsheetML XML parts, and the JDK ships both the zip codec
+  * and the XML parsers — so the reference's actual monthly files
+  * (the python_version/sample_data workbooks, read by openpyxl at
+  * build_warehouse.py:112-125 / converted via Drive at Code.gs:111-116)
+  * load without POI.
+  *
+  * Scale shape: files arrive through Spark's `binaryFile` source, so N
+  * workbooks parse on N tasks across the cluster — the same
+  * file-per-task parallelism as the reference's one-workbook-at-a-time
+  * loop, minus the loop. Each task SAX-streams its worksheets (no DOM
+  * for the big parts); a single workbook is the unit of work, which is
+  * exactly the reference's operating grain. */
+object XlsxParse {
+
+  /** One populated cell: (sheet, row number 1-based, column letters, text). */
+  final case class Cell(sheet: String, row: Int, col: String, value: String)
+
+  private val CellRef = "([A-Z]+)([0-9]+)".r
+
+  /** SAX handler for one worksheet part: emits populated cells, decoding
+    * shared-string / inline-string / boolean / raw-numeric values the way
+    * Code.gs:251-256 sees them (numbers arrive as their raw text). */
+  private final class SheetHandler(sheet: String, shared: IndexedSeq[String],
+                                   out: mutable.Buffer[Cell]) extends DefaultHandler {
+    private var ref = ""
+    private var typ = ""
+    private var capture = false
+    private val sb = new StringBuilder
+    private var pendingInline = false
+
+    override def startElement(uri: String, local: String, qn: String, a: Attributes): Unit =
+      qn match {
+        case "c" =>
+          ref = Option(a.getValue("r")).getOrElse("")
+          typ = Option(a.getValue("t")).getOrElse("")
+          pendingInline = false
+        case "v" => capture = true; sb.clear()
+        case "is" => pendingInline = typ == "inlineStr"
+        case "t" if pendingInline => capture = true; sb.clear()
+        case _ => ()
+      }
+
+    override def characters(ch: Array[Char], start: Int, length: Int): Unit =
+      if (capture) sb.appendAll(ch, start, length)
+
+    override def endElement(uri: String, local: String, qn: String): Unit =
+      if ((qn == "v" || (qn == "t" && pendingInline)) && capture) {
+        capture = false
+        val raw = sb.toString
+        val value = typ match {
+          case "s" =>
+            val i = raw.trim.toInt
+            if (i >= 0 && i < shared.length) shared(i) else ""
+          case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+          case _ => raw
+        }
+        ref match {
+          case CellRef(colL, rowS) => out += Cell(sheet, rowS.toInt, colL, value)
+          case _ => () // cells without an r ref are not produced by Excel
+        }
+      }
+  }
+
+  private def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val m = mutable.Map.empty[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      val n = e.getName
+      if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+          n == "xl/sharedStrings.xml" || n.startsWith("xl/worksheets/sheet"))
+        m(n) = zin.readAllBytes()
+      zin.closeEntry(); e = zin.getNextEntry
+    }
+    m.toMap
+  }
+
+  private def dom(bytes: Array[Byte]) = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+  }
+
+  /** All populated cells of every sheet in the workbook. */
+  def cells(bytes: Array[Byte]): Seq[Cell] = {
+    val parts = entries(bytes)
+
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml").map { b =>
+      val doc = dom(b)
+      val sis = doc.getElementsByTagName("si")
+      (0 until sis.getLength).map { i =>
+        val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+        (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+      }
+    }.getOrElse(IndexedSeq.empty)
+
+    val rels: Map[String, String] = parts.get("xl/_rels/workbook.xml.rels").map { b =>
+      val ns = dom(b).getElementsByTagName("Relationship")
+      (0 until ns.getLength).map { i =>
+        val e = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+        e.getAttribute("Id") -> e.getAttribute("Target").stripPrefix("/xl/").stripPrefix("xl/")
+      }.toMap
+    }.getOrElse(Map.empty)
+
+    val sheets: Seq[(String, String)] = parts.get("xl/workbook.xml").map { b =>
+      val ns = dom(b).getElementsByTagName("sheet")
+      (0 until ns.getLength).map { i =>
+        val e = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+        e.getAttribute("name") -> e.getAttribute("r:id")
+      }
+    }.getOrElse(Seq.empty)
+
+    val out = mutable.Buffer.empty[Cell]
+    val saxf = SAXParserFactory.newInstance()
+    saxf.setNamespaceAware(false)
+    for ((name, rid) <- sheets; target <- rels.get(rid);
+         part <- parts.get("xl/" + target)) {
+      saxf.newSAXParser().parse(new ByteArrayInputStream(part),
+        new SheetHandler(name, shared, out))
+    }
+    out.toSeq
+  }
+}
+
+/** DataFrame-facing xlsx readers (SURVEY.md §2H). */
+object Xlsx {
+
+  /** Every populated cell of every `.xlsx` under `path` (glob ok):
+    * (file, sheet, row, col, value) — one parse task per workbook via
+    * the binaryFile source. */
+  def cellsDf(spark: SparkSession, path: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select(element_at(split(col("path"), "/"), -1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        XlsxParse.cells(bytes).map(c => (file, c.sheet, c.row, c.col, c.value))
+      }
+      .toDF("file", "sheet", "row", "col", "value")
+  }
+
+  /** Generic "sheet grid → table keyed by its header row": per (file,
+    * sheet), the first row containing ALL `headers` (case-insensitive)
+    * is the header (Code.gs:176-184's scan); every later row becomes one
+    * output row with a column per header, NULL where the cell is blank.
+    * Rows above the header — banners, titles, deceptive numerics — are
+    * dropped by construction. Declarative end to end: the header lookup
+    * is a tiny aggregate joined back, the grid pivot is a first()
+    * aggregate over (file, sheet, row) — two shuffles, both on fine keys. */
+  def sheetByHeaders(spark: SparkSession, path: String, headers: Seq[String]): DataFrame = {
+    val cells = cellsDf(spark, path)
+    val up = upper(trim(col("value")))
+    val H = headers.map(_.toUpperCase)
+    // fresh column names throughout the header side: it descends from the
+    // same cellsDf, and duplicate attribute ids would make the final join
+    // an ambiguous self-join
+    val hdrCells = cells.filter(up.isin(H: _*))
+      .select(col("file").as("hfile"), col("sheet").as("hsheet"),
+        col("row").as("hrow"), col("col").as("hcol"), up.as("hdr"))
+    // first row per sheet carrying every requested header
+    val hdrRow = hdrCells.groupBy(col("hfile"), col("hsheet"), col("hrow"))
+      .agg(countDistinct(col("hdr")).as("nh"))
+      .filter(col("nh") === H.size)
+      .groupBy(col("hfile"), col("hsheet")).agg(min(col("hrow")).as("hdr_row"))
+      .select(col("hfile").as("rfile"), col("hsheet").as("rsheet"), col("hdr_row"))
+    // header name -> column letters for that sheet's header row
+    val hdrMap = hdrCells.join(hdrRow,
+        col("hfile") === col("rfile") && col("hsheet") === col("rsheet") &&
+          col("hrow") === col("hdr_row"))
+      .select(col("hfile"), col("hsheet"), col("hdr_row"), col("hcol"), col("hdr"))
+    cells.join(hdrMap,
+        col("file") === col("hfile") && col("sheet") === col("hsheet") &&
+          col("col") === col("hcol"))
+      .filter(col("row") > col("hdr_row"))
+      .groupBy(col("file"), col("sheet"), col("row"))
+      .pivot("hdr", H)
+      .agg(first(col("value")))
+  }
+
+  /** The reference's income statements, from real workbooks: the
+    * NUMBER / ACTUAL columns below each sheet's detected header row in
+    * the raw (file, sheet, pos, label, amount_str) statements shape —
+    * plug-compatible with Warehouse.factFrom / sectionFilledFrom, so the
+    * whole warehouse pipeline runs off actual monthly files. */
+  def statementsXlsx(spark: SparkSession, path: String): DataFrame =
+    sheetByHeaders(spark, path, Seq("NUMBER", "DESCRIPTION", "ACTUAL"))
+      .select(col("file"), col("sheet"), col("row").cast("long").as("pos"),
+        coalesce(col("NUMBER"), lit("")).as("label"),
+        coalesce(col("ACTUAL"), lit("")).as("amount_str"))
+}
