@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.warehouse.{Statements, Warehouse}
+import scala.jdk.CollectionConverters._
 
 /** Semantic invariants for the financial warehouse pipeline (the DuckDB
   * oracle checks value parity; these check the contracts the oracle
@@ -95,9 +96,35 @@ class WarehouseSpec extends SparkSpec {
         dedupBatch(Warehouse.factFrom(stmts).filter(col("year") === y))
           .write.mode("overwrite").partitionBy("year", "month").parquet(out)
       }
+      // physical-layout snapshot: data file name -> mtime, per partition dir
+      def snapshot(): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(out)
+        val it = java.nio.file.Files.walk(base)
+        try it.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => base.relativize(p).toString -> p.toFile.lastModified())
+          .toMap
+        finally it.close()
+      }
+      val before = snapshot()
       // replay the middle year — dynamic overwrite must leave the rest intact
       dedupBatch(Warehouse.factFrom(stmts).filter(col("year") === years(1)))
         .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+      // MERGE-shaped physical guarantee: ONLY the replayed year's
+      // partitions rewrite; every other partition's files are untouched
+      // (same names, same mtimes) — the property that makes a monthly
+      // upsert at 100 TB rewrite one partition, not the history
+      val after = snapshot()
+      val touched = s"year=${years(1)}/"
+      val beforeRest = before.view.filterKeys(!_.startsWith(touched)).toMap
+      val afterRest = after.view.filterKeys(!_.startsWith(touched)).toMap
+      assert(beforeRest.nonEmpty && beforeRest == afterRest,
+        "untouched partitions must keep identical files")
+      assert(after.keys.exists(_.startsWith(touched)),
+        "replayed year must still have files")
+      assert(before.keySet.filter(_.startsWith(touched)) !=
+        after.keySet.filter(_.startsWith(touched)),
+        "replayed partitions must have been rewritten")
       val got = spark.read.parquet(out)
         .select("gl_code", "category", "year", "month", "department", "amount")
         .collect().map(_.toSeq).toSet
