@@ -25,7 +25,19 @@ object Ann {
   private val K = 10
   private val NQueries = 20
   private val Tables_ = 6 // LSH tables
-  private val Planes = 3 // hyperplanes per table → 8 buckets/table
+  private val Planes = 3 // floor: hyperplanes per table → 8 buckets/table
+  private val BucketTarget = 512L // target vectors per (table, bucket)
+
+  /** Data-sized plane count: max(floor, ceil(log2(n / target))) keeps
+    * bucket size ~target as the corpus grows, so per-query candidate
+    * work stays bounded instead of growing as n/2^floor. At spec/gate
+    * scales this evaluates to the floor, leaving AnnSpec's recall bound
+    * and the driver's rows-only check on their existing behavior. */
+  def adaptivePlanes(rows: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1L, rows).toDouble / BucketTarget) / math.log(2.0)).toInt
+    math.max(Planes, needed)
+  }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -85,19 +97,26 @@ object Ann {
     * AnnSpec bounds recall@10 against the brute-force baseline. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // one scalar job to size the index (same pattern as Dedup.blockPlanes)
+    val planes = adaptivePlanes(e.count())
     val bucketed = e.select(col("vec_id"), col("v"),
       explode(array((0 until Tables_).map(t =>
-        struct(lit(t).as("t"), hyperplaneBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("t"), hyperplaneBucket(col("v"), t, planes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
     val q = bucketed
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"), col("bucket"))
       .filter(col("q_id") < NQueries)
+    // cosine map-side in the join projection: a candidate costs <=6 fused
+    // dot products, and only scalars cross the dedup shuffle (carrying
+    // both 64-dim vectors through dropDuplicates is the shape that sent
+    // dedup_embedding superlinear at sf1)
     val cands = q.join(bucketed, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands.withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"),
