@@ -27,8 +27,20 @@ object Financial {
     * string — so "$(1,234.50)" is -1234.50. Only the OUTER parens are
     * removed; interior parens ("12(34)") leave a non-numeric body → null.
     * The numeric grammar matches Python float()/JS Number(): optional
-    * sign, ".5" / "5." / exponent forms all accepted. */
+    * sign, ".5" / "5." / exponent forms all accepted.
+    *
+    * Native single-pass kernel (expressions/StatementKernels.cleanAmount)
+    * replacing three java.util.regex executions per row — the declarative
+    * chain below is kept as the semantic twin ExpressionsSpec pins the
+    * kernel against. */
   def cleanAmount(raw: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.CleanAmount(
+      GraftColumnBridge.expression(raw.cast("string"))))
+  }
+
+  /** The declarative regex chain — semantic twin for the kernel pin. */
+  def cleanAmountDeclarative(raw: Column): Column = {
     val s0 = trim(regexp_replace(raw.cast("string"), "[$,]", ""))
     val neg = s0.rlike("^\\(.*\\)$")
     val body = trim(when(neg, regexp_replace(s0, "^\\((.*)\\)$", "$1")).otherwise(s0))

@@ -43,8 +43,18 @@ object Statements {
   /** Accounting format from signed integer cents: 1013.70 dollars →
     * "$1,013.70"; negative → "$(1,013.70)". Grouped thousands separators
     * up to $999,999,999.99 (dollar magnitudes above that are out of the
-    * supported range — asserted in PropertySpec). */
+    * supported range — asserted in PropertySpec). Native single-pass
+    * kernel (expressions/StatementKernels.fmtCents): the declarative
+    * 15-expression concat/lpad chain below is kept as the semantic twin
+    * ExpressionsSpec pins the kernel against. */
   def fmtAmount(sc: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.FormatCents(
+      GraftColumnBridge.expression(sc.cast("long"))))
+  }
+
+  /** The declarative Column chain — semantic twin for the kernel pin. */
+  def fmtAmountDeclarative(sc: Column): Column = {
     val a = abs(sc)
     val d = (a / 100).cast("long")
     val f = (a % 100).cast("string")
