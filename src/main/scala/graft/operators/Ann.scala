@@ -124,6 +124,98 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ----------------------------------------------------------- ann_ivf_topk
+  private val IvfProbe = 4 // cells probed per query
+
+  /** Data-sized cell count: ~64 vectors per cell, capped at 64 lists so
+    * the map-only argmax projection stays a bounded expression (at
+    * larger n the standard move is two-level assignment: coarse cells,
+    * then sub-cells within). Floor of 8 keeps the probe fraction high
+    * enough for useful recall on tiny spec corpora. */
+  private def ivfLists(n: Long): Int =
+    math.min(64L, math.max(8L, n / 64L)).toInt
+
+  /** IVF (inverted-file) top-k — the other standard ANN scale structure
+    * next to LSH: centroids partition the corpus into `IvfLists` cells,
+    * a query probes only its `IvfProbe` nearest cells, exact cosine
+    * re-ranks the candidates — a nlist/nprobe (= 8x here) reduction of
+    * the scanned corpus per query, with nlist growing at scale.
+    *
+    * Spark-first shape, all deterministic:
+    *  - seeding: every (n/nlist)-th vector by id — no RNG;
+    *  - one Lloyd refinement whose centroid means use exact INTEGER
+    *    micro-unit sums (the vec_stats trick), so distributed summation
+    *    order cannot perturb a centroid bit, and cell assignments are
+    *    reproducible across runs and partitionings;
+    *  - assignment is a MAP-ONLY projection: the nlist centroids are
+    *    collected (tiny, the classic broadcast state of an IVF index)
+    *    and compared via the VectorDot kernel against constant arrays —
+    *    no shuffle of the corpus to find its cells;
+    *  - the probe set (queries x nprobe cells) broadcast-joins the
+    *    celled corpus, so the corpus never shuffles for the search
+    *    either; the only wide exchange is the final per-query top-k
+    *    window over ~n*nprobe/nlist candidates.
+    *
+    * Engine-seeded cells → rows-only at the driver; AnnSpec bounds
+    * recall@10 against ann_brute_topk and pins determinism. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val nlist = ivfLists(n)
+    val stride = math.max(1L, n / nlist)
+    val seeds = e.filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+    def cellOf(cents: Array[Array[Double]], v: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(Vectors.cosine(v, lit(c)).as("cos"), lit(i).as("cell"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cell")
+    }
+
+    // one Lloyd step: exact integer micro-unit means per (cell, pos)
+    val refined: Array[Array[Double]] = {
+      val assigned = e.select(cellOf(seeds, col("v")).as("cell"),
+        transform(col("v"), x => round(x * 1000000).cast("long")).as("vi"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vi")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      seeds.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1000000.0))
+            arr
+          case None => seeds(c) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+
+    val celled = e.select(col("vec_id"), col("v"), cellOf(refined, col("v")).as("cell"))
+    // probe list: nprobe best cells per query, ranked by centroid cosine
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(sort_array(array(refined.zipWithIndex.map { case (c, i) =>
+          struct(Vectors.cosine(col("v"), lit(c)).as("cos"), lit(i).as("cell"))
+        }.toIndexedSeq: _*), asc = false), 1, IvfProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cell").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probes).join(celled, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // -------------------------------------------------------------- vec_stats
   /** Per-label vector statistics in exact integer micro-units. */
   def vecStats(spark: SparkSession, dir: String): DataFrame = {
@@ -173,6 +265,7 @@ object Ann {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBruteTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "vec_stats" -> (vecStats _)
   )
 

@@ -19,6 +19,27 @@ class AnnSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg recall@10 $avg")
   }
 
+  test("ann_ivf_topk recall@10 >= 0.5 vs brute force, and deterministic") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val ivf = neighbors("ann_ivf_topk")
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (q, t) =>
+      ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg")
+    // integer micro-unit centroid means -> bit-stable cells across runs
+    val again = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .repartition(7).collect().map(_.toSeq).toSet
+    val first = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(first == again)
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
