@@ -24,6 +24,14 @@ import org.apache.spark.sql.SparkSession
   *    reported in `pass_totals` so run-to-run variance is visible;
   *  - a failing query reports in `errors` instead of being silently
   *    timed as if it succeeded, and is skipped in later passes.
+  *
+  * Output shape (two lines, r6): the driver captures only a bounded TAIL of
+  * stdout, and r5's single full-precision line (both maps inline) was front-
+  * clipped past the `"metric"` key → BENCH_r05 recorded `parsed: null`. So
+  * the verbose diagnostics (medians, pass totals) go on an EARLIER line keyed
+  * `"diag"` (no `"metric"` key — never mistaken for the headline), and the
+  * headline `{"metric":"total",...}` is the FINAL printed line, with values
+  * rounded to milliseconds to keep it compact (~1.7 KB for 62 queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,15 +91,18 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = names.filterNot(errors.contains)
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val mins = ok.map(n => n -> samples(n).min)
     val meds = ok.map(n => n -> median(samples(n)))
     def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val es = errors.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    val pts = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},"queries_median":${jmap(meds)},"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}""")
+    val pts = passTotals.map(ms).mkString("[", ",", "]")
+    // Diagnostics first (may be tail-clipped; that's fine), headline LAST.
+    println(s"""{"diag":"bench","queries_median":${jmap(meds)},"pass_totals":$pts,"passes":$passes}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(mins)},"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

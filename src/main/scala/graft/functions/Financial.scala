@@ -32,7 +32,15 @@ object Financial {
     * Native single-pass kernel (expressions/StatementKernels.cleanAmount)
     * replacing three java.util.regex executions per row — the declarative
     * chain below is kept as the semantic twin ExpressionsSpec pins the
-    * kernel against. */
+    * kernel against.
+    *
+    * Known deliberate divergence from the declarative twin (pinned in
+    * ExpressionsSpec): a numeral followed by a Unicode NEL/LS terminator
+    * (e.g. "5\\u0085") parses here (anchored prefix scan → 5.0), while
+    * cleanAmountDeclarative's ANSI `cast("double")` throws on it. The
+    * twins are equivalent over the statements corpus and all ASCII edge
+    * cases, NOT over every Unicode string — don't build an oracle on
+    * total equivalence. */
   def cleanAmount(raw: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.expressions.CleanAmount(

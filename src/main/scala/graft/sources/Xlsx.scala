@@ -88,9 +88,24 @@ object XlsxParse {
     m.toMap
   }
 
+  /** XXE hardening (OWASP XXE-prevention): a workbook is untrusted input,
+    * and a DOCTYPE in any XML part could otherwise pull external entities
+    * (file disclosure / SSRF from executors) or blow up via entity
+    * expansion. Excel never writes DOCTYPEs, so rejecting them outright
+    * loses nothing. Applied to BOTH the DOM and SAX factories. */
+  private def harden(set: (String, Boolean) => Unit): Unit = {
+    set(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    set("http://apache.org/xml/features/disallow-doctype-decl", true)
+    set("http://xml.org/sax/features/external-general-entities", false)
+    set("http://xml.org/sax/features/external-parameter-entities", false)
+  }
+
   private def dom(bytes: Array[Byte]) = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
+    harden(f.setFeature)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
   }
 
@@ -126,6 +141,7 @@ object XlsxParse {
     val out = mutable.Buffer.empty[Cell]
     val saxf = SAXParserFactory.newInstance()
     saxf.setNamespaceAware(false)
+    harden(saxf.setFeature)
     for ((name, rid) <- sheets; target <- rels.get(rid);
          part <- parts.get("xl/" + target)) {
       saxf.newSAXParser().parse(new ByteArrayInputStream(part),

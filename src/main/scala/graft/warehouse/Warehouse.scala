@@ -75,7 +75,14 @@ object Warehouse {
     * fmt→re-parse expression tree below the projection AND whole-stage
     * codegen inlines the lot into the aggregate's generated method —
     * past Janino's 64 KB limit → silent interpreted fallback on the
-    * hottest stage (CodegenGateSpec gates the whole registry). */
+    * hottest stage (CodegenGateSpec gates the whole registry).
+    *
+    * Construction-time cost (deliberate): factDerived's subtree holds the
+    * ffill window shuffle and the marker-frame exchanges, so under AQE the
+    * barrier materializes those stages EAGERLY when this DataFrame is
+    * built (see the stageBarrier scaladoc). That is the right trade here —
+    * registry queries are constructed once, immediately before running —
+    * but it means factStaged is not for plan-only tooling. */
   def factStaged(spark: SparkSession, dir: String, cols: String*): DataFrame = {
     val need = (cols ++ Seq("gl_code", "amount")).distinct
     stageBarrier(factDerived(Statements.income(spark, dir)).select(need.map(col): _*))

@@ -25,9 +25,17 @@ object GraftColumnBridge {
     * supported-shape fix (CodegenGateSpec keeps the whole registry
     * fallback-free).
     *
-    * Caveat: the child plan is compiled at construction time, and any
-    * exchange below the barrier would be scheduled by AQE eagerly — use
-    * only on exchange-free derivation subtrees. */
+    * Caveat — construction is NOT free: the child plan is compiled at
+    * construction time, and when the subtree contains exchanges (window
+    * shuffles, distinct, the marker crossJoins in graft's statements
+    * derivation) AQE's `doExecute` materializes those shuffle stages
+    * EAGERLY — merely constructing (or explaining) a barrier-wrapped
+    * DataFrame runs Spark jobs, and AQE cannot re-optimize across the
+    * barrier. Callers like Warehouse.factStaged rely on this consciously:
+    * registry queries are constructed immediately before execution, so
+    * the eager stages are work that runs exactly once either way. Do NOT
+    * construct barrier-wrapped frames in plan-only tooling loops, and
+    * don't construct the same one twice (the stages re-run). */
   def stageBarrier(df: Dataset[Row]): DataFrame = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
