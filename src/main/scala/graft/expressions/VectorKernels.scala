@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Vector kernels callable from generated code. The fold order is
   * IDENTICAL to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` — left-to-right
@@ -66,6 +66,31 @@ object VectorKernels {
     }
     new GenericInternalRow(Array[Any](vmin, vmax, maxErr, sumErr / n))
   }
+
+  /** Argmax-dot assignment of `v` against a centroid table held as a
+    * plain JVM object (the broadcast IVF index state). Centroids must be
+    * unit-normalized by the caller, so argmax dot == argmax cosine (the
+    * row norm is constant across candidates). Ties → lowest index, so
+    * duplicate padding centroids never win over the original. The table
+    * rides into generated code as a reference object — the generated
+    * method is ONE call regardless of nlist, which is what lets the cell
+    * count grow with the corpus (the old greatest()-over-structs shape
+    * grew the expression tree linearly in nlist and capped it at 64). */
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val m = math.min(v.numElements(), c.length)
+      var s = 0.0
+      var d = 0
+      while (d < m) { s += v.getDouble(d) * c(d); d += 1 }
+      if (s > bestDot) { bestDot = s; best = i }
+      i += 1
+    }
+    best
+  }
 }
 
 /** vec_dot(a, b): sequential-order dot product of two array<double>. */
@@ -78,6 +103,47 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VectorKernels.dot($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ivf_cell(v): index of the nearest (argmax-dot) centroid. The centroid
+  * table is a constructor parameter, NOT a child expression — it reaches
+  * codegen via addReferenceObj, so generated-code size is independent of
+  * nlist (see VectorKernels.nearestCell). */
+case class NearestCell(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_cell"
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCell(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.expressions.VectorKernels.nearestCell($v, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** ivf_subcell(v, coarse): index of the nearest sub-centroid WITHIN the
+  * given coarse cell — the second level of a two-level IVF assignment.
+  * Per-row cost is |sub-cells of one coarse cell|, not the total cell
+  * count, so assignment work grows as O(sqrt(nlist)) while nlist grows
+  * with the corpus. */
+case class NearestSubCell(left: Expression, right: Expression,
+                          cents: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_subcell"
+  override def nullSafeEval(v: Any, coarse: Any): Any =
+    VectorKernels.nearestCell(v.asInstanceOf[ArrayData],
+      cents(coarse.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfSubCents", cents, "double[][][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.expressions.VectorKernels.nearestCell($v, $ref[$c])")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): NearestSubCell =
     copy(left = newLeft, right = newRight)
 }
 

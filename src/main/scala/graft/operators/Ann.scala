@@ -127,83 +127,164 @@ object Ann {
   // ----------------------------------------------------------- ann_ivf_topk
   private val IvfProbe = 4 // cells probed per query
 
-  /** Data-sized cell count: ~64 vectors per cell, capped at 64 lists so
-    * the map-only argmax projection stays a bounded expression (at
-    * larger n the standard move is two-level assignment: coarse cells,
-    * then sub-cells within). Floor of 8 keeps the probe fraction high
-    * enough for useful recall on tiny spec corpora. */
+  /** Data-sized cell count, UNCAPPED: ~64 vectors per cell on small
+    * corpora, bounded by 4·sqrt(n) at scale so cell size grows as
+    * sqrt(n)/4 while the cell count keeps growing with the corpus.
+    * Floor of 8 keeps the probe fraction high enough for useful recall
+    * on tiny spec corpora. (The r5 version capped nlist at 64 because
+    * assignment was a greatest()-over-structs expression whose size grew
+    * with nlist — at 100x data each probe degenerated toward a brute
+    * scan. The cap is gone: assignment is now the NearestCell /
+    * NearestSubCell kernels, whose generated code is one call regardless
+    * of nlist.) */
   private def ivfLists(n: Long): Int =
-    math.min(64L, math.max(8L, n / 64L)).toInt
+    math.max(8L, math.min(n / 64L, 4L * math.sqrt(n.toDouble).toLong)).toInt
+
+  /** Unit-normalize, so argmax dot == argmax cosine in the kernels and
+    * the probe ranking; an all-zero vector stays zero (dot 0 with
+    * everything — never wins, never NaNs). */
+  private def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm == 0.0) v else v.map(_ / nrm)
+  }
 
   /** IVF (inverted-file) top-k — the other standard ANN scale structure
-    * next to LSH: centroids partition the corpus into `IvfLists` cells,
-    * a query probes only its `IvfProbe` nearest cells, exact cosine
-    * re-ranks the candidates — a nlist/nprobe (= 8x here) reduction of
-    * the scanned corpus per query, with nlist growing at scale.
+    * next to LSH: centroids partition the corpus into cells, a query
+    * probes only its `IvfProbe` nearest cells, exact cosine re-ranks the
+    * candidates — an nlist/nprobe reduction of the scanned corpus per
+    * query, with nlist growing with the corpus (ivfLists).
     *
-    * Spark-first shape, all deterministic:
-    *  - seeding: every (n/nlist)-th vector by id — no RNG;
-    *  - one Lloyd refinement whose centroid means use exact INTEGER
-    *    micro-unit sums (the vec_stats trick), so distributed summation
-    *    order cannot perturb a centroid bit, and cell assignments are
-    *    reproducible across runs and partitionings;
-    *  - assignment is a MAP-ONLY projection: the nlist centroids are
-    *    collected (tiny, the classic broadcast state of an IVF index)
-    *    and compared via the VectorDot kernel against constant arrays —
-    *    no shuffle of the corpus to find its cells;
-    *  - the probe set (queries x nprobe cells) broadcast-joins the
-    *    celled corpus, so the corpus never shuffles for the search
-    *    either; the only wide exchange is the final per-query top-k
-    *    window over ~n*nprobe/nlist candidates.
+    * TWO-LEVEL assignment (the IMI shape), all deterministic:
+    *  - level 1: C1 ≈ sqrt(nlist) coarse seeds, every (n/C1)-th vector
+    *    by id — no RNG. Assignment is the NearestCell kernel against the
+    *    collected unit-normalized seeds (the classic broadcast index
+    *    state): map-only, no corpus shuffle, generated code independent
+    *    of the centroid count;
+    *  - level 2: within each coarse cell, C2 ≈ sqrt(nlist) sub-seeds
+    *    picked by an evenly-strided row_number over the cell (one
+    *    build-time window shuffle), then ONE Lloyd refinement whose
+    *    sub-centroid means use exact INTEGER micro-unit sums (the
+    *    vec_stats trick) — distributed summation order cannot perturb a
+    *    centroid bit, so cells are reproducible across runs and
+    *    partitionings. Assignment is the NearestSubCell kernel: per-row
+    *    cost is C1 + C2 = O(sqrt(nlist)) dots, NOT nlist;
+    *  - probes: the query set is tiny (NQueries = 20 collected rows), so
+    *    the nprobe-best cells per query are ranked on the driver against
+    *    the same flat centroid table and broadcast-joined against the
+    *    celled corpus — the corpus never shuffles for the search; the
+    *    only wide exchange is the final per-query top-k window over
+    *    ~n·nprobe/nlist candidates. (A large query SET would rank cells
+    *    distributed with the same kernels; the index state is already
+    *    broadcast-shaped.)
+    *
+    * Degenerate corpora (fewer than 2 coarse seeds) fall back to the
+    * exact brute-force scan — greatest()-style argmax over <2 candidates
+    * is where the r5 version could throw at plan construction.
+    *
+    * Index construction runs driver jobs (count, seed collects, Lloyd
+    * sums) when the DataFrame is BUILT — like factStaged, not for
+    * plan-only tooling.
     *
     * Engine-seeded cells → rows-only at the driver; AnnSpec bounds
     * recall@10 against ann_brute_topk and pins determinism. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.{NearestCell, NearestSubCell}
+
     val e = emb(spark, dir)
     val n = e.count()
     val nlist = ivfLists(n)
-    val stride = math.max(1L, n / nlist)
-    val seeds = e.filter(col("vec_id") % stride === 0)
-      .orderBy(col("vec_id")).limit(nlist)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val c2 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val c1 = math.ceil(nlist.toDouble / c2).toInt
 
-    def cellOf(cents: Array[Array[Double]], v: Column): Column = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(Vectors.cosine(v, lit(c)).as("cos"), lit(i).as("cell"))
+    // level-1 seeds: every (n/C1)-th vector by id
+    val strideC = math.max(1L, n / c1)
+    val coarse: Array[Array[Double]] = e.filter(col("vec_id") % strideC === 0)
+      .orderBy(col("vec_id")).limit(c1)
+      .select(col("v")).collect().map(r => unit(r.getSeq[Double](0).toArray))
+    if (coarse.length < 2) return annBruteTopk(spark, dir)
+
+    def coarseCol(v: Column): Column = kcol(NearestCell(kexp(v), coarse))
+    def subCol(v: Column, c: Column, cents: Array[Array[Array[Double]]]): Column =
+      kcol(NearestSubCell(kexp(v), kexp(c), cents))
+
+    val withCoarse = e.select(col("vec_id"), col("v"), coarseCol(col("v")).as("c1"))
+
+    // level-2 seeds: C2 evenly-strided vectors per coarse cell
+    val wc = Window.partitionBy(col("c1")).orderBy(col("vec_id"))
+    val sstride = greatest(lit(1L), ceil(col("cnt").cast("double") / c2).cast("long"))
+    val seedRows = withCoarse
+      .withColumn("rn", row_number().over(wc))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("c1"))))
+      .filter(((col("rn") - 1) % sstride) === 0)
+      .withColumn("k", row_number().over(wc))
+      .filter(col("k") <= c2)
+      .select(col("c1"), col("k"), col("v")).collect()
+    val subSeeds: Array[Array[Array[Double]]] = {
+      val byCell = seedRows.groupBy(_.getInt(0))
+      Array.tabulate(c1) { ci =>
+        val got = byCell.getOrElse(ci, Array.empty)
+          .sortBy(_.getInt(1)).map(r => unit(r.getSeq[Double](2).toArray))
+        // pad empty slots with the coarse seed: a duplicate centroid ties
+        // and loses to the lowest index, so padding never attracts rows
+        if (got.isEmpty) Array(coarse(ci))
+        else got ++ Array.fill(c2 - got.length)(got(0))
       }
-      greatest(scored.toIndexedSeq: _*).getField("cell")
     }
 
-    // one Lloyd step: exact integer micro-unit means per (cell, pos)
-    val refined: Array[Array[Double]] = {
-      val assigned = e.select(cellOf(seeds, col("v")).as("cell"),
-        transform(col("v"), x => round(x * 1000000).cast("long")).as("vi"))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("vi")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
+    // one Lloyd step on the sub-level: exact integer micro-unit means
+    // per (coarse, sub, pos); empty cells keep their seed
+    val refinedSub: Array[Array[Array[Double]]] = {
+      val sums = withCoarse.select(col("c1"),
+          subCol(col("v"), col("c1"), subSeeds).as("s"),
+          transform(col("v"), x => round(x * 1000000).cast("long")).as("vi"))
+        .select(col("c1"), col("s"), posexplode(col("vi")).as(Seq("pos", "x")))
+        .groupBy(col("c1"), col("s"), col("pos"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
         .collect()
-      val byCell = sums.groupBy(_.getInt(0))
-      seeds.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            val dim = rows.map(_.getInt(1)).max + 1
-            val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1000000.0))
-            arr
-          case None => seeds(c) // empty cell keeps its seed
-        }
-      }.toArray
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      Array.tabulate(c1) { ci =>
+        subSeeds(ci).indices.map { si =>
+          byCell.get((ci, si)) match {
+            case Some(rows) =>
+              val dim = rows.map(_.getInt(2)).max + 1
+              val arr = new Array[Double](dim)
+              rows.foreach(r => arr(r.getInt(2)) = r.getLong(3).toDouble / (r.getLong(4) * 1000000.0))
+              unit(arr)
+            case None => subSeeds(ci)(si)
+          }
+        }.toArray
+      }
     }
 
-    val celled = e.select(col("vec_id"), col("v"), cellOf(refined, col("v")).as("cell"))
-    // probe list: nprobe best cells per query, ranked by centroid cosine
-    val probes = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(slice(sort_array(array(refined.zipWithIndex.map { case (c, i) =>
-          struct(Vectors.cosine(col("v"), lit(c)).as("cos"), lit(i).as("cell"))
-        }.toIndexedSeq: _*), asc = false), 1, IvfProbe)).as("p"))
-      .select(col("q_id"), col("qv"), col("p.cell").as("cell"))
+    val maxSub = refinedSub.map(_.length).max
+    val celled = withCoarse.select(col("vec_id"), col("v"),
+      (col("c1") * maxSub + subCol(col("v"), col("c1"), refinedSub)).as("cell"))
+
+    // driver-side probe ranking for the 20-query set: nprobe best cells
+    // by centroid cosine (dot against unit centroids), ties → lower cell
+    val probeRows: Seq[(Long, Seq[Double], Int)] = {
+      val flat = for (ci <- refinedSub.indices; si <- refinedSub(ci).indices)
+        yield (ci * maxSub + si, refinedSub(ci)(si))
+      e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+        .collect().toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Double](1)
+          flat.map { case (cell, c) =>
+            var s = 0.0; var d = 0
+            val m = math.min(qv.length, c.length)
+            while (d < m) { s += qv(d) * c(d); d += 1 }
+            (cell, s)
+          }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
+            .map { case (cell, _) => (qid, qv, cell) }
+        }
+    }
+    val session = spark
+    import session.implicits._
+    val probes = probeRows.toDF("q_id", "qv", "cell")
+
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes).join(celled, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
