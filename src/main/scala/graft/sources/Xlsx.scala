@@ -151,8 +151,124 @@ object XlsxParse {
   }
 }
 
+/** Minimal SpreadsheetML writer — the zip+XML inverse of XlsxParse, with
+  * the same zero added dependencies (JDK zip + string-built XML). Numeric-
+  * looking text becomes a numeric cell, everything else an inline string,
+  * so write→read through XlsxParse round-trips cell-for-cell (the reader
+  * returns numeric cells as their raw text and inline strings verbatim). */
+object XlsxWrite {
+
+  private val NumericRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"
+
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
+  /** 0-based column index → letters (0 → A, 26 → AA). */
+  def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { n -= 1; sb.insert(0, ('A' + n % 26).toChar); n /= 26 }
+    sb.toString
+  }
+
+  private def colIndex(letters: String): Int =
+    letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+
+  private def sheetXml(cells: Seq[XlsxParse.Cell]): String = {
+    val rows = cells.groupBy(_.row).toSeq.sortBy(_._1).map { case (r, cs) =>
+      val cellsXml = cs.sortBy(c => colIndex(c.col)).map { c =>
+        val ref = s"${c.col}$r"
+        if (c.value.matches(NumericRe)) s"""<c r="$ref"><v>${c.value}</v></c>"""
+        else s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(c.value)}</t></is></c>"""
+      }.mkString
+      s"""<row r="$r">$cellsXml</row>"""
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rows</sheetData></worksheet>""".stripMargin
+  }
+
+  /** Write a workbook of (sheet name, populated cells) to a local path.
+    * One file, driver-side: a workbook is a single-file REPORT artifact
+    * (the reference's own grain) — parquet/orc stay the scale sinks. */
+  def writeCells(path: String, sheets: Seq[(String, Seq[XlsxParse.Cell])]): Unit = {
+    val overrides = sheets.indices.map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString
+    val contentTypes =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>$overrides</Types>""".stripMargin
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>""".stripMargin
+    val wbRels =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${sheets.indices.map(i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString}</Relationships>""".stripMargin
+
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      def put(name: String, content: String): Unit = {
+        zout.putNextEntry(new java.util.zip.ZipEntry(name))
+        zout.write(content.getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", wbRels)
+      sheets.zipWithIndex.foreach { case ((_, cells), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(cells))
+      }
+    } finally zout.close()
+  }
+
+  /** DataFrame → dense sheet grid, like pandas to_excel(index=False):
+    * header row 1 from column names, values below, null cells skipped. */
+  def dfCells(df: org.apache.spark.sql.DataFrame): Seq[XlsxParse.Cell] = {
+    val header = df.columns.zipWithIndex.map { case (c, j) =>
+      XlsxParse.Cell("", 1, colLetters(j), c) }
+    val body = df.collect().zipWithIndex.flatMap { case (row, i) =>
+      df.columns.indices.flatMap { j =>
+        Option(row.get(j)).map(v =>
+          XlsxParse.Cell("", i + 2, colLetters(j), v.toString))
+      }
+    }
+    (header ++ body).toSeq
+  }
+}
+
 /** DataFrame-facing xlsx readers (SURVEY.md §2H). */
 object Xlsx {
+
+  private val FinalSheet = "Final"
+  private val QaSheet = "Missing_GL_Mapping"
+
+  /** The reference's write_back_to_warehouse (build_warehouse.py:172-181):
+    * rewrite the warehouse workbook with the Final and Missing_GL_Mapping
+    * sheets replaced by the given DataFrames (header row + values, as
+    * to_excel(index=False) lays them out) and every OTHER sheet preserved
+    * cell-for-cell, preserved sheets first — the reference's exact sheet
+    * order. Driver-side single-file I/O: the warehouse workbook is the
+    * reference user's report artifact, inherently one small file; the
+    * scale-correct data sinks remain parquet/orc (SURVEY §2H). */
+  def writeBack(warehousePath: String, outPath: String,
+                finalDf: org.apache.spark.sql.DataFrame,
+                missingDf: org.apache.spark.sql.DataFrame): Unit = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(warehousePath))
+    val all = XlsxParse.cells(bytes)
+    val keepOrder = all.map(_.sheet).distinct.filterNot(s => s == FinalSheet || s == QaSheet)
+    val preserved = keepOrder.map(s => s -> all.filter(_.sheet == s))
+    XlsxWrite.writeCells(outPath,
+      preserved ++ Seq(FinalSheet -> XlsxWrite.dfCells(finalDf),
+        QaSheet -> XlsxWrite.dfCells(missingDf)))
+  }
 
   /** Every populated cell of every `.xlsx` under `path` (glob ok):
     * (file, sheet, row, col, value) — one parse task per workbook via

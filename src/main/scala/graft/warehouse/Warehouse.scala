@@ -352,6 +352,20 @@ object Warehouse {
     * natural key, later sheet row wins within a batch. ONE shuffle total
     * regardless of file count — the whole point of re-expressing the
     * loop (order-insensitivity + idempotence proven in MultiLoadSpec). */
+  /** The reference's OTHER operating mode: the single-newest-file
+    * trigger (build_warehouse.py:193-203 picks the most-recent mm.yyyy
+    * workbook by mtime; Code.gs:87-109 sorts the folder so a revised
+    * workbook re-enters last). Select only the newest batch from the
+    * batch-stamped frame — a 1-row max aggregate broadcast back over the
+    * frame, no second fact scan, no driver mtime loop. Single-file mode
+    * is then literally a special case of the fold: folding the selected
+    * batch onto the already-folded warehouse equals the one-shot fold of
+    * every batch (MultiLoadSpec proves it). */
+  def latestPeriodBatch(batches: DataFrame): DataFrame = {
+    val mx = batches.agg(max(col("batch")).as("mx_batch"))
+    batches.join(broadcast(mx), col("batch") === col("mx_batch")).drop("mx_batch")
+  }
+
   def multiLoadFold(batches: DataFrame): DataFrame =
     UpsertDedupe.keepLastWithin(batches,
       Seq(col("gl_code"), col("year"), col("month"), col("department"), col("category")),
@@ -412,9 +426,38 @@ object Warehouse {
        |  FROM fin_upserted u LEFT JOIN fin_glref g ON u.gl_code = g.gl_code) t
        |ORDER BY year, department, category, gl_code, month""".stripMargin
 
+  /** Production-shaped staged warehouse: the upserted fact written ONCE
+    * per JVM per source dir through the partitioned sink (year/month
+    * directories, the warehouse's natural partitions), then read back as
+    * a plain parquet table. The in-query fin_* family re-derives the
+    * statements parse + upsert inside every query — honest, but
+    * unamortized; at 100 TB the parse+upsert runs once per load into
+    * exactly this kind of table and every downstream reader just scans
+    * it. The staged trend/ytd variants below are that production shape,
+    * oracled against the SAME SQL as their in-query twins (the parquet
+    * round-trip is bit-exact for every column). The temp table lives for
+    * the JVM; the write happens at first construction (like factStaged,
+    * not for plan-only tooling). */
+  private val stagedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stagedUpserted(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedPaths.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-staged-").toString
+      graft.sources.Ingest.writePartitioned(upserted(spark, dir), p, Seq("year", "month"))
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** fin_trend_mom: month-over-month movement per (department, GL). */
-  def finTrendMom(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = upserted(spark, dir)
+  def finTrendMom(spark: SparkSession, dir: String): DataFrame =
+    finTrendMomFrom(upserted(spark, dir))
+
+  /** fin_trend_mom_staged: same result off the staged warehouse table. */
+  def finTrendMomStaged(spark: SparkSession, dir: String): DataFrame =
+    finTrendMomFrom(stagedUpserted(spark, dir))
+
+  private def finTrendMomFrom(up: DataFrame): DataFrame = {
+    val monthly = up
       .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
       .agg(sum(cents(col("amount"))).as("tc"))
     val w = Window.partitionBy(col("department"), col("gl_code"))
@@ -443,8 +486,15 @@ object Warehouse {
        |ORDER BY department, gl_code, year, month""".stripMargin
 
   /** fin_ytd_cumulative: YTD running total per (department, category). */
-  def finYtdCumulative(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = upserted(spark, dir)
+  def finYtdCumulative(spark: SparkSession, dir: String): DataFrame =
+    finYtdFrom(upserted(spark, dir))
+
+  /** fin_ytd_staged: same result off the staged warehouse table. */
+  def finYtdStaged(spark: SparkSession, dir: String): DataFrame =
+    finYtdFrom(stagedUpserted(spark, dir))
+
+  private def finYtdFrom(up: DataFrame): DataFrame = {
+    val monthly = up
       .groupBy(col("department"), col("category"), col("year"), col("month"))
       .agg(sum(cents(col("amount"))).as("mc"))
     val w = Window.partitionBy(col("department"), col("category"), col("year"))
@@ -623,7 +673,9 @@ object Warehouse {
     "fin_multi_load" -> (finMultiLoad _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
+    "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
+    "fin_ytd_staged" -> (finYtdStaged _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
     "fin_header_detect" -> (finHeaderDetect _)
@@ -641,7 +693,9 @@ object Warehouse {
     "fin_multi_load" -> finMultiLoadSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
+    "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
+    "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
     "fin_header_detect" -> finHeaderDetectSql

@@ -27,6 +27,23 @@ class MultiLoadSpec extends SparkSpec {
     assert(ordered == shuffled)
   }
 
+  test("latestPeriodBatch: newest-file mode is a special case of the fold") {
+    val b = Warehouse.multiLoadBatches(spark, sf)
+    val sel = Warehouse.latestPeriodBatch(b)
+    // exactly one batch survives the selector, and it is the max
+    val mx = b.agg(max(col("batch"))).collect()(0).getLong(0)
+    assert(sel.select(col("batch")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(mx))
+    // incremental mode == one-shot mode: fold the newest file onto the
+    // already-folded warehouse of every earlier batch (re-stamped below
+    // the newest, as an existing warehouse is), same fixed point as
+    // folding all batches at once
+    val prior = Warehouse.multiLoadFold(b.filter(col("batch") =!= mx))
+      .withColumn("pos", lit(0L)).withColumn("batch", lit(0L))
+    val incremental = canon(Warehouse.multiLoadFold(prior.unionByName(sel)))
+    assert(incremental == canon(Warehouse.multiLoadFold(b)))
+  }
+
   test("fin_multi_load applies corrections: re-delivered keys carry the amended amount") {
     val out = Warehouse.finMultiLoad(spark, sf)
     val b = Warehouse.multiLoadBatches(spark, sf)

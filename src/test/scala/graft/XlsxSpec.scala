@@ -38,6 +38,48 @@ class XlsxSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSet.subsetOf(Set("Revenue", "Expenses")))
   }
 
+  test("writeBack replaces Final/Missing_GL_Mapping and preserves every other sheet cell-for-cell") {
+    import graft.sources.XlsxParse
+    // real pipeline output as the report payload
+    val fact = Warehouse.factFrom(Xlsx.statementsXlsx(spark, income))
+    val finalDf = fact
+      .select(col("gl_code"), col("category"), col("department"), col("amount"))
+      .na.drop()
+      .orderBy(col("gl_code"), col("department"), col("amount")).limit(50)
+    val missingDf = fact.select(col("gl_code")).distinct().orderBy(col("gl_code")).limit(5)
+    val out = java.nio.file.Files.createTempFile("graft-wb-", ".xlsx").toString
+    Xlsx.writeBack(warehouseWb, out, finalDf, missingDf)
+
+    def cellsOf(p: String) =
+      XlsxParse.cells(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    val orig = cellsOf(warehouseWb)
+    val now = cellsOf(out)
+
+    // every non-report sheet survives cell-for-cell (build_warehouse.py:174-179)
+    val preservedNames = orig.map(_.sheet).distinct
+      .filterNot(s => s == "Final" || s == "Missing_GL_Mapping")
+    assert(preservedNames.nonEmpty)
+    for (s <- preservedNames) {
+      val a = orig.filter(_.sheet == s).map(c => (c.row, c.col, c.value)).sorted
+      val b = now.filter(_.sheet == s).map(c => (c.row, c.col, c.value)).sorted
+      assert(a == b, s"sheet $s not preserved")
+    }
+
+    // Final carries the DataFrame: header row 1 = column names, values below
+    val fin = now.filter(_.sheet == "Final")
+    val header = fin.filter(_.row == 1).sortBy(c => c.col.length -> c.col).map(_.value)
+    assert(header == finalDf.columns.toSeq)
+    val expected = finalDf.collect()
+    assert(fin.map(_.row).max == expected.length + 1)
+    val firstRow = fin.filter(_.row == 2).sortBy(c => c.col.length -> c.col).map(_.value)
+    assert(firstRow == expected.head.toSeq.map(_.toString))
+
+    // the written workbook is still consumable by the Spark-side reader
+    val gl = Xlsx.sheetByHeaders(spark, out, Seq("GL#", "Description"))
+      .filter(col("sheet") === "GL")
+    assert(gl.count() > 0)
+  }
+
   test("sheetByHeaders extracts the GL reference sheet from the warehouse workbook") {
     val gl = Xlsx.sheetByHeaders(spark, warehouseWb, Seq("GL#", "Description"))
       .filter(col("sheet") === "GL")
