@@ -28,8 +28,8 @@ import org.apache.spark.sql.SparkSession
   * Output shape (two lines, r6): the driver captures only a bounded TAIL of
   * stdout, and r5's single full-precision line (both maps inline) was front-
   * clipped past the `"metric"` key → BENCH_r05 recorded `parsed: null`. So
-  * the verbose diagnostics (medians, pass totals) go on an EARLIER line keyed
-  * `"diag"` (no `"metric"` key — never mistaken for the headline), and the
+  * the verbose diagnostics (medians, pass totals) go on an EARLIER line
+  * prefixed `#diag ` (not valid JSON — never mistaken for the headline), and the
   * headline `{"metric":"total",...}` is the FINAL printed line, with values
   * rounded to milliseconds to keep it compact (~1.7 KB for 62 queries).
   */
@@ -101,7 +101,10 @@ object Bench {
     val total = mins.map(_._2).sum
     val pts = passTotals.map(ms).mkString("[", ",", "]")
     // Diagnostics first (may be tail-clipped; that's fine), headline LAST.
-    println(s"""{"diag":"bench","queries_median":${jmap(meds)},"pass_totals":$pts,"passes":$passes}""")
+    // The '#diag ' prefix keeps this line from json-parsing, so no driver
+    // heuristic (first-parseable-line or last-parseable-line) can mistake
+    // it for the result.
+    println(s"""#diag {"queries_median":${jmap(meds)},"pass_totals":$pts,"passes":$passes}""")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(mins)},"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
