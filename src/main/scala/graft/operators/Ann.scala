@@ -303,8 +303,13 @@ object Ann {
     val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
     val base = emb(spark, dir).select(col("vec_id"), col("label"), vi.as("vi"), sq.as("sq"))
+    // ssq accumulates squared micro-units (~1e13-1e15 per row): a LONG sum
+    // overflows past ~1e4 rows/label (the r6 sf1 sweep hit it under ANSI —
+    // DuckDB silently survives by promoting BIGINT sums to HUGEINT).
+    // DECIMAL(38,0) is the exact Spark twin of that promotion: same
+    // integer value, same stringification after the double division.
     val g1 = base.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sum(col("sq")).as("ssq"))
+      .agg(count(lit(1)).as("n"), sum(col("sq").cast("decimal(38,0)")).as("ssq"))
     val comps = base
       .select(col("label"), posexplode(col("vi")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("ci"))

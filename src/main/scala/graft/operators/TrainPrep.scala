@@ -193,9 +193,67 @@ object TrainPrep {
       |  AND NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = s.doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_sample_stratified
+  /** Deterministic stratified sampling for training-mix rebalancing:
+    * downsample the dominant language ('en') to ~25% and keep the rest
+    * at ~75%, with a content-independent md5 coin on doc_id — the same
+    * document survives on any cluster, any partitioning, any engine
+    * (md5 is the one cross-engine hash, so DuckDB reproduces the EXACT
+    * sample — no tolerance, a hash-matched oracle). Rates are 16-bit
+    * hex-prefix thresholds: 0x4000/0x10000 = 25 %, 0xc000 = 75 %.
+    * Scale: the coin is a scan-fused map-only predicate — no shuffle, no
+    * sampling state, no RNG seed to coordinate across executors; at
+    * 100 TB this is exactly how a mix is re-weighted without a pass of
+    * global coordination. */
+  def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val keep = when(col("lang") === "en", coin < "4000").otherwise(coin < "c000")
+    Tables.documents(spark, dir)
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSampleStratifiedSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE CASE WHEN lang = 'en'
+      |           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+      |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ corpus_train_split
+  /** Deterministic train/val/test assignment (~90/5/5) by the same md5
+    * coin, reported as the per-(split, language) doc counts and char
+    * volume a pipeline publishes next to its manifest. 5 % = 0x0ccd,
+    * 10 % = 0x199a on the 16-bit hex prefix. Scale: map-only assignment;
+    * the ONE shuffle is a map-side-combined aggregate over (split, lang)
+    * — 3×|langs| groups regardless of corpus size. */
+  def corpusTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val split = when(coin < "0ccd", "val").when(coin < "199a", "test")
+      .otherwise("train")
+    Tables.documents(spark, dir)
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val corpusTrainSplitSql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' THEN 'val'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'test'
+      |              ELSE 'train' END AS split, lang, n_chars
+      |  FROM documents)
+      |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (corpusCurate _),
+    "corpus_sample_stratified" -> (corpusSampleStratified _),
+    "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
     "text_ngram_freq" -> (textNgramFreq _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -204,6 +262,8 @@ object TrainPrep {
 
   def oracles: Map[String, String] = Map(
     "corpus_curate" -> corpusCurateSql,
+    "corpus_sample_stratified" -> corpusSampleStratifiedSql,
+    "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii_scrub" -> textPiiScrubSql,

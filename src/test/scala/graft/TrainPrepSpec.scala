@@ -18,6 +18,36 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample hits its per-language rates and is partitioning-independent") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("corpus_sample_stratified")(spark, sf).collect()
+    val got = sampled.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // binomial rates: en ~25%, others ~75% (wide tolerance, small corpus)
+    assert(math.abs(got("en").toDouble / totals("en") - 0.25) < 0.12)
+    val restGot = (got - "en").values.sum.toDouble
+    val restTot = (totals - "en").values.sum.toDouble
+    assert(math.abs(restGot / restTot - 0.75) < 0.12)
+    // determinism: the sample is a pure function of doc_id, not of plan shape
+    val again = SparkEntry.queries("corpus_sample_stratified")(spark, sf)
+      .repartition(7).collect().map(_.getLong(0)).toSet
+    assert(again == sampled.map(_.getLong(0)).toSet)
+  }
+
+  test("train split partitions the corpus 90/5/5 with no doc in two splits") {
+    val out = SparkEntry.queries("corpus_train_split")(spark, sf).collect()
+    val bySplit = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(math.abs(bySplit("train") / total - 0.90) < 0.05)
+    assert(math.abs(bySplit("val") / total - 0.05) < 0.03)
+    assert(math.abs(bySplit("test") / total - 0.05) < 0.03)
+    // the splits exhaust the corpus exactly (counts sum to |documents|)
+    assert(total.toLong == graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("pii scrub redacts every planted email and phone") {
     val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
