@@ -69,4 +69,15 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains(s"(year") &&
       scan.contains("(department"), s"expected partition filters in scan:\n$scan")
   }
+
+  test("staged warehouse reader prunes its year/month partitions") {
+    val staged = graft.warehouse.Warehouse.stagedUpserted(spark, sf)
+    val years = staged.select("year").distinct().collect().map(_.getInt(0))
+    assert(years.length > 1, "need multiple partitions to prove pruning")
+    val one = staged.filter(col("year") === years.max)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("(year"),
+      s"expected year partition filter in staged scan:\n$scan")
+    assert(one.count() == staged.filter(col("year") === years.max).count())
+  }
 }

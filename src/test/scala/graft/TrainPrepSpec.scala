@@ -35,6 +35,16 @@ class TrainPrepSpec extends SparkSpec {
     assert(again == sampled.map(_.getLong(0)).toSet)
   }
 
+  test("sampling queries prune the text column off the parquet scan") {
+    for (q <- Seq("corpus_sample_stratified", "corpus_train_split")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty, s"$q: no ReadSchema in plan:\n$plan")
+      assert(readSchemas.forall(!_.contains("text")),
+        s"$q reads the text column it never uses:\n${readSchemas.mkString("\n")}")
+    }
+  }
+
   test("train split partitions the corpus 90/5/5 with no doc in two splits") {
     val out = SparkEntry.queries("corpus_train_split")(spark, sf).collect()
     val bySplit = out.groupBy(_.getString(0)).view
