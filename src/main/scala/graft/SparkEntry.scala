@@ -22,6 +22,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TrainPrep.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      graft.streaming.EventStreams.oracles
-      // mm_metadata: binary column semantics, rows-only (MultimodalSpec)
+      graft.streaming.EventStreams.oracles ++ Multimodal.oracles
+      // mm_metadata / mm_features: binary + stub semantics, rows-only
+      // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)
 }

@@ -74,7 +74,37 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_dedup: exact payload dedup by content hash — the multimodal
+    * analogue of image/audio dedup in a training pipeline: identical
+    * payloads collapse to one keeper regardless of doc metadata. Emits
+    * the full keeper manifest (one row per content hash, n_copies ≥ 1 —
+    * dedup_exact's convention, so the output is non-degenerate on
+    * corpora without raw-byte duplicates). md5 of the BINARY payload;
+    * since the stand-in payload is the text's UTF-8 bytes, DuckDB's
+    * md5(VARCHAR) hashes the same bytes — the one multimodal query with
+    * a full hash-matched oracle. Scale: one map-side-combined aggregate
+    * on the 16-byte hash; payload bytes never shuffle (only their hash
+    * and length do). */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        octet_length(col("payload")).as("byte_len"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        max(col("byte_len")).as("byte_len"))
+      .orderBy(col("payload_md5"))
+
+  val mmDedupSql: String =
+    """SELECT md5(text) AS payload_md5, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies, max(strlen(text)) AS byte_len
+      |FROM documents GROUP BY 1
+      |ORDER BY payload_md5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (mmMetadata _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_dedup" -> (mmDedup _))
+
+  def oracles: Map[String, String] = Map(
+    "mm_dedup" -> mmDedupSql)
 }

@@ -33,6 +33,18 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), (col("sum_cents").cast("double") / 100.0).as("sum_value"))
 
+  /** Watermarked HOPPING-window aggregation (size > hop → overlapping
+    * windows, each event counted in size/hop of them) — `window()` with a
+    * slide duration; works identically on streaming or batch frames. */
+  def hoppingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 hop: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, hop).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+
   /** Stateful gap sessionizer: flatMapGroupsWithState keyed on user_id,
     * emitting sessions as the gap closes; the open session stays in
     * state. State per key is O(1) — the 100 TB-safe streaming shape. */
@@ -151,11 +163,41 @@ object EventStreams {
       |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  /** stream_hopping_agg: the oracled batch equivalent of hoppingAgg
+    * (1 h windows every 30 min — each event lands in exactly 2 windows).
+    * The overlap is an explode over the event's two window starts, so
+    * the shuffle carries 2× rows of scalars and the aggregate still
+    * map-side combines; integer microseconds keep the oracle free of
+    * window-struct parity. */
+  def streamHoppingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val hopUs = 1800L * 1000 * 1000
+    val base = col("ts_us") - pmod(col("ts_us"), lit(hopUs))
+    Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("value"),
+        explode(array(base, base - hopUs)).as("window_start_us"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  val streamHoppingAggSql: String =
+    """WITH b AS (
+      |  SELECT event_type, value,
+      |         epoch_us(ts) - epoch_us(ts) % 1800000000 AS base
+      |  FROM events),
+      |h AS (SELECT event_type, value, unnest([base, base - 1800000000]) AS window_start_us FROM b)
+      |SELECT window_start_us, event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM h GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> (streamTumblingAgg _),
+    "stream_hopping_agg" -> (streamHoppingAgg _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> streamTumblingAggSql,
+    "stream_hopping_agg" -> streamHoppingAggSql,
     "interval_join" -> intervalJoinSql)
 }

@@ -42,6 +42,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked hopping agg over a memory stream matches the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val withTs = stream.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.hoppingAgg(withTs)
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("hopping")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_us", "event_type").collect()
+      val want = SparkEntry.queries("stream_hopping_agg")(spark, sf).collect()
+      assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the oracled batch interval_join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
