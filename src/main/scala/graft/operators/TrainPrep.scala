@@ -14,19 +14,32 @@ import graft.operators.Dedup
 object TrainPrep {
 
   // ------------------------------------------------------ text_pack_tokens
+  private val PackShardFloor = 32L
+  private val PackShardTargetDocs = 65536L
+
+  /** Data-sized shard count: floor 32 (the static oracle's constant at
+    * every gate scale), growing as ~n/64k docs beyond — per-shard window
+    * state stays bounded as the corpus grows instead of the shard SIZE
+    * growing linearly (the same floor-preserving knob pattern as
+    * Ann.adaptivePlanes / Dedup.blockPlanes). */
+  def packShards(rows: Long): Long =
+    math.max(PackShardFloor, rows / PackShardTargetDocs)
+
   /** Greedy-ish sequence packing: docs are pre-partitioned into shards
-    * (doc_id % 32) and packed into fixed token-capacity windows by a
-    * running token count per shard. Scale: a GLOBAL running sum would
-    * serialize on one task; sharding first keeps every window bounded and
-    * parallel — the shard count scales with the cluster, and packs are
-    * only ever built within a shard. */
+    * (doc_id % packShards(n)) and packed into fixed token-capacity
+    * windows by a running token count per shard. Scale: a GLOBAL running
+    * sum would serialize on one task; sharding first keeps every window
+    * bounded and parallel — the shard count grows with the data, and
+    * packs are only ever built within a shard. */
   def textPackTokens(spark: SparkSession, dir: String): DataFrame = {
     val cap = 2048
+    val docs = Tables.documents(spark, dir)
+    val shards = packShards(docs.count())
     val nTok = Text.nBpeTokens(col("text"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % 32).as("shard"), nTok.as("n_tokens"))
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"), nTok.as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
         ((col("cum_tokens") - col("n_tokens")) / cap).cast("long").as("pack_id"))
