@@ -80,6 +80,71 @@ object Dedup {
       |FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------- dedup_clusters
+  /** Connected components over the ≥0.9-Jaccard near-dup graph — pair
+    * lists aren't transitive, so a pipeline needs ONE cluster id per
+    * document to keep a single representative per GROUP of near-dups
+    * (A~B, B~C must collapse together even when A~C was never a
+    * candidate pair). Min-label propagation to a fixpoint: every
+    * iteration is one distributed join + min-aggregate (Pregel's shape —
+    * the driver only counts changed labels, rows never leave the
+    * cluster), converging in O(component diameter) rounds; near-dup
+    * components are clique-ish, so the fixpoint lands in 1-3 rounds. At
+    * 100 TB the standard refinement for DEEP components is
+    * large-star/small-star (O(log n) rounds); diameter-bound propagation
+    * is exact and cheaper for the shallow components dedup emits. The
+    * iteration cap is a safety rail; the convergence check exits first.
+    *
+    * Oracle: DuckDB derives the same components with a recursive CTE
+    * (min label reachable per node). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id")).union(prop)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("node"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id,
+      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |                        for i in range(0, len(words)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
+      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |r AS (
+      |  SELECT DISTINCT src AS node, src AS lab FROM e
+      |  UNION
+      |  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node)
+      |SELECT node AS doc_id, min(lab) AS cluster_id
+      |FROM r GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
+
   // ---------------------------------------------------- dedup_minhash_lsh
   private val NumHashes = 32
   private val Bands = 8
@@ -252,6 +317,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _)
@@ -260,6 +326,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql
     // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;
     // DedupSpec bounds recall and estimate error.

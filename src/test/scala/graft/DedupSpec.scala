@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(rows == Set((1L, 3L), (4L, 1L)))
   }
 
+  test("dedup_clusters: every >=0.9 pair shares a cluster whose id is its min member") {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // transitive closure: both endpoints of every candidate pair co-cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // a cluster's id is the minimum doc_id among its members
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+    // exactly the docs that appear in some pair are clustered
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("minhash signature estimates Jaccard within 0.15 on a near-dup pair") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
       .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"),
