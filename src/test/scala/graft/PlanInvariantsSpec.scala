@@ -12,6 +12,19 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * materialized) is never acceptable in this registry. */
 class PlanInvariantsSpec extends SparkSpec {
 
+  test("query registry has no silent name collisions and every oracle has a query") {
+    import graft.operators._
+    val parts = Seq(Relational.queries, Analytics.queries,
+      graft.warehouse.Warehouse.queries, TextAnalysis.queries,
+      TrainPrep.queries, Dedup.queries, Ann.queries,
+      graft.streaming.EventStreams.queries, Multimodal.queries)
+    // Map ++ overwrites silently: a duplicate name would shrink the merge
+    assert(parts.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across operator modules")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("no registered query plans a non-broadcast cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
