@@ -519,6 +519,117 @@ object Warehouse {
        |FROM fin_cat_monthly
        |ORDER BY department, category, year, month""".stripMargin
 
+  /** fin_rolling_3m: trailing 3-month rolling average per (department,
+    * GL) — the standard smoothing view next to MoM trend (rows-based:
+    * the last ≤3 OBSERVED months, so a silent month shortens the window
+    * rather than injecting a zero — fin_sparse_fill is the densifier
+    * when calendar frames are wanted).
+    *
+    * Scale: same shape as finTrendMom — one monthly aggregate (map-side
+    * combined) then one window per fine-grained (department, gl_code)
+    * key; the rolling sum+count share a single sort. The average divides
+    * exact cent integers as doubles only at output, so Spark and the
+    * oracle produce bit-identical IEEE results. */
+  def finRolling3m(spark: SparkSession, dir: String): DataFrame =
+    finRolling3mFrom(upserted(spark, dir))
+
+  private[graft] def finRolling3mFrom(up: DataFrame): DataFrame = {
+    val monthly = up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val w = Window.partitionBy(col("department"), col("gl_code"))
+      .orderBy(col("year"), col("month")).rowsBetween(-2, 0)
+    monthly
+      .withColumn("rc", sum(col("tc")).over(w))
+      .withColumn("rn", count(lit(1)).over(w))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        (col("rc").cast("double") / (lit(100.0) * col("rn"))).as("avg_3m"),
+        col("rn").cast("int").as("n_months"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finRolling3mSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |fin_roll AS (
+       |  SELECT *, sum(tc) OVER w AS rc, count(*) OVER w AS rn
+       |  FROM fin_monthly
+       |  WINDOW w AS (PARTITION BY department, gl_code ORDER BY year, month
+       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(rc AS DOUBLE)/(100.0 * rn) AS avg_3m,
+       |       CAST(rn AS INT) AS n_months
+       |FROM fin_roll
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
+  /** fin_anomaly_zscore: months whose total deviates from their
+    * (department, gl_code) group mean by more than 1.5 standard
+    * deviations — the close-process "which GL moved unusually" report.
+    *
+    * The flag is computed ENTIRELY in integer cents so Spark and DuckDB
+    * agree bit-for-bit (float stddev differs across engines by
+    * aggregation order): with S = Σx, Q = Σx², n = months,
+    * |x − S/n| > 1.5·σ_samp  ⇔  4(n−1)(nx − S)² > 9·n(nQ − S²),
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the same
+    * exact-integer-promotion twin vec_stats uses. The 1.5σ threshold is
+    * deliberate: monthly totals at gate scale are near-uniform, and a
+    * uniform variable never exceeds √3 ≈ 1.73σ, so a 2σ report would be
+    * vacuously empty on the test corpus (it still works — it just
+    * asserts nothing).
+    *
+    * Scale: monthly agg (map-side combined) → per-(department, gl_code)
+    * stats — a frame with one row per GL/department pair, tiny at any
+    * corpus size — broadcast-joined back. n=1 groups are never flagged
+    * (both sides collapse to 0), so no divide-by-zero path exists. */
+  def finAnomalyZscore(spark: SparkSession, dir: String): DataFrame =
+    finAnomalyZscoreFrom(upserted(spark, dir))
+
+  private[graft] def finAnomalyZscoreFrom(up: DataFrame): DataFrame = {
+    val monthly = up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val stats = monthly.groupBy(col("department"), col("gl_code"))
+      .agg(count(lit(1)).as("n"), sum(col("tc")).as("s"),
+        sum(d(col("tc")) * d(col("tc"))).as("q"))
+    val (n, x, s, q) = (d(col("n")), d(col("tc")), d(col("s")), d(col("q")))
+    val dev = n * x - s
+    monthly.join(broadcast(stats), Seq("department", "gl_code"))
+      .filter(lit(4) * (n - lit(1)) * dev * dev > lit(9) * n * (n * q - s * s))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        (col("s").cast("double") / (lit(100.0) * col("n"))).as("group_mean"),
+        col("n").cast("int").as("n_months"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finAnomalyZscoreSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |fin_stats AS (
+       |  SELECT department, gl_code, count(*) AS n, sum(tc) AS s,
+       |         sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT)) AS q
+       |  FROM fin_monthly GROUP BY department, gl_code)
+       |SELECT m.department, m.gl_code, m.year, m.month,
+       |       CAST(m.tc AS DOUBLE)/100.0 AS total,
+       |       CAST(t.s AS DOUBLE)/(100.0 * t.n) AS group_mean,
+       |       CAST(t.n AS INT) AS n_months
+       |FROM fin_monthly m JOIN fin_stats t USING (department, gl_code)
+       |WHERE 4 * (CAST(t.n AS HUGEINT) - 1)
+       |        * (CAST(t.n AS HUGEINT) * m.tc - t.s)
+       |        * (CAST(t.n AS HUGEINT) * m.tc - t.s)
+       |      > 9 * CAST(t.n AS HUGEINT)
+       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
+       |ORDER BY m.department, m.gl_code, m.year, m.month""".stripMargin
+
   /** fin_reconciliation: statement detail totals vs an independently
     * derived control total per (year, month, department) — mismatches are
     * exactly the sheets whose source rows arrived as unparseable N/A. */
@@ -676,6 +787,8 @@ object Warehouse {
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
+    "fin_rolling_3m" -> (finRolling3m _),
+    "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
     "fin_header_detect" -> (finHeaderDetect _)
@@ -696,6 +809,8 @@ object Warehouse {
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
+    "fin_rolling_3m" -> finRolling3mSql,
+    "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
     "fin_header_detect" -> finHeaderDetectSql

@@ -146,4 +146,34 @@ class WarehouseSpec extends SparkSpec {
     val b = Statements.income(spark, sf).orderBy("file", "sheet", "pos").collect()
     assert(a.sameElements(b))
   }
+
+  test("rolling 3m: window is rows-based, capped at 3, and avg==total on the first month") {
+    val rows = SparkEntry.queries("fin_rolling_3m")(spark, sf)
+      .select("department", "gl_code", "total", "avg_3m", "n_months").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 3))
+    // ordered output: the first row of every (department, gl) run is month 1 of the window
+    val firsts = rows.groupBy(r => (r.getString(0), r.getString(1))).values.map(_.head)
+    firsts.foreach { r =>
+      assert(r.getInt(4) == 1)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("anomaly zscore: planted 3.2-sigma month flagged, steady months and n=1 groups are not") {
+    import spark.implicits._
+    val up = ((1 to 11).map(m => ("100", "4000", 2024, m, 100.0)) :+
+      (("100", "4000", 2024, 12, 1000.0)) :+            // z = 3.18 -> flagged
+      (("200", "5000", 2024, 1, 999999.0)))             // n=1 group -> never flagged
+      .toDF("department", "gl_code", "year", "month", "amount")
+    val got = Warehouse.finAnomalyZscoreFrom(up)
+      .select("department", "gl_code", "month").collect().map(_.toSeq)
+    assert(got.toSeq == Seq(Seq("100", "4000", 12)))
+  }
+
+  test("anomaly zscore: group stats join back via broadcast (fact side never re-shuffles)") {
+    val plan = SparkEntry.queries("fin_anomaly_zscore")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast stats join:\n$plan")
+  }
 }
