@@ -232,6 +232,44 @@ object Analytics {
        |ORDER BY d.department, d.gl_code, d.year, d.month""".stripMargin
   }
 
+  // --------------------------------------------------------- scd2_intervals
+  /** SCD2 dimension versioning from a change stream: collapse each
+    * user's consecutive runs of the same attribute (event_type here
+    * stands in for any tracked dimension attribute) into validity
+    * intervals [valid_from, valid_to), open-ended on the current row —
+    * the standard type-2 slowly-changing-dimension build from CDC-style
+    * events.
+    *
+    * Scale: both windows (the lag run-break detection and the
+    * lead/row_number interval stitch) partition on the same fine-grained
+    * user_id key with the same ordering, so the whole operator is ONE
+    * shuffle and the second window reuses the first's sort. No state
+    * grows with history length beyond the rows themselves. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.eventsUs(spark, dir)
+      .withColumn("prev_attr", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        row_number().over(w).as("version"),
+        lead(col("ts_us"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |ch AS (SELECT *, lag(event_type) OVER w AS prev_attr FROM e
+      |       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+      |       lead(ts_us) OVER w AS valid_to_us,
+      |       CAST(row_number() OVER w AS INT) AS version,
+      |       lead(ts_us) OVER w IS NULL AS is_current
+      |FROM ch WHERE prev_attr IS NULL OR prev_attr <> event_type
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
@@ -239,7 +277,8 @@ object Analytics {
     "rank_stats_scalable" -> (rankStatsScalable _),
     "events_funnel" -> (eventsFunnel _),
     "retention_cohort" -> (retentionCohort _),
-    "fin_sparse_fill" -> (finSparseFill _)
+    "fin_sparse_fill" -> (finSparseFill _),
+    "scd2_intervals" -> (scd2Intervals _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -250,6 +289,7 @@ object Analytics {
     "rank_stats_scalable" -> rankStatsSql,
     "events_funnel" -> eventsFunnelSql,
     "retention_cohort" -> retentionCohortSql,
-    "fin_sparse_fill" -> finSparseFillSql
+    "fin_sparse_fill" -> finSparseFillSql,
+    "scd2_intervals" -> scd2IntervalsSql
   )
 }
