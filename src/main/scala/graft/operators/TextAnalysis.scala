@@ -152,13 +152,51 @@ object TextAnalysis {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w) s
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ text_repetition
+  /** Repetition quality signals (the Gopher-style repeated-content
+    * filters): per-document word and word-bigram duplication counts plus
+    * a boolean repetition gate (>30% duplicated bigrams — i.e.
+    * 10·distinct < 7·total, kept in exact integers so both engines agree
+    * without any float ratio). The corpus is single-line, so duplicated
+    * n-grams — not duplicated lines — are the meaningful signal.
+    *
+    * Scale: one codegen'd map-only projection over the scan, zero
+    * shuffles — per-doc array work is bounded by document length, never
+    * by corpus size. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Text.words(col("text"))
+    val bi = Text.shingles(col("text"), 2)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      size(array_distinct(ws)).as("n_distinct_words"),
+      size(bi).as("n_bigrams"),
+      size(array_distinct(bi)).as("n_distinct_bigrams"),
+      (lit(10) * size(array_distinct(bi)) < lit(7) * size(bi)).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |b AS (SELECT doc_id, words,
+      |        [words[i+1] || ' ' || words[i+2] for i in range(0, len(words)-1)] AS bi
+      |      FROM w)
+      |SELECT doc_id,
+      |  CAST(len(words) AS INT) AS n_words,
+      |  CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
+      |  CAST(len(bi) AS INT) AS n_bigrams,
+      |  CAST(len(list_distinct(bi)) AS INT) AS n_distinct_bigrams,
+      |  10 * len(list_distinct(bi)) < 7 * len(bi) AS is_repetitive
+      |FROM b ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_shingle_fp" -> (textShingleFp _)
+    "text_shingle_fp" -> (textShingleFp _),
+    "text_repetition" -> (textRepetition _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -166,6 +204,7 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_shingle_fp" -> textShingleFpSql
+    "text_shingle_fp" -> textShingleFpSql,
+    "text_repetition" -> textRepetitionSql
   )
 }

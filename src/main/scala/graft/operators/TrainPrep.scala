@@ -263,8 +263,54 @@ object TrainPrep {
       |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // -------------------------------------------------- corpus_decontaminate
+  /** Benchmark decontamination: drop every training document that shares
+    * ANY word-5-gram with the held-out eval set (here: doc_id % 20 == 0
+    * stands in for the benchmark corpus) — the standard n-gram-overlap
+    * test-set leakage filter run before pretraining.
+    *
+    * Scale: the eval side of a decontamination pass is always tiny
+    * relative to the corpus (benchmarks, not web crawl), so its distinct
+    * shingle set is BROADCAST and the contamination probe is a map-only
+    * broadcast semi-join over the exploded train shingles — the 100 TB
+    * corpus never shuffles. The contaminated-id set (smaller still) is
+    * broadcast back for the anti join. Shingles probe as md5 hashes so
+    * the broadcast rows are fixed-width instead of raw 5-gram text. */
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    corpusDecontaminateFrom(Tables.documents(spark, dir))
+
+  private[graft] def corpusDecontaminateFrom(docs: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 20 === 0
+    val sh = explode(Text.shingleHashes(col("text"), 5)).as("shingle")
+    val evalShingles = docs.filter(isEval).select(sh).distinct()
+    val train = docs.filter(!isEval)
+    val contaminated = train.select(col("doc_id"), sh)
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDecontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (SELECT doc_id,
+      |        [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' ||
+      |         words[i+4] || ' ' || words[i+5]
+      |         for i in range(0, len(words)-4)] AS sh
+      |      FROM w),
+      |ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 20 = 0),
+      |bad AS (SELECT DISTINCT t.doc_id
+      |        FROM (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 20 <> 0) t
+      |        JOIN ev USING (shingle))
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 20 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (corpusCurate _),
+    "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
@@ -275,6 +321,7 @@ object TrainPrep {
 
   def oracles: Map[String, String] = Map(
     "corpus_curate" -> corpusCurateSql,
+    "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,

@@ -39,4 +39,27 @@ class TextSpec extends SparkSpec {
       assert(stop >= 0 && stop <= 1 && uniq > 0 && uniq <= 1)
     }
   }
+
+  test("repetition signals: bigram identity, bounds, and a planted repetitive doc") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ndw, nb, ndb) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(nb == nw - 1, "every adjacent word pair is one bigram")
+      assert(ndw >= 1 && ndw <= nw && ndb >= 1 && ndb <= nb)
+      assert(r.getBoolean(5) == (10L * ndb < 7L * nb))
+    }
+    // a doc that is one phrase looped is flagged; fresh prose is not
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val planted = Seq(
+      (1L, Array.fill(20)("buy cheap pills now").mkString(" "), "en", "t", 0L),
+      (2L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bi = Text.shingles(col("text"), 2)
+    val got = planted.select(col("doc_id"),
+        (lit(10) * size(array_distinct(bi)) < lit(7) * size(bi)).as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && !got(2L))
+  }
 }

@@ -100,4 +100,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(ns == ns.sorted.reverse)
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
+
+  test("decontaminate: train doc sharing a 5-gram with the eval set dropped, others kept") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (20L, evalText, "en", "t", 0L),                                  // eval (id % 20 == 0)
+      (1L, "prefix words alpha beta gamma delta epsilon suffix", "en", "t", 0L), // shares a 5-gram
+      (2L, "completely different words with no overlap at all", "en", "t", 0L),
+      (3L, "alpha beta gamma unshared tail words here now", "en", "t", 0L))      // only a 3-gram
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TrainPrep.corpusDecontaminateFrom(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
+  test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
+    val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"expected broadcast-only joins:\n$plan")
+  }
 }
