@@ -81,6 +81,25 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** One-pass repetition stats: (n_words, n_distinct_words, n_bigrams,
+    * n_distinct_bigrams) with the same `split(" ", -1)` tokenization and
+    * single-space bigram join as the declarative words/shingles chain —
+    * ExpressionsSpec pins the equivalence. The declarative version
+    * rebuilds the bigram array interpreted once per output column; this
+    * is one compiled pass with two hash sets. */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val seenW = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { seenW.add(words(i)); i += 1 }
+    val seenB = new java.util.HashSet[String]()
+    i = 0
+    while (i + 1 < n) { seenB.add(words(i) + " " + words(i + 1)); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seenW.size, math.max(0, n - 1), seenB.size))
+  }
+
   /** 64-bit SimHash: per-word xxhash64, majority vote per bit. */
   def simHash64(text: UTF8String): Long = {
     val words = text.toString.split(" ", -1)
@@ -129,6 +148,24 @@ case class ShingleMd5s(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5s($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
+    copy(child = newChild)
+}
+
+/** repetition_stats(text): struct of word/bigram duplication counts. */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct_words", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

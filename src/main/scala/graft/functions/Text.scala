@@ -65,6 +65,15 @@ object Text {
       GraftColumnBridge.expression(c), k))
   }
 
+  /** One-pass repetition stats struct (n_words, n_distinct_words,
+    * n_bigrams, n_distinct_bigrams) — native kernel twin of the
+    * words/shingles(2) array chain (pinned in ExpressionsSpec). */
+  def repetitionStats(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.RepetitionStats(
+      GraftColumnBridge.expression(c)))
+  }
+
   /** Stopword lists for the language-ID heuristic (es/fr share 'la' —
     * the scoring tie-break is deterministic and mirrored in the oracle). */
   val langStops: Seq[(String, Seq[String])] = Seq(

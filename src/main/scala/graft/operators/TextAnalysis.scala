@@ -162,19 +162,22 @@ object TextAnalysis {
     *
     * Scale: one codegen'd map-only projection over the scan, zero
     * shuffles — per-doc array work is bounded by document length, never
-    * by corpus size. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Text.words(col("text"))
-    val bi = Text.shingles(col("text"), 2)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(ws).as("n_words"),
-      size(array_distinct(ws)).as("n_distinct_words"),
-      size(bi).as("n_bigrams"),
-      size(array_distinct(bi)).as("n_distinct_bigrams"),
-      (lit(10) * size(array_distinct(bi)) < lit(7) * size(bi)).as("is_repetitive"))
+    * by corpus size. The counts come from the native RepetitionStats
+    * kernel (one compiled pass); the declarative words/shingles chain
+    * rebuilds the bigram array interpreted once per output column
+    * (ExpressionsSpec pins kernel == chain). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.repetitionStats(col("text")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.n_distinct_words").as("n_distinct_words"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.n_distinct_bigrams").as("n_distinct_bigrams"),
+        (lit(10) * col("r.n_distinct_bigrams") < lit(7) * col("r.n_bigrams"))
+          .as("is_repetitive"))
       .orderBy(col("doc_id"))
-  }
 
   val textRepetitionSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

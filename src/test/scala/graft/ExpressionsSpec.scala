@@ -54,6 +54,27 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("RepetitionStats kernel equals the declarative words/shingles chain exactly") {
+    // same empty-token-keeping tokenization edge cases as ShingleMd5s,
+    // plus planted repetition; checked over real corpus docs below too
+    val edge = Seq("the quick brown fox jumps over", "a b", "", "x",
+      "a b c ", "a b c  ", "a  b c", " a b c", "  ", "a a a a", "a b a b a b")
+      .toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("text")
+    for (df <- Seq(edge, corpus)) {
+      val ws = graft.functions.Text.words(col("text"))
+      val bi = graft.functions.Text.shingles(col("text"), 2)
+      df.select(graft.functions.Text.repetitionStats(col("text")).as("r"),
+          size(ws).as("nw"), size(array_distinct(ws)).as("ndw"),
+          size(bi).as("nb"), size(array_distinct(bi)).as("ndb"))
+        .collect().foreach { r =>
+          val k = r.getStruct(0)
+          assert((k.getInt(0), k.getInt(1), k.getInt(2), k.getInt(3)) ==
+            (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.toString)
+        }
+    }
+  }
+
   test("VectorDot kernel is bit-identical to the declarative fold") {
     val df = Seq((Seq(1.1, -2.2, 3.3, 0.004), Seq(0.5, 1.5, -2.5, 100.0)))
       .toDF("a", "b")
