@@ -456,10 +456,81 @@ object Relational {
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // ----------------------------------------------------- q17_avg_threshold
+  /** TPC-H Q17 shape: revenue of line items under 20% of their part's
+    * average quantity — the canonical correlated-scalar-subquery query,
+    * written as Catalyst's own decorrelation would plan it: one per-part
+    * stats aggregate joined back to the fact on the same key.
+    *
+    * Scale: both the stats build and the join-back shuffle on l_partkey,
+    * so AQE co-partitions them; the stats side is one row per part
+    * (dimension-sized → broadcast-able at lower SFs). The threshold
+    * compare `5·qty·cnt < sum_qty` is exact integer cents — no float
+    * average crosses the engine boundary. */
+  def q17AvgThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val stats = l.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    l.select(col("l_partkey"), cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      .join(stats, Seq("l_partkey"))
+      .filter(lit(5) * col("qc") * col("cnt") < col("sq"))
+      .agg((sum(col("pc")).cast("double") / 100.0 / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17AvgThresholdSql: String =
+    """WITH stats AS (
+      |  SELECT l_partkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS sq,
+      |         count(*) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/7.0 AS avg_yearly,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN stats USING (l_partkey)
+      |WHERE 5 * CAST(round(l_quantity*100) AS BIGINT) * cnt < sq""".stripMargin
+
+  // ------------------------------------------------------ q18_large_orders
+  /** TPC-H Q18 shape: customers whose orders exceed 250 total quantity —
+    * a HAVING-filtered aggregate semi-joined back to the order/customer
+    * dims, top 100 by order value.
+    *
+    * Scale: the quantity rollup is map-side combined and shuffles
+    * lineitem on l_orderkey — the same key the orders join needs, so the
+    * big side shuffles ONCE; customer is a broadcast dim; the top-100 is
+    * a TakeOrderedAndProject (no global sort). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qtyc"))
+      .filter(col("qtyc") > 250 * 100)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), (col("qtyc").cast("double") / 100.0).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(round(l_quantity*100) AS BIGINT)) AS qtyc
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+      |SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(qtyc AS DOUBLE)/100.0 AS total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multi_join" -> (q5MultiJoin _),
+    "q17_avg_threshold" -> (q17AvgThreshold _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "topk_window" -> (topkWindow _),
     "semi_join" -> (semiJoin _),
     "anti_join" -> (antiJoin _),
@@ -481,6 +552,8 @@ object Relational {
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multi_join" -> q5MultiJoinSql,
+    "q17_avg_threshold" -> q17AvgThresholdSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "topk_window" -> topkWindowSql,
     "semi_join" -> semiJoinSql,
     "anti_join" -> antiJoinSql,

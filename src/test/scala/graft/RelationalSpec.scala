@@ -116,4 +116,27 @@ class RelationalSpec extends SparkSpec {
     val plan = run("q5_multi_join").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
+
+  test("q18 rows all exceed the 250-quantity gate, descending by order value") {
+    val rows = run("q18_large_orders").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("q17 decorrelated threshold matches a spot-checked correlated subquery") {
+    // independent formulation through Spark SQL's own correlated scalar
+    // subquery (Catalyst decorrelates it) — same avg_yearly to the cent
+    val l = graft.sources.Tables.lineitem(spark, sf)
+    l.createOrReplaceTempView("li_q17")
+    val want = spark.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/7.0 AS avg_yearly
+        |FROM li_q17 outer_l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM li_q17
+        |                    WHERE l_partkey = outer_l.l_partkey)""".stripMargin)
+      .first().getDouble(0)
+    val got = run("q17_avg_threshold").first().getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+  }
 }
