@@ -525,12 +525,118 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------- q4_order_priority
+  /** TPC-H Q4 shape: orders in a quarter that had at least one late-shipped
+    * line item (EXISTS), counted per priority.
+    *
+    * Scale: the date filter pushes to the orders scan; the EXISTS is a
+    * LEFT SEMI join shuffling both sides on orderkey — the semi join keeps
+    * at most one match per order, so the post-join aggregate sees |orders|
+    * rows, never the lineitem multiplicity; the priority rollup is
+    * map-side combined down to a handful of groups. The non-equi part of
+    * the predicate (l_shipdate > o_orderdate) rides ON the semi join —
+    * no second pass over lineitem. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------- q10_returned_items
+  /** TPC-H Q10 shape: revenue lost to returned items per customer over a
+    * quarter, top 20 — selective fact predicate + star dims + top-N.
+    *
+    * Scale: the returnflag and date filters push to the two scans; the
+    * only big shuffle is orders⋈lineitem on orderkey; customer and nation
+    * are broadcast so the joined fact never reshuffles; the customer
+    * rollup shuffles one pre-aggregated row per (custkey) map-side group;
+    * top-20 is a TakeOrderedAndProject. Revenue math is the exact
+    * cents×basis-points DECIMAL(38) used by q3/q5. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-07-01'
+      |  AND o_orderdate < TIMESTAMP '1995-10-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- order_value_histogram
+  /** Fixed-width histogram of order values: $25k buckets over [0, 500k],
+    * count + exact total per bucket.
+    *
+    * Scale: the canonical "profile a 100 TB column" shape — a map-only
+    * integer bucket projection followed by ONE map-side-combined aggregate
+    * whose shuffle carries |buckets| rows per map partition (20 here), no
+    * matter the input size. Bucket math is BIGINT cents division (exact,
+    * identical in both engines) — no float boundary can land a row in
+    * different buckets; totals are summed in cents and divided back. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .select(expr("c DIV 2500000").as("bucket"), col("c"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), dollars(sum(col("c"))).as("total_value"))
+      .withColumn("bucket_lo", (col("bucket") * 25000L).cast("long"))
+      .select(col("bucket"), col("bucket_lo"), col("n_orders"), col("total_value"))
+      .orderBy(col("bucket"))
+
+  val orderValueHistogramSql: String =
+    """SELECT CAST(round(o_totalprice*100) AS BIGINT) // 2500000 AS bucket,
+      |       (CAST(round(o_totalprice*100) AS BIGINT) // 2500000) * 25000 AS bucket_lo,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multi_join" -> (q5MultiJoin _),
     "q17_avg_threshold" -> (q17AvgThreshold _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "order_value_histogram" -> (orderValueHistogram _),
     "topk_window" -> (topkWindow _),
     "semi_join" -> (semiJoin _),
     "anti_join" -> (antiJoin _),
@@ -554,6 +660,9 @@ object Relational {
     "q5_multi_join" -> q5MultiJoinSql,
     "q17_avg_threshold" -> q17AvgThresholdSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "order_value_histogram" -> orderValueHistogramSql,
     "topk_window" -> topkWindowSql,
     "semi_join" -> semiJoinSql,
     "anti_join" -> antiJoinSql,

@@ -69,4 +69,36 @@ class ScaleSpec extends SparkSpec {
     val s2 = o.select(Salt.rowSalt(8, Seq(col("o_orderkey"))).as("s")).collect()
     assert(s1.sameElements(s2))
   }
+
+  test("dynamic partition pruning fires on the partitioned fact scan") {
+    // The 100 TB star-join staple: the fact is directory-partitioned on the
+    // join key's functional image (order year); the dim filter is only
+    // known at runtime, so static pruning can't help — Spark must inject a
+    // dynamicpruning subquery into the fact scan's PartitionFilters so
+    // only matching year directories are listed and read.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.writePartitioned(o, s"$dir/fact", Seq("o_year"))
+    // dim must be a real scan + filter (a LocalRelation's filter constant-
+    // folds away and DPP's selective-predicate check never fires)
+    spark.range(1995, 2002)
+      .select(col("id").cast("int").as("d_year"), (col("id") % 2).as("parity"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("parity") === 0)
+    val q = fact.join(broadcast(dim), col("o_year") === col("d_year"))
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n$plan")
+    // and the pruned plan still computes the right answer
+    val got = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_year") % 2 === 0)
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got vs $expect")
+  }
 }
