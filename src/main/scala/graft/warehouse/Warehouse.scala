@@ -402,6 +402,37 @@ object Warehouse {
        |SELECT gl_code, category, year, month, department, amount FROM ml_final
        |ORDER BY year, month, department, category, gl_code""".stripMargin
 
+  /** fin_latest_load: the newest-file operating mode as a registered
+    * query — the reference's month-end trigger (build_warehouse.py:193-203
+    * mtime-picks ONE workbook; Code.gs:87-109's sort makes the revised
+    * file land last) is `latestPeriodBatch` (1-row max broadcast back)
+    * followed by the same fold. No driver file loop, no second fact scan;
+    * at 100 TB the max-batch probe reads one column. */
+  def finLatestLoad(spark: SparkSession, dir: String): DataFrame =
+    multiLoadFold(latestPeriodBatch(multiLoadBatches(spark, dir)))
+      .orderBy(col("year"), col("month"), col("department"), col("category"), col("gl_code"))
+
+  val finLatestLoadSql: String =
+    s"""WITH $factCtes,
+       |ml_batches AS (
+       |  SELECT gl_code, category, year, month, department, amount, pos,
+       |         CAST(year*12 + month AS BIGINT) AS batch
+       |  FROM fin_fact
+       |  UNION ALL
+       |  SELECT gl_code, category, year, month, department, amount + 50.0, pos,
+       |         CAST(year*12 + month + 100000 AS BIGINT)
+       |  FROM fin_fact WHERE (pos % $PB) % 23 = 0),
+       |ml_latest AS (
+       |  SELECT * FROM ml_batches
+       |  WHERE batch = (SELECT max(batch) FROM ml_batches)),
+       |ml_final AS (
+       |  SELECT gl_code, category, year, month, department, amount FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY gl_code, year, month, department, category
+       |                                 ORDER BY batch DESC, pos DESC) AS rn
+       |    FROM ml_latest) t WHERE rn = 1)
+       |SELECT gl_code, category, year, month, department, amount FROM ml_final
+       |ORDER BY year, month, department, category, gl_code""".stripMargin
+
   /** fin_warehouse_build: the flagship end-to-end pipeline — the
     * reference's 8-column Final sheet (Code.gs:200), month as name
     * (build_warehouse.py:202). */
@@ -782,6 +813,7 @@ object Warehouse {
     "fin_qa_status" -> (finQaStatus _),
     "fin_upsert_dedupe" -> (finUpsertDedupe _),
     "fin_multi_load" -> (finMultiLoad _),
+    "fin_latest_load" -> (finLatestLoad _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
@@ -804,6 +836,7 @@ object Warehouse {
     "fin_qa_status" -> finQaStatusSql,
     "fin_upsert_dedupe" -> finUpsertDedupeSql,
     "fin_multi_load" -> finMultiLoadSql,
+    "fin_latest_load" -> finLatestLoadSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_trend_mom_staged" -> finTrendMomSql,

@@ -101,4 +101,39 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == expect, s"got $got vs $expect")
   }
+
+  test("runtime bloom filter prunes the big side of a shuffle join") {
+    // DPP's sibling for non-partitioned data: when a selectively-filtered
+    // build side meets a big probe side in a SHUFFLE join, Spark injects a
+    // bloom_filter_agg subquery on the build side and a might_contain
+    // predicate into the probe scan, dropping most probe rows BEFORE the
+    // shuffle — at 100 TB that is the difference between shuffling the
+    // whole fact and shuffling the ~matching slice.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf)
+      val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+      // and the filtered plan still computes the right answer
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"got $got vs $expect")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
