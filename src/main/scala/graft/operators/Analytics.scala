@@ -270,6 +270,40 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // ------------------------------------------------------- event_transitions
+  /** First-order Markov transition matrix over user event streams: for
+    * every ordered (event_type → next event_type) adjacency, how many
+    * transitions occurred and how many distinct users made it. The
+    * standard behavioral-analytics "what happens after X" report.
+    *
+    * Scale: ONE shuffle on user_id (fine-grained key) feeds the lead
+    * window; the transition rollup is map-side combined down to at most
+    * |types|² rows; countDistinct(user_id) expands within that tiny
+    * group space. Ties in ts break on event_id, so the adjacency — and
+    * the oracle hash — is deterministic. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |adj AS (SELECT user_id, event_type,
+      |               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      |        FROM e)
+      |SELECT event_type, next_type, count(*) AS n_transitions,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM adj WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY event_type, next_type""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
@@ -278,7 +312,8 @@ object Analytics {
     "events_funnel" -> (eventsFunnel _),
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _),
-    "scd2_intervals" -> (scd2Intervals _)
+    "scd2_intervals" -> (scd2Intervals _),
+    "event_transitions" -> (eventTransitions _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -290,6 +325,7 @@ object Analytics {
     "events_funnel" -> eventsFunnelSql,
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql,
-    "scd2_intervals" -> scd2IntervalsSql
+    "scd2_intervals" -> scd2IntervalsSql,
+    "event_transitions" -> eventTransitionsSql
   )
 }

@@ -628,6 +628,228 @@ object Relational {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------- q7_nation_volume
+  /** TPC-H Q7 shape: shipping volume between nation pairs per year —
+    * the canonical "fact needs BOTH endpoint dims" query (supplier's
+    * nation comes through lineitem, customer's through orders).
+    *
+    * Scale: nation-filtered supplier is genuinely dim-sized (4/25 of a
+    * dim table) → explicit broadcast, so the lineitem side never
+    * reshuffles for it. The two real shuffles are the classic Q7
+    * minimum: orders⋈customer on custkey, then lineitem⋈orders on
+    * orderkey. customer is NOT hinted — at TPC-H sf100k the 4-nation
+    * customer slice outgrows a broadcast, and AQE picks broadcast vs
+    * shuffle from the runtime size. The shipdate range pushes to the
+    * lineitem scan; the final rollup is map-side combined to
+    * |pairs|·|years| rows. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val n = Tables.nation(spark, dir).filter(col("n_name").isin(nations: _*))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") <= lit("1998-12-31").cast("timestamp"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      |  AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --------------------------------------------------- q14_promo_revenue
+  /** TPC-H Q14 shape: promo revenue share for one ship-month — a
+    * conditional-aggregate ratio over a selective fact slice.
+    *
+    * Scale: the one-month shipdate range pushes to the lineitem scan
+    * (reads ~1/84 of the fact); part joins on l_partkey with no hint —
+    * AQE broadcasts it at gate scale and shuffle-joins at 100 TB where
+    * part outgrows a broadcast. Both sums are exact DECIMAL(38)
+    * cents×basis-points; the single ratio division happens once in
+    * DOUBLE on integer-valued operands, so both engines compute the
+    * identical IEEE quotient. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val units = revUnits(col("l_extendedprice"), col("l_discount")).cast("decimal(38,0)")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", units).otherwise(lit(0).cast("decimal(38,0)"))).as("pu"),
+        sum(units).as("tu"))
+      .select(
+        (lit(100.0) * col("pu").cast("double") / col("tu").cast("double")).as("promo_pct"),
+        (col("pu").cast("double") / 1000000.0).as("promo_revenue"),
+        (col("tu").cast("double") / 1000000.0).as("total_revenue"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """WITH t AS (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (10000 - CAST(round(l_discount*10000) AS BIGINT))
+      |        ELSE 0 END) AS pu,
+      |    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |        * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS tu
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      |    AND l_shipdate < TIMESTAMP '1995-10-01')
+      |SELECT 100.0 * CAST(pu AS DOUBLE) / CAST(tu AS DOUBLE) AS promo_pct,
+      |       CAST(pu AS DOUBLE)/1000000.0 AS promo_revenue,
+      |       CAST(tu AS DOUBLE)/1000000.0 AS total_revenue
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------- q16_supplier_variety
+  /** TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    * (brand, type, size) combination — a NOT-EXISTS-filtered
+    * count-distinct over the part-supplier relation implied by lineitem.
+    *
+    * Scale: part is filtered before its join (brand/type/size predicates
+    * push to the part scan) and joined without a hint (AQE broadcasts at
+    * gate scale); the excluded-supplier set (negative account balance) is
+    * a tiny broadcast LEFT ANTI — NOT IN with a guaranteed-non-null key
+    * is exactly NOT EXISTS, which is what the oracle spells. The
+    * count-distinct shuffles (group keys + suppkey) once; lineitem itself
+    * never carries more than (partkey, suppkey). */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierVarietySql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      |  AND p_size IN (1,3,9,14,19,23,36,45)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------- q19_disjunctive_join
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    * join sides — the canonical disjunctive-pushdown test.
+    *
+    * Scale: Catalyst extracts the per-side residues of the disjunction
+    * (brand ∈ {12,23,34} ∧ size ≤ 25 onto the part scan; quantity ∈
+    * [1,40] onto the lineitem scan) so both scans are pre-filtered even
+    * though no single disjunct is globally true; the mixed OR evaluates
+    * on the join output. part joins without a hint (AQE broadcast at
+    * gate scale, shuffle at 100 TB). One aggregate row out. */
+  def q19DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val mixed =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 40))
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(mixed)
+      .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctiveJoinSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand='Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  // --------------------------------------------------- q22_dormant_balance
+  /** TPC-H Q22 shape: high-balance customers gone dormant — an
+    * uncorrelated scalar aggregate threshold plus a NOT-EXISTS against
+    * recent orders, rolled up per nation.
+    *
+    * Scale: the global average is ONE broadcast row crossed in (the same
+    * broadcast-1-row pattern as rank_stats_scalable); the threshold
+    * compare is exact integer cents×count in DECIMAL(38) — no float
+    * average crosses the engine boundary, so no borderline customer can
+    * flip sides. The anti join's build side is date-filtered orders
+    * projected to o_custkey; nation is a broadcast dim. customer itself
+    * shuffles once (the anti join). */
+  def q22DormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).cast("decimal(38,0)").as("tot"),
+        count(lit(1)).as("cnt"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(cents(col("c_acctbal")).cast("decimal(38,0)") * col("cnt") > col("tot"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_dormant"),
+        dollars(sum(cents(col("c_acctbal")))).as("total_balance"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22DormantBalanceSql: String =
+    """WITH s AS (
+      |  SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS tot, count(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, count(*) AS n_dormant,
+      |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_balance
+      |FROM customer, s
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(round(c_acctbal*100) AS BIGINT) * cnt > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -636,6 +858,11 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q16_supplier_variety" -> (q16SupplierVariety _),
+    "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
+    "q22_dormant_balance" -> (q22DormantBalance _),
     "order_value_histogram" -> (orderValueHistogram _),
     "topk_window" -> (topkWindow _),
     "semi_join" -> (semiJoin _),
@@ -662,6 +889,11 @@ object Relational {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q10_returned_items" -> q10ReturnedItemsSql,
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q14_promo_revenue" -> q14PromoRevenueSql,
+    "q16_supplier_variety" -> q16SupplierVarietySql,
+    "q19_disjunctive_join" -> q19DisjunctiveJoinSql,
+    "q22_dormant_balance" -> q22DormantBalanceSql,
     "order_value_histogram" -> orderValueHistogramSql,
     "topk_window" -> topkWindowSql,
     "semi_join" -> semiJoinSql,
