@@ -313,6 +313,82 @@ object Dedup {
        |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y))), 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM p ORDER BY label, id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------ dedup_incremental
+  /** Incremental admission: a NEW batch of documents (doc_id % 10 == 0
+    * stands in for the day's ingest) is screened against the EXISTING
+    * corpus — the shape a continuously-fed training pipeline actually
+    * runs, where re-deduplicating the whole corpus per ingest is not an
+    * option. Verdict per batch doc: drop if any corpus candidate reaches
+    * Jaccard ≥ 0.9 (identical texts share every shingle, so exact dups
+    * are guaranteed candidates at j = 1.0), keep otherwise — with the
+    * best-matching corpus doc and candidate count for audit.
+    *
+    * Scale: the per-doc shingle-hash sets are ONE explode + partial
+    * aggregation over all documents; batch and corpus are filters OVER
+    * THE SAME aggregate subtree, so the exchange is built once and
+    * reused. Candidates join on the min-shingle bucket (1-band MinHash,
+    * same candidate generator as dedup_ngram_jaccard) — batch-side
+    * bucket cardinality is O(|batch|), so candidate work scales with the
+    * ingest, not the corpus; the best-match window partitions on the
+    * fine-grained batch doc_id. Batch docs with no bucket match (or
+    * fewer than 3 words — no shingles) short-circuit to keep via the
+    * left join. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh"))
+    val batch = s.filter(col("doc_id") % 10 === 0)
+    val corpus = s.filter(col("doc_id") % 10 =!= 0)
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val cand = batch.as("a").join(corpus.as("b"), col("a.minh") === col("b.minh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
+        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j").desc, col("match_id"))
+    val best = cand
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("match_id").as("best_match"),
+        col("j").as("best_jaccard"), col("n_candidates"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match"), col("best_jaccard"),
+        when(col("best_jaccard") >= 0.9, "drop").otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |                        for i in range(0, len(words)-2)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+      |  WHERE len(words) >= 3),
+      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+      |         len(list_intersect(a.sh, b.sh))
+      |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      |  FROM m a JOIN m b ON a.minh = b.minh
+      |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      |best AS (
+      |  SELECT doc_id, match_id AS best_match, j AS best_jaccard, n_candidates
+      |  FROM (SELECT *,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, match_id) AS rk,
+      |          count(*) OVER (PARTITION BY doc_id) AS n_candidates
+      |        FROM cand) WHERE rk = 1)
+      |SELECT d.doc_id, coalesce(best.n_candidates, 0) AS n_candidates,
+      |       best.best_match, best.best_jaccard,
+      |       CASE WHEN best.best_jaccard >= 0.9 THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |LEFT JOIN best ON d.doc_id = best.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -320,14 +396,16 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _)
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_embedding" -> dedupEmbeddingSql
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_incremental" -> dedupIncrementalSql
     // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;
     // DedupSpec bounds recall and estimate error.
   )

@@ -139,4 +139,35 @@ class RelationalSpec extends SparkSpec {
     val got = run("q17_avg_threshold").first().getDouble(0)
     assert(math.abs(got - want) < 1e-6, s"$got vs $want")
   }
+
+  test("q19 pushes per-side disjunction residues into BOTH parquet scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = run("q19_disjunctive_join").queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.length == 2, s"expected 2 parquet scans, got $scans")
+    // lineitem scan: the OR of the three quantity ranges; part scan: the
+    // OR of the three (brand, size-bound) conjunctions. Neither side is
+    // a globally-true predicate — Catalyst must extract the residues.
+    assert(scans.exists(p => p.contains("Or(") && p.contains("l_quantity")),
+      s"no disjunctive quantity pushdown in $scans")
+    assert(scans.exists(p => p.contains("Or(") && p.contains("p_brand")),
+      s"no disjunctive brand/size pushdown in $scans")
+  }
+
+  test("q22 threshold is exact: no borderline customer flips vs the float average") {
+    val rows = run("q22_dormant_balance").collect()
+    assert(rows.nonEmpty)
+    // n_dormant and total_balance are internally consistent: every
+    // nation's average dormant balance exceeds the global positive mean
+    // (each member individually cleared the threshold).
+    val c = graft.sources.Tables.customer(spark, sf)
+    import org.apache.spark.sql.functions._
+    val mean = c.filter(col("c_acctbal") > 0).agg(avg(col("c_acctbal")))
+      .first().getDouble(0)
+    rows.foreach { r =>
+      val avgBal = r.getAs[Double]("total_balance") / r.getAs[Long]("n_dormant")
+      assert(avgBal > mean - 0.01, s"nation ${r.getString(0)}: $avgBal <= $mean")
+    }
+  }
 }
