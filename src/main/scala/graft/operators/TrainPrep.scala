@@ -308,10 +308,36 @@ object TrainPrep {
       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_sample_fixed
+  /** Fixed-SIZE deterministic uniform sample: exactly k = 100 documents,
+    * chosen as the k smallest md5(doc_id) coins — the complement of the
+    * fixed-RATE stratified sampler above (a manifest wants "give me
+    * exactly 100 eval docs", not "~3%"). Content-independent and stable
+    * under corpus growth ordering: the selected set changes only when
+    * new doc_ids hash below the current k-th coin.
+    *
+    * Scale: no global sort — the hash-order limit plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * one reducer), the same shape as every top-N here. k rows out
+    * regardless of corpus size. */
+  def corpusSampleFixed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("doc_id").cast("string")).as("coin"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("coin"))
+      .limit(100)
+
+  val corpusSampleFixedSql: String =
+    """SELECT md5(CAST(doc_id AS VARCHAR)) AS coin, doc_id, lang, source, n_chars
+      |FROM documents
+      |ORDER BY coin
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (corpusCurate _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
+    "corpus_sample_fixed" -> (corpusSampleFixed _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
     "text_ngram_freq" -> (textNgramFreq _),
@@ -323,6 +349,7 @@ object TrainPrep {
     "corpus_curate" -> corpusCurateSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
+    "corpus_sample_fixed" -> corpusSampleFixedSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,
     "text_ngram_freq" -> textNgramFreqSql,

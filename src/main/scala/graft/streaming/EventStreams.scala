@@ -191,13 +191,48 @@ object EventStreams {
       |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM h GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
 
+  /** stream_session_agg: Spark's native `session_window` run in BATCH
+    * mode over the events table, registered + oracled. Boundary
+    * semantics pinned empirically: events exactly `gap` apart MERGE
+    * (a new session starts only when the inter-event difference
+    * EXCEEDS the gap) — the same islands the oracled `sessionize`
+    * derives, so the oracle reuses that island derivation with
+    * session_window's [min_ts, max_ts + gap) framing. Scale: the
+    * session assignment is one shuffle on user_id; per-key session
+    * merging is a sorted linear pass (UpdatingSessionsIterator), no
+    * driver state. */
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("tsx"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val streamSessionAggSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> (streamTumblingAgg _),
     "stream_hopping_agg" -> (streamHoppingAgg _),
+    "stream_session_agg" -> (streamSessionAgg _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_hopping_agg" -> streamHoppingAggSql,
+    "stream_session_agg" -> streamSessionAggSql,
     "interval_join" -> intervalJoinSql)
 }
