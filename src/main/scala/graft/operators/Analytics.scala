@@ -270,6 +270,46 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // ------------------------------------------------------------ scd2_asof
+  /** Point-in-time lookup over the SCD2 dimension: each user's attribute
+    * version as of 2024-01-15 00:00 UTC — the query a training-data or
+    * reporting join actually runs against a versioned dimension ("what
+    * was the user's state when the example was generated"). An interval
+    * containment filter over scd2_intervals: valid_from ≤ T < valid_to
+    * (open-ended current rows qualify via null valid_to); at most one
+    * row per user by construction.
+    *
+    * Scale: the filter composes into the interval derivation (same ONE
+    * user_id shuffle); against a STORED intervals table this is a scan
+    * with both bounds pushed down — and month-partitioned storage makes
+    * it partition-prunable. */
+  def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val tUs = 1705276800000000L // 2024-01-15 00:00:00 UTC, mid-corpus
+    scd2Intervals(spark, dir)
+      .filter(col("valid_from_us") <= tUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+      .select(col("user_id"), col("attr"), col("version"),
+        col("valid_from_us"), col("is_current"))
+      .orderBy(col("user_id"))
+  }
+
+  val scd2AsofSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |ch AS (SELECT *, lag(event_type) OVER w AS prev_attr FROM e
+      |       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |iv AS (
+      |  SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER w AS valid_to_us,
+      |         CAST(row_number() OVER w AS INT) AS version,
+      |         lead(ts_us) OVER w IS NULL AS is_current
+      |  FROM ch WHERE prev_attr IS NULL OR prev_attr <> event_type
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, attr, version, valid_from_us, is_current
+      |FROM iv
+      |WHERE valid_from_us <= 1705276800000000
+      |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------- event_transitions
   /** First-order Markov transition matrix over user event streams: for
     * every ordered (event_type → next event_type) adjacency, how many
@@ -313,6 +353,7 @@ object Analytics {
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _),
     "scd2_intervals" -> (scd2Intervals _),
+    "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _)
   )
 
@@ -326,6 +367,7 @@ object Analytics {
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql,
     "scd2_intervals" -> scd2IntervalsSql,
+    "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2G): media payloads ride as
@@ -100,11 +101,55 @@ object Multimodal {
       |FROM documents GROUP BY 1
       |ORDER BY payload_md5""".stripMargin
 
+  /** mm_shard_pack: pack media payloads into training shards bounded by
+    * a byte budget — the binary twin of text_pack_tokens (a multimodal
+    * loader wants "~64 KiB of payload per pack file", not a doc count).
+    * Docs pre-partition into shards (doc_id % 32 at gate scale — the
+    * same floor-preserving knob pattern as TrainPrep.packShards grows
+    * it with data), then a per-shard running byte sum assigns pack ids;
+    * a GLOBAL running sum would serialize on one task.
+    *
+    * Only byte LENGTHS cross the compare (payload bytes never shuffle
+    * beyond their shard), so this is fully oracled: the stand-in
+    * payload is the text's UTF-8 bytes and DuckDB's strlen counts the
+    * same bytes. */
+  def mmShardPack(spark: SparkSession, dir: String): DataFrame = {
+    val capBytes = 65536L
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("kind"), (col("doc_id") % 32).as("shard"),
+        octet_length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("cum_bytes", sum(col("byte_len")).over(w))
+      .select(col("shard"), col("doc_id"), col("kind"), col("byte_len"),
+        col("cum_bytes"),
+        ((col("cum_bytes") - col("byte_len")) / capBytes).cast("long").as("pack_id"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  val mmShardPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         doc_id % 32 AS shard,
+      |         CAST(strlen(text) AS BIGINT) AS byte_len
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(byte_len) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+      |  FROM t)
+      |SELECT shard, doc_id, kind, byte_len, cum_bytes,
+      |       CAST((cum_bytes - byte_len) // 65536 AS BIGINT) AS pack_id
+      |FROM c ORDER BY shard, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (mmMetadata _),
     "mm_features" -> (mmFeatures _),
-    "mm_dedup" -> (mmDedup _))
+    "mm_dedup" -> (mmDedup _),
+    "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
-    "mm_dedup" -> mmDedupSql)
+    "mm_dedup" -> mmDedupSql,
+    "mm_shard_pack" -> mmShardPackSql)
 }
