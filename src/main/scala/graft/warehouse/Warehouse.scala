@@ -661,6 +661,84 @@ object Warehouse {
        |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
        |ORDER BY m.department, m.gl_code, m.year, m.month""".stripMargin
 
+  /** fin_ewma: exponentially-weighted moving average (α = 1/2) of the
+    * monthly totals per (department, GL), restarted each year — the
+    * smoothing view that weights recent months over old ones
+    * (fin_rolling_3m's uniform window is its boxcar cousin), with the
+    * same year scoping as finYtdCumulative (s resets in January).
+    *
+    * EWMA is inherently RECURSIVE (s_m = (x_m + s_{m-1})/2), which a
+    * declarative engine can't iterate — so it's rewritten in closed
+    * form: s_m = T_m / 2^(m-1) with T_m = x_1 + Σ_{j=2..m} x_j·2^(j-2),
+    * a plain running sum over per-row weights. With ≤12 rows per
+    * (key, year) the exponent caps at 10, so EVERY intermediate is an
+    * exact integer below 2^53: no decimal→double or HUGEINT→double
+    * conversion ever rounds, and the final division is by a power of
+    * two (exact IEEE scaling) — Spark and DuckDB agree bit-for-bit
+    * with NO float recursion crossing the engine boundary. (The
+    * year restart is also what makes the closed form scale-safe:
+    * unbounded history would need 2^(months) weights, which overflow
+    * DECIMAL(38) past ~95 observed months — the sf0.1 sweep caught
+    * exactly that.)
+    *
+    * The weight is built from integer shifts, never pow: Spark's
+    * double→decimal cast routes through Double.toString (shortest
+    * round-trip repr), which silently truncates exact powers of two
+    * past 17 significant digits.
+    *
+    * Scale: same shape as finYtdCumulative — one map-side-combined
+    * monthly aggregate, then ONE window pass on the fine-grained
+    * (department, gl_code, year) key; row_number and the running sum
+    * share the sort. */
+  def finEwma(spark: SparkSession, dir: String): DataFrame =
+    finEwmaFrom(upserted(spark, dir))
+
+  private[graft] def finEwmaFrom(up: DataFrame): DataFrame = {
+    val monthly = up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val wOrd = Window.partitionBy(col("department"), col("gl_code"), col("year"))
+      .orderBy(col("month"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val w2 = expr("CAST(shiftleft(1L, rn - 2) AS DECIMAL(38,0))")
+    monthly
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("wx",
+        when(col("rn") === 1, d(col("tc")))
+          .otherwise(d(col("tc")) * w2))
+      .withColumn("num", sum(col("wx")).over(wRun))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        (col("num").cast("double") / (lit(100.0) * pow(lit(2.0), col("rn") - 1)))
+          .as("ewma"),
+        col("rn").as("n_months"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finEwmaSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |fin_rn AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY department, gl_code, year
+       |                                    ORDER BY month) AS INT) AS rn
+       |  FROM fin_monthly),
+       |fin_t AS (
+       |  SELECT *, sum(CASE WHEN rn = 1 THEN tc
+       |                     ELSE tc * CAST(pow(2, rn - 2) AS BIGINT) END)
+       |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
+       |                  ROWS UNBOUNDED PRECEDING) AS num
+       |  FROM fin_rn)
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(num AS DOUBLE) / (100.0 * pow(2, rn - 1)) AS ewma,
+       |       rn AS n_months
+       |FROM fin_t
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
   /** fin_reconciliation: statement detail totals vs an independently
     * derived control total per (year, month, department) — mismatches are
     * exactly the sheets whose source rows arrived as unparseable N/A. */
@@ -820,6 +898,7 @@ object Warehouse {
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
+    "fin_ewma" -> (finEwma _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
@@ -843,6 +922,7 @@ object Warehouse {
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,
+    "fin_ewma" -> finEwmaSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
