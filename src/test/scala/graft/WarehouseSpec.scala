@@ -176,4 +176,28 @@ class WarehouseSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast stats join:\n$plan")
   }
+
+  test("ewma closed form equals the literal recursion (independent of the oracle's twin)") {
+    // the DuckDB oracle computes the SAME closed form; this is the
+    // independent check that T_i/2^(i-1) really is s_i = (x_i+s_{i-1})/2
+    val rows = SparkEntry.queries("fin_ewma")(spark, sf)
+      .select("department", "gl_code", "year", "month", "total", "ewma", "n_months")
+      .collect()
+    assert(rows.nonEmpty)
+    var checked = 0
+    rows.groupBy(r => (r.getString(0), r.getString(1), r.getInt(2))).values.foreach { g =>
+      val series = g.sortBy(_.getInt(3))
+      var s = 0.0
+      series.zipWithIndex.foreach { case (r, i) =>
+        s = if (i == 0) r.getDouble(4) else (r.getDouble(4) + s) / 2.0
+        assert(r.getInt(6) == i + 1, s"n_months off at $r")
+        // the float recursion accumulates its own rounding; the closed
+        // form is the exactly-rounded value, so compare with tolerance
+        assert(math.abs(s - r.getDouble(5)) <= 1e-6 * math.max(1.0, math.abs(s)),
+          s"recursion $s vs closed ${r.getDouble(5)} at $r")
+        checked += 1
+      }
+    }
+    assert(checked == rows.length)
+  }
 }
