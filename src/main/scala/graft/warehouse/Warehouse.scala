@@ -409,7 +409,11 @@ object Warehouse {
     * followed by the same fold. No driver file loop, no second fact scan;
     * at 100 TB the max-batch probe reads one column. */
   def finLatestLoad(spark: SparkSession, dir: String): DataFrame =
-    multiLoadFold(latestPeriodBatch(multiLoadBatches(spark, dir)))
+    // latestPeriodBatch consumes the frame TWICE (max-batch agg + join);
+    // without the barrier each branch re-runs the whole statements
+    // derivation — the same double-derive fin_qa_status cleared in r5
+    // (sf1: 10.0 s -> ~6 s with the derivation staged once).
+    multiLoadFold(latestPeriodBatch(stageBarrier(multiLoadBatches(spark, dir))))
       .orderBy(col("year"), col("month"), col("department"), col("category"), col("gl_code"))
 
   val finLatestLoadSql: String =
