@@ -625,9 +625,12 @@ object Warehouse {
     finAnomalyZscoreFrom(upserted(spark, dir))
 
   private[graft] def finAnomalyZscoreFrom(up: DataFrame): DataFrame = {
-    val monthly = up
+    // monthly feeds BOTH the stats build and the join probe; staged once
+    // so the statements derivation under `up` doesn't run twice (the
+    // fin_latest_load / r5 fin_qa_status double-derive, same cure)
+    val monthly = stageBarrier(up
       .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
-      .agg(sum(cents(col("amount"))).as("tc"))
+      .agg(sum(cents(col("amount"))).as("tc")))
     val d = (c: Column) => c.cast("decimal(38,0)")
     val stats = monthly.groupBy(col("department"), col("gl_code"))
       .agg(count(lit(1)).as("n"), sum(col("tc")).as("s"),
