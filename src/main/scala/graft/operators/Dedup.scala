@@ -100,8 +100,13 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
+    // both directions in ONE pass over the candidate join (a union of
+    // two projections would run the whole jaccard join twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node")).persist()
     var converged = false
@@ -323,10 +328,12 @@ object Dedup {
     * are guaranteed candidates at j = 1.0), keep otherwise — with the
     * best-matching corpus doc and candidate count for audit.
     *
-    * Scale: the per-doc shingle-hash sets are ONE explode + partial
-    * aggregation over all documents; batch and corpus are filters OVER
-    * THE SAME aggregate subtree, so the exchange is built once and
-    * reused. Candidates join on the min-shingle bucket (1-band MinHash,
+    * Scale: the per-doc shingle-hash sets are an explode + partial
+    * aggregation; the batch/corpus membership predicates are on the
+    * GROUP KEY, so Catalyst pushes them below the aggregate into each
+    * side's scan — the two subtrees shingle DISJOINT slices (10% + 90%
+    * = one full pass split in two, not two passes).
+    * Candidates join on the min-shingle bucket (1-band MinHash,
     * same candidate generator as dedup_ngram_jaccard) — batch-side
     * bucket cardinality is O(|batch|), so candidate work scales with the
     * ingest, not the corpus; the best-match window partitions on the
