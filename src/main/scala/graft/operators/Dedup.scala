@@ -48,17 +48,20 @@ object Dedup {
     * sizes and the oracle can keep comparing shingle strings).
     *
     * Scale/shape: the per-doc hash sets are built by explode + partial
-    * aggregation (each shingle hash materialized once, codegen'd explode)
-    * and BOTH sides of the self-join consume the SAME shuffle — identical
-    * aggregate subtrees → Catalyst's ReuseExchange; the interpreted
-    * higher-order work would otherwise run twice. The join shuffles on
-    * the min-hash bucket; a popular bucket is a skew risk handled by AQE
-    * skew-join; no cross product anywhere. */
+    * aggregation (each shingle hash materialized once, codegen'd
+    * explode), staged ONCE behind a stage barrier and consumed by both
+    * sides of the self-join — the aliased sides do NOT hit Catalyst's
+    * ReuseExchange (verified on the executed plan: the alias rewrites
+    * expression ids, so the exchanges aren't `sameResult`), and without
+    * the barrier the whole shingle aggregate ran twice. The join
+    * shuffles on the min-hash bucket; a popular bucket is a skew risk
+    * handled by AQE skew-join; no cross product anywhere. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh"))
+    val s = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh")))
     val a = s.as("a"); val b = s.as("b")
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     a.join(b, col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
@@ -177,10 +180,22 @@ object Dedup {
   /** LSH over any (doc_id, text) frame. Documents under k words produce
     * an EMPTY signature (ShingleMinHashes) and are non-candidates by
     * definition — they are filtered before banding, because indexing
-    * sig[i] on an empty array would throw under ANSI mode. */
+    * sig[i] on an empty array would throw under ANSI mode.
+    *
+    * The signature projection is staged behind a stage barrier with a
+    * doc_id repartition INSIDE it: the subtree then ends in a shuffle,
+    * which the barrier materializes once — both self-join sides read
+    * the same shuffle files (the aliased sides never hit ReuseExchange,
+    * and a shuffle-free barrier would still re-run the lineage per
+    * side). The shuffled rows are (doc_id, 32-int sig) — tiny next to
+    * the text the kernel consumes. The length filter sits ABOVE the
+    * barrier, where it reads the materialized sig instead of forcing a
+    * second kernel evaluation in a Filter node; net: ShingleMinHashes
+    * runs ONCE per corpus where the unstaged shape ran it up to 4×. */
   def minhashLshFrom(docs: DataFrame): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    val sigs = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+        docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+          .repartition(col("doc_id")))
       .filter(size(col("sig")) === NumHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until Bands).map { b =>
@@ -264,10 +279,18 @@ object Dedup {
     // the static oracle SQL exact at the correctness gate's scale
     val stats = e.agg(count(lit(1)), countDistinct(col("label"))).first()
     val planes = blockPlanes(stats.getLong(0), stats.getLong(1))
-    val bucketed = e.select(col("vec_id"), col("label"), col("v"),
-      explode(array(BlockTables.map(t => struct(lit(t).as("t"),
-        Ann.hyperplaneBucket(col("v"), t, planes).as("block"))): _*)).as("tb"))
-      .select(col("vec_id"), col("label"), col("v"), col("tb.t"), col("tb.block"))
+    // staged behind a barrier. The subtree is shuffle-free, so this is
+    // NOT shuffle-stage reuse (the staged RDD is lazy; both join sides
+    // still walk the lineage) — the barrier's win is stopping Catalyst
+    // from re-deriving the bucket expressions into each side's join-key
+    // null filters, which re-evaluated the 3-table hyperplane projection
+    // per side (A/B at sf1: 41.7 s unstaged vs 33.4 s staged; sf0.1
+    // 1.16 vs 0.94)
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      e.select(col("vec_id"), col("label"), col("v"),
+        explode(array(BlockTables.map(t => struct(lit(t).as("t"),
+          Ann.hyperplaneBucket(col("v"), t, planes).as("block"))): _*)).as("tb"))
+        .select(col("vec_id"), col("label"), col("v"), col("tb.t"), col("tb.block")))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     // cosine is computed map-side in the join projection, BEFORE the
     // cross-table dedup: a pair costs <=3 fused dot products, while the
