@@ -308,6 +308,68 @@ object TrainPrep {
       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- corpus_mix
+  /** Deterministic domain re-weighting toward a target mixture — the
+    * step that turns a raw crawl into a training mix (downweight
+    * over-represented domains, keep scarce ones whole). Target weights
+    * are declared per source band (band = source number % 4 →
+    * 0.08/0.06/0.04/0.02 per source); the output is the LARGEST corpus
+    * achievable without oversampling any domain: m = min(cnt/tw) over
+    * sources, per-source acceptance rate = tw·m/cnt (the binding domain
+    * keeps ~everything). Acceptance is the same content-independent md5
+    * coin as the samplers above, so membership is reproducible on any
+    * cluster and any engine.
+    *
+    * Oracle parity: rates are doubles on BOTH engines (IEEE division is
+    * bit-identical; the DuckDB weights are cast — bare 0.08 parses as
+    * DECIMAL there) and the comparison is a 5-hex-digit string threshold
+    * (floor(rate·65536), zero-padded; the coin gets a leading '0') so a
+    * rate of 1.0 → '10000' string-compares above every coin.
+    *
+    * Scale: the corpus itself NEVER shuffles — acceptance is a scan-
+    * fused map-only predicate against broadcast per-source thresholds;
+    * the only aggregation is the map-side-combined per-source count
+    * (|sources| rows), and the min-over-sources window runs on that tiny
+    * frame. At 100 TB this is one pass, zero corpus exchanges. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val band = substring(col("source"), 4, 10).cast("int") % 4
+    val tw = when(band === 0, 0.08).when(band === 1, 0.06)
+      .when(band === 2, 0.04).otherwise(0.02)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tw", tw)
+    val m = min(col("cnt").cast("double") / col("tw"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val thresholds = counts
+      .select(col("source"),
+        lpad(lower(hex(floor(col("tw") * m / col("cnt").cast("double") * 65536.0))), 5, "0")
+          .as("thresh"))
+    Tables.documents(spark, dir)
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(concat(lit("0"),
+        substring(md5(col("doc_id").cast("string")), 1, 4)) < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusMixSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS cnt,
+      |         CASE CAST(substr(source, 4, 10) AS INT) % 4
+      |           WHEN 0 THEN CAST(0.08 AS DOUBLE) WHEN 1 THEN CAST(0.06 AS DOUBLE)
+      |           WHEN 2 THEN CAST(0.04 AS DOUBLE) ELSE CAST(0.02 AS DOUBLE) END AS tw
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source,
+      |         lpad(lower(to_hex(CAST(floor(
+      |           tw * (SELECT min(CAST(cnt AS DOUBLE) / tw) FROM c)
+      |              / CAST(cnt AS DOUBLE) * 65536.0) AS BIGINT))), 5, '0') AS thresh
+      |  FROM c)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN r USING (source)
+      |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thresh
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- corpus_sample_fixed
   /** Fixed-SIZE deterministic uniform sample: exactly k = 100 documents,
     * chosen as the k smallest md5(doc_id) coins — the complement of the
@@ -338,6 +400,7 @@ object TrainPrep {
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_sample_fixed" -> (corpusSampleFixed _),
+    "corpus_mix" -> (corpusMix _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
     "text_ngram_freq" -> (textNgramFreq _),
@@ -350,6 +413,7 @@ object TrainPrep {
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "corpus_sample_fixed" -> corpusSampleFixedSql,
+    "corpus_mix" -> corpusMixSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,
     "text_ngram_freq" -> textNgramFreqSql,

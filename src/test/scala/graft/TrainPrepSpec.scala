@@ -58,6 +58,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(total.toLong == graft.sources.Tables.documents(spark, sf).count())
   }
 
+  test("corpus mix lands on the 4:3:2:1 band targets with the binding band kept whole") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def band(src: String): Int = src.drop(3).toInt % 4
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => band(r.getString(0)) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    val got = out.groupBy(r => band(r.getString(2))).view
+      .mapValues(_.length.toLong).toMap
+    // band weights 0.08/0.06/0.04/0.02 per source over uniform sources →
+    // acceptance rates 1.0 / 0.75 / 0.5 / 0.25 (band 0 binds)
+    val wantRate = Map(0 -> 1.0, 1 -> 0.75, 2 -> 0.5, 3 -> 0.25)
+    for ((b, want) <- wantRate) {
+      val rate = got.getOrElse(b, 0L).toDouble / totals(b)
+      assert(math.abs(rate - want) < 0.12, s"band $b rate $rate want $want")
+    }
+    // the binding band loses at most the 1-in-65536 floor quirk
+    assert(totals(0) - got(0) <= 1 + totals(0) / 1000)
+    // membership is a pure function of doc_id (partitioning-independent)
+    val again = SparkEntry.queries("corpus_mix")(spark, sf)
+      .repartition(7).collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
   test("pii scrub redacts every planted email and phone") {
     val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
