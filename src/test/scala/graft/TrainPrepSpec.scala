@@ -80,6 +80,10 @@ class TrainPrepSpec extends SparkSpec {
     val again = SparkEntry.queries("corpus_mix")(spark, sf)
       .repartition(7).collect().map(_.getLong(0)).toSet
     assert(again == out.map(_.getLong(0)).toSet)
+    // the corpus side never shuffles: threshold join is broadcast-only
+    val plan = SparkEntry.queries("corpus_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"expected broadcast-only join:\n$plan")
   }
 
   test("pii scrub redacts every planted email and phone") {
