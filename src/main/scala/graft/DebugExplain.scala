@@ -14,6 +14,11 @@ object DebugExplain {
     if (args.contains("codegen")) {
       import org.apache.spark.sql.execution.debug._
       df.debugCodegen()
+    } else if (args.contains("exec")) {
+      // materialize, then print the FINAL adaptive plan (shows AQE's
+      // runtime decisions: stage reuse, skew splits, bhj conversions)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString)
     } else df.explain("formatted")
     spark.stop()
   }

@@ -850,6 +850,121 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------ q15_top_supplier
+  /** TPC-H Q15 shape: the supplier(s) with maximum revenue over a
+    * quarter — an aggregate compared against its own MAX, ties kept
+    * (Q15's total_revenue = max(total_revenue) semantics).
+    *
+    * Scale: revenue rolls up map-side-combined on l_suppkey (one
+    * lineitem shuffle, date filter pushed to the scan); the max is ONE
+    * broadcast row crossed back in — the same broadcast-1-row pattern
+    * as q22/rank_stats_scalable, never an unpartitioned window over the
+    * supplier frame (which would single-thread |suppliers| rows at
+    * scale). The revenue aggregate is consumed twice (main path + max
+    * probe) and NEITHER ReuseExchange nor AQE's stage cache dedupes it —
+    * DeduplicateRelations re-aliases the second reference, and the
+    * re-aliased exchanges never compare sameResult (verified on the
+    * executed adaptive plan: two distinct ShuffleQueryStage ids for the
+    * same aggregate). So the aggregate is staged ONCE behind a stage
+    * barrier; the ~0.1 s fixed eager-materialization cost loses to the
+    * duplicated pass only below ~sf1 toy sizes, and at 100 TB the
+    * barrier halves the lineitem derivation. RelationalSpec pins the
+    * staged shape (zero revenue shuffles in the query's own plan). The
+    * equality compare is exact DECIMAL micro-units so a tie cannot
+    * float-flip; supplier is a broadcast dim. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revUnits(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,0)")).as("rvm")))
+    val maxRev = rev.agg(max(col("rvm")).as("mx"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("rvm") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rvm").cast("double") / 1000000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS rvm
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rvm AS DOUBLE)/1000000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rvm = (SELECT max(rvm) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------- q21_waiting_supplier
+  /** TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    * multi-supplier finalized order. This testdata's lineitem has no
+    * commit/receipt dates, so "late" = shipped more than 90 days after
+    * the order date. Q21's correlated EXISTS (another supplier on the
+    * order) / NOT-EXISTS (another LATE supplier) pair is reformulated
+    * as one grouped cascade: per (order, supplier) a late flag, per
+    * order the supplier count, late-supplier count, and — when exactly
+    * one — that supplier's key; the verdict n_supp > 1 ∧ n_late = 1 is
+    * equivalent to the original double-correlation with zero extra
+    * lineitem joins.
+    *
+    * Scale: lineitem⋈orders shuffles on l_orderkey ONCE (the status
+    * filter pushes to the orders scan); both grouped cascades require
+    * clustering on key prefixes of that same partitioning, so neither
+    * re-shuffles (orderkey partitioning satisfies (orderkey, suppkey)
+    * clustering — asserted in RelationalSpec); the only other exchange
+    * carries |late suppliers| rows into the final count. Top-100 is
+    * TakeOrderedAndProject. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = (col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int")
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"),
+        max(when(col("supp_late") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |                  THEN 1 ELSE 0 END) AS supp_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey, l_suppkey),
+      |po AS (
+      |  SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late,
+      |         max(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+      |  FROM ps GROUP BY l_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM po JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp > 1 AND n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -863,6 +978,8 @@ object Relational {
     "q16_supplier_variety" -> (q16SupplierVariety _),
     "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
     "q22_dormant_balance" -> (q22DormantBalance _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "order_value_histogram" -> (orderValueHistogram _),
     "topk_window" -> (topkWindow _),
     "semi_join" -> (semiJoin _),
@@ -894,6 +1011,8 @@ object Relational {
     "q16_supplier_variety" -> q16SupplierVarietySql,
     "q19_disjunctive_join" -> q19DisjunctiveJoinSql,
     "q22_dormant_balance" -> q22DormantBalanceSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "order_value_histogram" -> orderValueHistogramSql,
     "topk_window" -> topkWindowSql,
     "semi_join" -> semiJoinSql,

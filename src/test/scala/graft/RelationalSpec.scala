@@ -170,4 +170,42 @@ class RelationalSpec extends SparkSpec {
       assert(avgBal > mean - 0.01, s"nation ${r.getString(0)}: $avgBal <= $mean")
     }
   }
+
+  test("q15: the revenue aggregate is staged once, not re-derived by the max probe") {
+    val df = run("q15_top_supplier")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ties-kept max: every returned revenue equals the frame's max
+    val revs = rows.map(_.getAs[Double]("total_revenue"))
+    assert(revs.forall(_ == revs.max))
+    // without the barrier the plan held TWO independent lineitem
+    // revenue shuffles (AQE's stage cache never matched the re-aliased
+    // second reference — two distinct ShuffleQueryStage ids); staged,
+    // the query's own plan derives revenue zero times
+    val plan = df.queryExecution.executedPlan.toString
+    val lineitemShuffles = "Exchange hashpartitioning\\(l_suppkey".r
+      .findAllIn(plan).size
+    assert(lineitemShuffles == 0,
+      s"revenue re-derived ${lineitemShuffles}x in-plan:\n$plan")
+    assert(!plan.contains("FileScan parquet") || !plan.contains("lineitem.parquet"),
+      s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
+  }
+
+  test("q21: grouped cascades inherit the join partitioning under sort-merge") {
+    val rows = run("q21_waiting_supplier").collect()
+    assert(rows.nonEmpty)
+    val waits = rows.map(_.getAs[Long]("numwait"))
+    assert(waits.toSeq == waits.sortBy(-_).toSeq)
+    // with dims forced off broadcast (except the hinted supplier), the
+    // only hash exchanges are the two join inputs on l_orderkey and the
+    // final |late suppliers| rollup — the (orderkey, suppkey) and
+    // (orderkey) aggregates reuse the join's orderkey partitioning
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = run("q21_waiting_supplier").queryExecution.executedPlan.toString
+      val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nShuffles == 3, s"expected 3 hash exchanges, got $nShuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
 }
