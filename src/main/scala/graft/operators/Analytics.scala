@@ -97,6 +97,16 @@ object Analytics {
           floor((col("o_totalprice") - col("mn")) * B / (col("mx") - col("mn") + lit(1e-6))))),
           lit(0L)))
       .drop("mn", "mx")
+    rankFromBuckets(bucketed)
+  }
+
+  /** The shared two-pass exact-rank cascade over any price-monotone
+    * `bkt` column: histogram → per-bucket global offsets (tiny windows
+    * over 3·B rows) → within-(status, bucket) row_number + offset.
+    * Any bucketing that is a non-decreasing function of the order key's
+    * leading column yields bit-identical ranks — which is why both
+    * bucketing strategies share rank_stats' oracle SQL verbatim. */
+  private def rankFromBuckets(bucketed: DataFrame): DataFrame = {
     val hist = bucketed.groupBy(col("o_orderstatus"), col("bkt")).agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -122,6 +132,38 @@ object Analytics {
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
         col("quartile"), col("cume"), col("prank"))
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  // ---------------------------------------------- rank_stats_eqdepth
+  /** rank_stats_scalable's own Scaladoc names the skew fix — equi-DEPTH
+    * buckets from approx_percentile — and this variant implements it:
+    * boundaries are the (1..B-1)/B approximate quantiles (ONE sketch
+    * aggregate, broadcast back as a 1-row array), and a row's bucket is
+    * the count of boundaries strictly below its price. Equi-width
+    * buckets degenerate under skew (a heavy value range concentrates
+    * rows in one bucket = one straggler task); equi-depth holds every
+    * bucket at ~n/B rows no matter the distribution — the shape that
+    * actually survives a skewed 100 TB.
+    *
+    * Exactness does NOT depend on the sketch: bucketing is a
+    * non-decreasing pure function of price (equal prices share a
+    * bucket), so offsets + within-bucket ranks reproduce the global
+    * rank bit-for-bit wherever the approximate boundaries land — the
+    * oracle is rank_stats' SQL verbatim, same as the equi-width
+    * variant. Degenerate case (all boundaries equal, e.g. constant
+    * price) collapses to one bucket — correct, merely unbalanced. */
+  def rankStatsEqdepth(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val probs = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+    val bnds = o.agg(
+      percentile_approx(col("o_totalprice"), probs, lit(10000)).as("bnds"))
+    val bucketed = o.crossJoin(broadcast(bnds))
+      .withColumn("bkt",
+        size(filter(col("bnds"), b => b < col("o_totalprice"))).cast("long"))
+      .drop("bnds")
+    rankFromBuckets(bucketed)
   }
 
   // ---------------------------------------------------------- events_funnel
@@ -349,6 +391,7 @@ object Analytics {
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
     "rank_stats_scalable" -> (rankStatsScalable _),
+    "rank_stats_eqdepth" -> (rankStatsEqdepth _),
     "events_funnel" -> (eventsFunnel _),
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _),
@@ -363,6 +406,7 @@ object Analytics {
     // exact by construction → the oracle is literally rank_stats' SQL:
     // the bucketed two-pass rank must not change one bit of output.
     "rank_stats_scalable" -> rankStatsSql,
+    "rank_stats_eqdepth" -> rankStatsSql,
     "events_funnel" -> eventsFunnelSql,
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql,

@@ -21,6 +21,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("bkt")), plan)
   }
 
+  test("rank_stats_eqdepth: bit-identical ranks from balanced sketch buckets") {
+    import org.apache.spark.sql.functions._
+    val exact = Analytics.rankStats(spark, sf).collect()
+    val eqd = Analytics.rankStatsEqdepth(spark, sf).collect()
+    assert(exact.length == eqd.length)
+    exact.zip(eqd).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // the 100x property: every (status, bucket) task is ~n/B rows — the
+    // approx-quantile boundaries bound the largest bucket within a small
+    // multiple of perfect balance (uniform-ish prices here; the bound is
+    // loose enough to hold under sketch error)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val n = o.count()
+    val probs = array((1 until 64).map(i => lit(i / 64.0)): _*)
+    val bnds = o.agg(percentile_approx(col("o_totalprice"), probs, lit(10000)))
+      .first().getSeq[Double](0)
+    val maxBucket = o.select(
+        size(filter(lit(bnds.toArray), b => b < col("o_totalprice"))).as("bkt"))
+      .groupBy(col("bkt")).count().agg(max(col("count"))).first().getLong(0)
+    assert(maxBucket <= 4 * n / 64,
+      s"equi-depth bucket too fat: $maxBucket of $n rows")
+  }
+
   test("scd2 intervals tile per user: gapless, run-collapsed, exactly one current row") {
     val rows = Analytics.scd2Intervals(spark, sf)
       .select("user_id", "attr", "valid_from_us", "valid_to_us", "version", "is_current")
