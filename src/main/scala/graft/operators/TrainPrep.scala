@@ -235,6 +235,48 @@ object TrainPrep {
       |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000' END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ corpus_sample_per_group
+  /** Balanced per-GROUP fixed-size sample: exactly k = 50 documents per
+    * language (fewer when a language is scarce), chosen as each group's
+    * k smallest md5(doc_id) coins — the "balanced eval set" op
+    * (uniform-per-group membership, reproducible on any engine).
+    *
+    * Scale: a naive per-group window sorts EVERY row of a language on
+    * one task — the rank_stats problem again. Instead, exact two-level
+    * top-k: rows first take a window within (lang, shard) where shard =
+    * crc32(doc_id) % 32 — each shard task holds ~1/32 of a language —
+    * then the survivors (≤ 32·k rows per language, driver-scale) take
+    * the true per-language window. Level 1 can never evict a global
+    * top-k row (a group's k smallest coins are each among their own
+    * shard's k smallest), so the result is exact — same argument as
+    * rank_stats_scalable's bucket merge. */
+  def corpusSamplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val coin = md5(col("doc_id").cast("string"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), crc32(col("doc_id").cast("string")) % 32)
+      .orderBy(col("coin"))
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("coin"))
+    Tables.documents(spark, dir)
+      .select(coin.as("coin"), col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("rs", row_number().over(wShard))
+      .filter(col("rs") <= k)
+      .withColumn("rk", row_number().over(wLang))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val corpusSamplePerGroupSql: String =
+    """SELECT lang, rk, doc_id, source, n_chars
+      |FROM (SELECT lang, doc_id, source, n_chars,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      |      FROM documents)
+      |WHERE rk <= 50
+      |ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------------ corpus_train_split
   /** Deterministic train/val/test assignment (~90/5/5) by the same md5
     * coin, reported as the per-(split, language) doc counts and char
@@ -400,6 +442,7 @@ object TrainPrep {
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_sample_fixed" -> (corpusSampleFixed _),
+    "corpus_sample_per_group" -> (corpusSamplePerGroup _),
     "corpus_mix" -> (corpusMix _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
@@ -413,6 +456,7 @@ object TrainPrep {
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "corpus_sample_fixed" -> corpusSampleFixedSql,
+    "corpus_sample_per_group" -> corpusSamplePerGroupSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,

@@ -86,6 +86,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"expected broadcast-only join:\n$plan")
   }
 
+  test("per-group sample takes exactly k per language and matches the one-window answer") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("corpus_sample_per_group")(spark, sf).collect()
+    val got = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    for ((lang, tot) <- totals)
+      assert(got.getOrElse(lang, 0L) == math.min(50L, tot), s"lang $lang")
+    // exactness of the two-level top-k: same (lang, doc_id) set as the
+    // naive single window over each full language partition
+    val naive = docs
+      .select(md5(col("doc_id").cast("string")).as("coin"), col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(col("coin"))))
+      .filter(col("rk") <= 50)
+      .collect().map(r => (r.getString(2), r.getLong(1))).toSet
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSet == naive)
+  }
+
   test("pii scrub redacts every planted email and phone") {
     val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
