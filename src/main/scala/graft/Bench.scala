@@ -25,13 +25,16 @@ import org.apache.spark.sql.SparkSession
   *  - a failing query reports in `errors` instead of being silently
   *    timed as if it succeeded, and is skipped in later passes.
   *
-  * Output shape (two lines, r6): the driver captures only a bounded TAIL of
-  * stdout, and r5's single full-precision line (both maps inline) was front-
-  * clipped past the `"metric"` key → BENCH_r05 recorded `parsed: null`. So
-  * the verbose diagnostics (medians, pass totals) go on an EARLIER line
-  * prefixed `#diag ` (not valid JSON — never mistaken for the headline), and the
-  * headline `{"metric":"total",...}` is the FINAL printed line, with values
-  * rounded to milliseconds to keep it compact (~1.7 KB for 62 queries).
+  * Output shape (two lines, r7): the driver captures only a bounded TAIL of
+  * stdout. r5 put everything on one full-precision line → front-clipped past
+  * the `"metric"` key (`parsed: null`). r6 split diagnostics onto a `#diag `
+  * line but STILL inlined the full per-query min map in the headline — at 97
+  * queries that is ~2.4 KB, and the bounded capture front-clipped the
+  * `{"metric":"total",...}` prefix again (`parsed: null`, second round
+  * running). r7 therefore makes the FINAL line aggregate-only (~200 bytes:
+  * metric/value/n_queries/errors/sf — nothing that grows with the registry
+  * except `errors`, which is empty on a healthy run) and moves BOTH per-query
+  * maps (mins and medians) to the `#diag` line, which is safe to tail-clip.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -104,8 +107,8 @@ object Bench {
     // The '#diag ' prefix keeps this line from json-parsing, so no driver
     // heuristic (first-parseable-line or last-parseable-line) can mistake
     // it for the result.
-    println(s"""#diag {"queries_median":${jmap(meds)},"pass_totals":$pts,"passes":$passes}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(mins)},"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""#diag {"queries":${jmap(mins)},"queries_median":${jmap(meds)},"pass_totals":$pts,"passes":$passes}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

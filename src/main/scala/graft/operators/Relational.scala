@@ -67,7 +67,11 @@ object Relational {
   /** TPC-H Q3 shape: selective dim filter → fact join → agg → top-N.
     * Scale: customer filter applied before the join (Catalyst pushes it to
     * the scan); orders⋈lineitem shuffles on orderkey once; top-10 is a
-    * TakeOrderedAndProject (no global sort materialization). */
+    * TakeOrderedAndProject (no global sort materialization). customer is
+    * deliberately UNHINTED — unlike nation/region it grows with the fact,
+    * so a static broadcast() OOMs at 100×; AQE sizes it at runtime
+    * (broadcast at gate scale, graceful shuffle when it outgrows the
+    * threshold). */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
@@ -75,7 +79,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -98,9 +102,11 @@ object Relational {
 
   // ---------------------------------------------------------- q5_multi_join
   /** TPC-H Q5 shape: 4-dim star join into the fact.
-    * Scale: region/nation/customer broadcast (classic small dims) → the
-    * 100 TB lineitem never shuffles for them; only orders⋈lineitem
-    * shuffles on orderkey. */
+    * Scale: region/nation broadcast (fixed 5/25-row dims) → the 100 TB
+    * lineitem never shuffles for them; only orders⋈lineitem shuffles on
+    * orderkey. customer is UNHINTED: it scales with the fact, so the
+    * broadcast decision belongs to AQE, not a compile-time hint that
+    * would force a multi-GB build at 100×. */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
@@ -110,7 +116,7 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
@@ -496,8 +502,10 @@ object Relational {
     *
     * Scale: the quantity rollup is map-side combined and shuffles
     * lineitem on l_orderkey — the same key the orders join needs, so the
-    * big side shuffles ONCE; customer is a broadcast dim; the top-100 is
-    * a TakeOrderedAndProject (no global sort). */
+    * big side shuffles ONCE; customer is UNHINTED (it scales with the
+    * fact — AQE broadcasts it at gate scale and falls back to shuffle
+    * when it outgrows the threshold, instead of a forced OOM at 100×);
+    * the top-100 is a TakeOrderedAndProject (no global sort). */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
@@ -506,7 +514,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     o.join(big, o("o_orderkey") === big("l_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), (col("qtyc").cast("double") / 100.0).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -563,8 +571,9 @@ object Relational {
     * quarter, top 20 — selective fact predicate + star dims + top-N.
     *
     * Scale: the returnflag and date filters push to the two scans; the
-    * only big shuffle is orders⋈lineitem on orderkey; customer and nation
-    * are broadcast so the joined fact never reshuffles; the customer
+    * only big shuffle is orders⋈lineitem on orderkey; nation is broadcast
+    * (fixed 25 rows) while customer is UNHINTED — data-scaled, so AQE
+    * picks broadcast at gate scale and shuffle at 100×; the customer
     * rollup shuffles one pre-aggregated row per (custkey) map-side group;
     * top-20 is a TakeOrderedAndProject. Revenue math is the exact
     * cents×basis-points DECIMAL(38) used by q3/q5. */
@@ -576,7 +585,7 @@ object Relational {
       .filter(col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sumRevDollars(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -633,14 +642,14 @@ object Relational {
     * the canonical "fact needs BOTH endpoint dims" query (supplier's
     * nation comes through lineitem, customer's through orders).
     *
-    * Scale: nation-filtered supplier is genuinely dim-sized (4/25 of a
-    * dim table) → explicit broadcast, so the lineitem side never
-    * reshuffles for it. The two real shuffles are the classic Q7
-    * minimum: orders⋈customer on custkey, then lineitem⋈orders on
-    * orderkey. customer is NOT hinted — at TPC-H sf100k the 4-nation
-    * customer slice outgrows a broadcast, and AQE picks broadcast vs
-    * shuffle from the runtime size. The shipdate range pushes to the
-    * lineitem scan; the final rollup is map-side combined to
+    * Scale: the two real shuffles are the classic Q7 minimum:
+    * orders⋈customer on custkey, then lineitem⋈orders on orderkey.
+    * NEITHER supplier nor customer is hinted — both scale with the fact
+    * (the 4/25-nation slice shrinks them but not their growth rate), so
+    * AQE picks broadcast vs shuffle from the runtime size: broadcast at
+    * gate scale, graceful shuffle at 100 TB. Only the fixed 25-row
+    * nation carries a static broadcast. The shipdate range pushes to
+    * the lineitem scan; the final rollup is map-side combined to
     * |pairs|·|years| rows. */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
@@ -657,7 +666,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
       .filter(col("l_shipdate") <= lit("1998-12-31").cast("timestamp"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -738,7 +747,9 @@ object Relational {
     * Scale: part is filtered before its join (brand/type/size predicates
     * push to the part scan) and joined without a hint (AQE broadcasts at
     * gate scale); the excluded-supplier set (negative account balance) is
-    * a tiny broadcast LEFT ANTI — NOT IN with a guaranteed-non-null key
+    * a LEFT ANTI on an UNHINTED supplier subset (supplier scales with
+    * the fact, so the broadcast decision is AQE's: broadcast at gate
+    * scale, shuffle at 100×) — NOT IN with a guaranteed-non-null key
     * is exactly NOT EXISTS, which is what the oracle spells. The
     * count-distinct shuffles (group keys + suppkey) once; lineitem itself
     * never carries more than (partkey, suppkey). */
@@ -751,7 +762,7 @@ object Relational {
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
       .join(p, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -871,7 +882,9 @@ object Relational {
     * barrier halves the lineitem derivation. RelationalSpec pins the
     * staged shape (zero revenue shuffles in the query's own plan). The
     * equality compare is exact DECIMAL micro-units so a tie cannot
-    * float-flip; supplier is a broadcast dim. */
+    * float-flip. supplier is UNHINTED — it scales with the fact; the
+    * max-filtered probe side is ≤|ties| rows, so AQE broadcasts THAT
+    * side at any scale instead of a forced multi-GB supplier build. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
       Tables.lineitem(spark, dir)
@@ -883,7 +896,7 @@ object Relational {
     val maxRev = rev.agg(max(col("rvm")).as("mx"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rvm") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("rvm").cast("double") / 1000000.0).as("total_revenue"))
@@ -920,8 +933,10 @@ object Relational {
     * clustering on key prefixes of that same partitioning, so neither
     * re-shuffles (orderkey partitioning satisfies (orderkey, suppkey)
     * clustering — asserted in RelationalSpec); the only other exchange
-    * carries |late suppliers| rows into the final count. Top-100 is
-    * TakeOrderedAndProject. */
+    * carries |late suppliers| rows into the final count. supplier is
+    * UNHINTED (data-scaled dim — AQE sizes it; the |late suppliers|
+    * aggregate side is tiny, so AQE broadcasts that side at 100×).
+    * Top-100 is TakeOrderedAndProject. */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
@@ -939,7 +954,7 @@ object Relational {
       .filter(col("n_supp") > 1 && col("n_late") === 1)
     perOrder.groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("late_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -196,16 +196,38 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val waits = rows.map(_.getAs[Long]("numwait"))
     assert(waits.toSeq == waits.sortBy(-_).toSeq)
-    // with dims forced off broadcast (except the hinted supplier), the
-    // only hash exchanges are the two join inputs on l_orderkey and the
-    // final |late suppliers| rollup — the (orderkey, suppkey) and
-    // (orderkey) aggregates reuse the join's orderkey partitioning
+    // with every join forced off broadcast, the partitioning-reuse
+    // property is asserted STRUCTURALLY (not by counting plan-string
+    // matches, which breaks on AQE wording changes): the (orderkey,
+    // suppkey) and (orderkey) aggregates must inherit the join's
+    // orderkey partitioning, so (a) every shuffle partitions on exactly
+    // ONE key — a two-key hashpartitioning would be the cascade
+    // re-shuffling on (l_orderkey, l_suppkey) — and (b) exactly two
+    // shuffles key on an orderkey (the two join inputs); the aggregates
+    // themselves add none.
     val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = run("q21_waiting_supplier").queryExecution.executedPlan.toString
-      val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-      assert(nShuffles == 3, s"expected 3 hash exchanges, got $nShuffles:\n$plan")
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val root = run("q21_waiting_supplier").queryExecution.executedPlan
+      val inner = root match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val keys = inner.collectWithSubqueries {
+        case s: ShuffleExchangeExec => s.outputPartitioning
+      }.collect { case h: HashPartitioning =>
+        h.expressions.flatMap(_.references.toSeq.map(_.name))
+      }
+      assert(keys.nonEmpty, s"no hash shuffles found:\n$inner")
+      assert(keys.forall(_.size == 1),
+        s"a shuffle partitions on >1 key (cascade re-shuffled): $keys\n$inner")
+      val orderkeyShuffles =
+        keys.count(k => Set("l_orderkey", "o_orderkey").contains(k.head))
+      assert(orderkeyShuffles == 2,
+        s"expected 2 orderkey shuffles (join inputs only), got $orderkeyShuffles: $keys\n$inner")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 }
