@@ -81,6 +81,120 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Mersenne prime 2^61-1: the lane-hash modulus. Universal-hash lane
+    * multipliers (a_i, b_i) come from laneConsts — a fixed SplitMix64
+    * stream, so the kernel and the generated DuckDB SQL read the SAME
+    * values and cannot drift. */
+  val LaneP: Long = (1L << 61) - 1
+
+  def laneConsts(n: Int): Array[Long] = {
+    var x = 0x243f6a8885a308d3L // pi fractional bits — nothing up the sleeve
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      out(i) = java.lang.Long.remainderUnsigned(z, LaneP) | 1L
+      i += 1
+    }
+    out
+  }
+
+  /** a·b mod 2^61-1 for a, b in [0, 2^61): two-fold Mersenne reduction
+    * of the 128-bit product. */
+  private def mulmodP(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    // a·b = hi·2^64 + lo = (hi·8 + lo>>>61)·2^61 + (lo & P); 2^61 ≡ 1 (mod P)
+    var r = (lo & LaneP) + ((hi << 3) + (lo >>> 61))
+    r = (r & LaneP) + (r >>> 61)
+    if (r >= LaneP) r - LaneP else r
+  }
+
+  /** bands×lanes MinHash lane minima over word k-shingle md5s — the
+    * banded candidate keys of Dedup.bandedKeys in ONE compiled pass.
+    *
+    * Per shingle: one md5, split into two 60-bit halves (big-endian
+    * u64 of digest bytes 0-7 and 8-15, each >>> 4 — exactly the value
+    * DuckDB parses from hex chars 1-15 / 17-31 of the same digest),
+    * then lane i is the INDEPENDENT universal hash
+    * (a_i·h1 + b_i·h2) mod 2^61-1. Independence per lane is what makes
+    * banding skew-proof: the rejected cheaper alternative, Kirsch-
+    * Mitzenmacher h1 + i·h2, is linear in i, so one shingle whose two
+    * halves are BOTH small dominates every lane at once and re-creates
+    * the corpus-wide hot bucket banding exists to prevent. DuckDB
+    * reproduces each lane with HUGEINT arithmetic on the same hex
+    * parses. Lane minima are idempotent under duplicate shingles, so no
+    * distinct pass is needed and the oracle's list_min over the
+    * DISTINCT md5 list is the identical number. Empty/short text →
+    * empty array. */
+  private val CachedConsts = laneConsts(64)
+
+  def shingleMd5Lanes(text: UTF8String, k: Int, bands: Int, lanes: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = bands * lanes
+    val cs = if (2 * n <= CachedConsts.length) CachedConsts else laneConsts(2 * n)
+    val mins = Array.fill(n)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var any = false
+    var i = 0
+    while (i + k <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var u1 = 0L; var u2 = 0L; var b = 0
+      while (b < 8) {
+        u1 = (u1 << 8) | (d(b) & 0xffL)
+        u2 = (u2 << 8) | (d(b + 8) & 0xffL)
+        b += 1
+      }
+      val h1 = u1 >>> 4; val h2 = u2 >>> 4
+      var l = 0
+      while (l < n) {
+        var h = mulmodP(cs(2 * l), h1) + mulmodP(cs(2 * l + 1), h2)
+        if (h >= LaneP) h -= LaneP
+        if (h < mins(l)) mins(l) = h
+        l += 1
+      }
+      any = true
+      i += 1
+    }
+    new GenericArrayData(if (any) mins else Array.emptyLongArray)
+  }
+
+  /** Exact word-k-shingle Jaccard between two texts in one compiled
+    * pass — distinct shingle STRING sets, |A∩B| / |A∪B| as the IEEE
+    * division of exact ints, the same number as the md5-list
+    * list_intersect formula every dedup oracle spells (md5 is
+    * injective on shingles at corpus scale). Runs per CANDIDATE pair,
+    * so no corpus-wide shingle materialization exists anywhere. */
+  def shingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    def set(t: UTF8String): java.util.HashSet[String] = {
+      val words = t.toString.split(" ", -1)
+      val s = new java.util.HashSet[String]()
+      var i = 0
+      while (i + k <= words.length) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+        s.add(sb.toString)
+        i += 1
+      }
+      s
+    }
+    val sa = set(a); val sb = set(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
   /** One-pass repetition stats: (n_words, n_distinct_words, n_bigrams,
     * n_distinct_bigrams) with the same `split(" ", -1)` tokenization and
     * single-space bigram join as the declarative words/shingles chain —
@@ -149,6 +263,37 @@ case class ShingleMd5s(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5s($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
     copy(child = newChild)
+}
+
+/** shingle_md5_lanes(text, k, bands, lanes): array<long> of band-lane
+  * MinHash minima over md5 k-shingles (md5-derived, DuckDB-reproducible —
+  * see TextHashes.shingleMd5Lanes). */
+case class ShingleMd5Lanes(child: Expression, k: Int, bands: Int, lanes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_md5_lanes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleMd5Lanes(input.asInstanceOf[UTF8String], k, bands, lanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashes.shingleMd5Lanes($c, $k, $bands, $lanes)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Lanes =
+    copy(child = newChild)
+}
+
+/** shingle_jaccard(a, b, k): exact word-k-shingle Jaccard of two texts. */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "shingle_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.shingleJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashes.shingleJaccard($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
 }
 
 /** repetition_stats(text): struct of word/bigram duplication counts. */

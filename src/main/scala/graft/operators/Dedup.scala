@@ -11,8 +11,10 @@ import graft.sources.Tables
   * NEVER an all-pairs cross join:
   *
   *  - exact: md5-of-normal-form grouping (one shuffle on the hash);
-  *  - ngram-jaccard: candidates share their minimum shingle hash (1-hash
-  *    MinHash = a 1-band LSH), true Jaccard computed on the candidates;
+  *  - ngram-jaccard: banded md5-MinHash candidates (4 bands × 2 lanes —
+  *    collision needs TWO independent minima to agree, so one globally
+  *    common shingle cannot form a corpus-wide bucket the way the old
+  *    1-band min-shingle key did), true Jaccard on the candidates;
   *  - minhash-LSH: 32-hash signature, 8 bands x 4 rows, bucket join —
   *    pair probability ~ 1-(1-j^4)^8, the classic banding curve;
   *  - simhash: 64-bit per-doc signature, hamming-comparable;
@@ -21,10 +23,90 @@ import graft.sources.Tables
   *    that grows with data, so block size (and pair work) stays bounded.
   *
   * minhash/simhash use Spark's xxhash64 (seed differs from any DuckDB
-  * equivalent) → rows-only at the driver; DedupSpec is their correctness
-  * authority. The other three are DuckDB-oracled.
+  * equivalent) → rows-only at the driver; the ngram-jaccard band lanes
+  * are derived md5-over-md5, so DuckDB reproduces the exact candidate
+  * set and ngram/clusters/incremental stay fully oracled.
   */
 object Dedup {
+
+  // ------------------------------------------- banded candidate generation
+  /** 4 bands × 2 lanes. A pair collides in band k iff BOTH lane minima
+    * agree; lane i's per-shingle hash derives from the shingle's md5 as
+    * h1 + i·h2 over the digest's two 60-bit halves (Kirsch–Mitzenmacher
+    * double hashing — one md5 per shingle TOTAL, not one per lane), so
+    * per-band collision probability is J² and overall candidate
+    * probability 1-(1-J²)⁴ — ≈0.9987 at J=0.9, ≈1 at J=1 (identical
+    * sets agree on every lane min by construction). The r6 generator was
+    * the 1-band special case (bucket = global min shingle hash): every
+    * document whose minimum happened to be one globally common trigram
+    * landed in ONE bucket, and within-bucket pair work is O(b²) — AQE
+    * skew-join splits partitions but cannot reduce the pair count. Two
+    * lanes make a corpus-wide bucket require a corpus-wide TWO-lane
+    * agreement, which only near-identical sets produce (DedupSpec plants
+    * one globally shared trigram across 8k docs and pins the candidate
+    * count). The halves are exactly what DuckDB parses from hex chars
+    * 1-15 / 17-31 of the same md5, so every lane is oracle-reproducible
+    * (ExpressionsSpec pins kernel ≡ declarative hex parse). */
+  private[operators] val NgramBands = 4
+  private[operators] val NgramLanes = 2
+
+  /** The 8 lane minima in one compiled kernel pass. */
+  private def laneMins(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleMd5Lanes(
+      GraftColumnBridge.expression(text), 3, NgramBands, NgramLanes))
+  }
+
+  /** Band-k lane-l minimum as the equivalent DuckDB expression over a
+    * column `sh` of md5-hex lists — multipliers read from the SAME
+    * laneConsts stream as the kernel so the two engines cannot drift;
+    * the 128-bit products run in HUGEINT, exactly the kernel's
+    * Mersenne-folded mulmod. */
+  private def laneMinSql(k: Int, l: Int): String = {
+    val i = k * NgramLanes + l
+    val cs = graft.expressions.TextHashes.laneConsts(2 * NgramBands * NgramLanes)
+    val (a, b) = (cs(2 * i), cs(2 * i + 1))
+    s"""list_min(list_transform(sh, x ->
+       |        (CAST($a AS HUGEINT) * CAST(concat('0x', substr(x, 1, 15)) AS BIGINT)
+       |         + CAST($b AS HUGEINT) * CAST(concat('0x', substr(x, 17, 15)) AS BIGINT))
+       |        % ${graft.expressions.TextHashes.LaneP}))""".stripMargin
+  }
+
+  private def bandedCteSql: String =
+    (0 until NgramBands).map { k =>
+      s"SELECT doc_id, $k AS band, ${laneMinSql(k, 0)} AS b0, ${laneMinSql(k, 1)} AS b1 FROM s"
+    }.mkString("\n      |  UNION ALL ")
+
+  /** Exact shingle Jaccard of two TEXT columns via the native kernel —
+    * evaluated once per CANDIDATE pair, so no corpus-wide shingle-set
+    * materialization exists anywhere in the pipeline (the r6 shape
+    * built an md5 array ~6× the text for every doc and shuffled it). */
+  private def shingleJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleJaccard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), 3))
+  }
+
+  /** Narrow banded keys (doc_id, band, b0, b1), staged ONCE behind a
+    * stage barrier with a repartition inside it (minhashLshFrom's
+    * pattern: the subtree ends in a shuffle, so the barrier materializes
+    * it and both self-join sides read the same shuffle files instead of
+    * re-running the shingle kernel per side). The empty-lanes filter and
+    * the 4-row band explode sit ABOVE the barrier, where they read the
+    * materialized 8-long array (ANSI-safe: indexing only after the
+    * size-8 filter). 4 rows × 3 scalars per doc — tiny next to the text
+    * the kernel consumes. */
+  private def bandedKeys(docs: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+        docs.select(col("doc_id"), laneMins(col("text")).as("lm"))
+          .repartition(col("doc_id")))
+      .filter(size(col("lm")) === NgramBands * NgramLanes)
+      .select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
+        struct(lit(k).as("band"),
+          col("lm")(k * NgramLanes).as("b0"),
+          col("lm")(k * NgramLanes + 1).as("b1"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.b0"), col("bb.b1"))
 
   // ----------------------------------------------------------- dedup_exact
   /** Exact dedup: group by normalized-text md5, keep the minimum doc_id.
@@ -42,45 +124,61 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
   // -------------------------------------------------- dedup_ngram_jaccard
-  /** N-gram Jaccard near-dup: candidate pairs share their min shingle
-    * hash; true Jaccard on the distinct shingle-hash sets decides (md5 is
-    * collision-free at corpus scale, so hash-set sizes ≙ shingle-set
-    * sizes and the oracle can keep comparing shingle strings).
+  /** N-gram Jaccard near-dup: banded-MinHash candidate pairs (see
+    * bandedKeys — 4 bands × 2 independent md5-derived lanes, skew-proof
+    * where the r6 1-band min-shingle key was O(b²) on a hot bucket),
+    * true Jaccard on the distinct shingle sets decides.
     *
-    * Scale/shape: the per-doc hash sets are built by explode + partial
-    * aggregation (each shingle hash materialized once, codegen'd
-    * explode), staged ONCE behind a stage barrier and consumed by both
-    * sides of the self-join — the aliased sides do NOT hit Catalyst's
-    * ReuseExchange (verified on the executed plan: the alias rewrites
-    * expression ids, so the exchanges aren't `sameResult`), and without
-    * the barrier the whole shingle aggregate ran twice. The join
-    * shuffles on the min-hash bucket; a popular bucket is a skew risk
-    * handled by AQE skew-join; no cross product anywhere. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh")))
-    val a = s.as("a"); val b = s.as("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    a.join(b, col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
+    * Scale/shape (r7): shingle sets are NEVER materialized corpus-wide
+    * — the r6 shape built an md5 array ~6× the text for every doc and
+    * pushed it through the min-bucket self-join exchange, re-encoding
+    * the corpus as hash arrays in transit. Now the candidate self-join
+    * exchange carries (doc_id, band, b0, b1) scalars from one
+    * ShingleMd5Lanes kernel pass, and the exact-Jaccard verify joins
+    * the O(near-dups) candidate list back to the documents' TEXT (AQE
+    * broadcasts the tiny pair list, so text stays in its scan stage)
+    * where the ShingleJaccard kernel shingles just the two candidate
+    * texts per pair. DedupSpec pins the hot-bucket bound. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(Tables.documents(spark, dir))
+
+  /** The banded-candidate exact-Jaccard pipeline over any (doc_id, text)
+    * frame (spec entry point — DedupSpec drives the hot-bucket and
+    * short-doc cases through it). */
+  def ngramJaccardFrom(docs: DataFrame): DataFrame = {
+    val keyed = bandedKeys(docs)
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
+          col("x.b1") === col("y.b1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        shingleJaccard(col("ta"), col("tb")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH s AS (
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
       |  SELECT doc_id,
-      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |                        for i in range(0, len(words)-2)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
-      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |       len(list_intersect(a.sh, b.sh))
-      |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-      |FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |b AS (
+      |  $bandedCteSql),
+      |p AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b,
+      |       len(list_intersect(a.sh, c.sh))
+      |         / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) AS jaccard
+      |FROM p JOIN s a ON p.id_a = a.doc_id JOIN s c ON p.id_b = c.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------- dedup_clusters
@@ -133,17 +231,24 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE s AS (
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
       |  SELECT doc_id,
-      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |                        for i in range(0, len(words)-2)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
-      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s),
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |b AS (
+      |  $bandedCteSql),
+      |cp AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id),
       |p AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh))
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+      |  SELECT id_a, id_b
+      |  FROM cp JOIN s a ON cp.id_a = a.doc_id JOIN s c ON cp.id_b = c.doc_id
+      |  WHERE len(list_intersect(a.sh, c.sh))
+      |          / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) >= 0.9),
       |e AS (SELECT id_a AS src, id_b AS dst FROM p
       |      UNION ALL SELECT id_b, id_a FROM p),
       |r AS (
@@ -351,29 +456,34 @@ object Dedup {
     * are guaranteed candidates at j = 1.0), keep otherwise — with the
     * best-matching corpus doc and candidate count for audit.
     *
-    * Scale: the per-doc shingle-hash sets are an explode + partial
-    * aggregation; the batch/corpus membership predicates are on the
-    * GROUP KEY, so Catalyst pushes them below the aggregate into each
-    * side's scan — the two subtrees shingle DISJOINT slices (10% + 90%
-    * = one full pass split in two, not two passes).
-    * Candidates join on the min-shingle bucket (1-band MinHash,
-    * same candidate generator as dedup_ngram_jaccard) — batch-side
-    * bucket cardinality is O(|batch|), so candidate work scales with the
-    * ingest, not the corpus; the best-match window partitions on the
-    * fine-grained batch doc_id. Batch docs with no bucket match (or
-    * fewer than 3 words — no shingles) short-circuit to keep via the
-    * left join. */
+    * Scale: the banded keys are staged once over the whole corpus (one
+    * kernel pass — batch and corpus are disjoint slices of the same
+    * staged frame); candidates join batch-side keys to corpus-side keys
+    * on (band, bucket), so candidate work scales with the ingest, not
+    * the corpus, and the banding keeps one globally common shingle from
+    * pairing the batch against a corpus-wide bucket (the r6 1-band key
+    * did exactly that). As in dedup_ngram_jaccard, only (doc_id, band,
+    * b0, b1) scalars cross the candidate exchange; the exact-Jaccard
+    * verify joins the candidate list back to the documents' text and
+    * the ShingleJaccard kernel shingles only the candidate pairs.
+    * The best-match window partitions on the fine-grained batch doc_id.
+    * Batch docs with no bucket match (or fewer than 3 words — no
+    * shingles) short-circuit to keep via the left join. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("sh"), min(col("h")).as("minh"))
-    val batch = s.filter(col("doc_id") % 10 === 0)
-    val corpus = s.filter(col("doc_id") % 10 =!= 0)
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    val cand = batch.as("a").join(corpus.as("b"), col("a.minh") === col("b.minh"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
-        (inter / (size(col("a.sh")) + size(col("b.sh")) - inter)).as("j"))
+    val docs = Tables.documents(spark, dir)
+    val keyed = bandedKeys(docs)
+    val candIds = keyed.filter(col("doc_id") % 10 === 0).as("x")
+      .join(keyed.filter(col("doc_id") % 10 =!= 0).as("y"),
+        col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
+          col("x.b1") === col("y.b1"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"))
+      .distinct()
+    val t = docs.select(col("doc_id"), col("text"))
+    val cand = candIds
+      .join(t.select(col("doc_id"), col("text").as("ta")), Seq("doc_id"))
+      .join(t.select(col("doc_id").as("match_id"), col("text").as("tb")), Seq("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        shingleJaccard(col("ta"), col("tb")).as("j"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("j").desc, col("match_id"))
     val best = cand
@@ -393,19 +503,25 @@ object Dedup {
   }
 
   val dedupIncrementalSql: String =
-    """WITH s AS (
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
       |  SELECT doc_id,
-      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |                        for i in range(0, len(words)-2)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
-      |  WHERE len(words) >= 3),
-      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM s),
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |b AS (
+      |  $bandedCteSql),
+      |cand0 AS (
+      |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id
+      |  FROM b x JOIN b y ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1
+      |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
       |cand AS (
-      |  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
-      |         len(list_intersect(a.sh, b.sh))
-      |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-      |  FROM m a JOIN m b ON a.minh = b.minh
-      |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      |  SELECT c.doc_id, c.match_id,
+      |         len(list_intersect(a.sh, m2.sh))
+      |           / (len(a.sh) + len(m2.sh) - len(list_intersect(a.sh, m2.sh))) AS j
+      |  FROM cand0 c JOIN s a ON c.doc_id = a.doc_id
+      |               JOIN s m2 ON c.match_id = m2.doc_id),
       |best AS (
       |  SELECT doc_id, match_id AS best_match, j AS best_jaccard, n_candidates
       |  FROM (SELECT *,

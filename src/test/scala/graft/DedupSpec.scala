@@ -81,6 +81,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)), "identical docs pair; short docs drop out quietly")
   }
 
+  test("banded ngram candidates survive a globally common shingle (no quadratic bucket)") {
+    // r6's 1-band generator (bucket = the single global min-shingle hash)
+    // collapsed every doc whose minimum happened to be one common trigram
+    // into ONE bucket: with s distinct shingles per doc, ~n/s docs of a
+    // corpus sharing that trigram co-bucket -> O((n/s)^2) pairs that AQE
+    // can split but not shrink. The r7 banded key needs TWO independent
+    // lane minima to agree, cutting the hot bucket to ~n/s^2. Plant one
+    // shared trigram across 8k otherwise-disjoint docs: the old shape
+    // yields ~ (8000/31)^2/2 = 33k+ pairs; the banded shape must stay
+    // under a few thousand, and it must still complete promptly.
+    val common = "zz yy xx" // one shared trigram across the whole corpus
+    val docs = spark.range(8000).selectExpr("id AS doc_id",
+      // 30 words unique to the doc (w<id>_0 .. w<id>_29) + the planted trigram
+      s"""concat_ws(' ', transform(sequence(0, 29), i -> concat('w', id, '_', i))) || ' $common'
+         | AS text""".stripMargin)
+    val pairs = Dedup.ngramJaccardFrom(docs)
+    val n = pairs.count()
+    assert(n < 5000, s"hot-bucket blowup: $n candidate pairs from one common shingle")
+    // and true dups still pair with certainty (identical sets agree on
+    // every lane min by construction)
+    val withDup = docs.union(Seq((9001L,
+      "w1_0 w1_1 w1_2 w1_3 w1_4 w1_5")).toDF("doc_id", "text"))
+      .union(Seq((9002L, "w1_0 w1_1 w1_2 w1_3 w1_4 w1_5")).toDF("doc_id", "text"))
+    val exact = Dedup.ngramJaccardFrom(withDup)
+      .filter(col("id_a") === 9001L && col("id_b") === 9002L).collect()
+    assert(exact.length == 1 && exact(0).getDouble(2) == 1.0,
+      "identical docs must be guaranteed candidates at jaccard 1.0")
+  }
+
+  test("ngram jaccard survives short/empty documents") {
+    val docs = Seq((1L, base), (2L, base), (3L, "too short"), (4L, ""), (5L, distinct1))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSet == Set((1L, 2L, 1.0)), "identical docs pair; short docs drop out")
+  }
+
   test("simhash: near-dup hamming below unrelated hamming") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))

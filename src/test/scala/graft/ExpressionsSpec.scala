@@ -54,6 +54,57 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleMd5Lanes equals the independent BigInt hex-parse computation") {
+    // independent re-derivation of the lane minima: md5-hex each shingle
+    // (via the already-pinned ShingleMd5s kernel semantics), parse hex
+    // chars 1-15 / 17-31 as BigInt (the DuckDB oracle's CAST '0x...'),
+    // and fold (a_i*h1 + b_i*h2) mod 2^61-1 in exact BigInt arithmetic —
+    // pins the kernel's Mersenne mulmod and digest-byte split
+    val texts = Seq("the quick brown fox jumps over", "a b c", "a b", "",
+      "a b c ", " a b c", "zz yy xx zz yy xx")
+    val p = BigInt(TextHashes.LaneP)
+    val cs = TextHashes.laneConsts(16).map(BigInt(_))
+    texts.foreach { t =>
+      val hexes = TextHashes.shingleMd5s(UTF8String.fromString(t), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      val expect: Seq[Long] =
+        if (hexes.isEmpty) Seq.empty
+        else (0 until 8).map { i =>
+          hexes.map { h =>
+            val h1 = BigInt(h.substring(0, 15), 16)
+            val h2 = BigInt(h.substring(16, 31), 16)
+            ((cs(2 * i) * h1 + cs(2 * i + 1) * h2) mod p).toLong
+          }.min
+        }
+      val got = TextHashes.shingleMd5Lanes(UTF8String.fromString(t), 3, 4, 2)
+        .toLongArray().toSeq
+      assert(got == expect, s"lane minima diverge on '$t'")
+    }
+  }
+
+  test("ShingleJaccard kernel equals the declarative distinct-set formula") {
+    val pairs = Seq(
+      ("the quick brown fox jumps", "the quick brown fox runs"),
+      ("a b c d e", "a b c d e"),
+      ("a b c", "x y z"),
+      ("a b", "a b c"), // left has no shingles
+      ("", ""),
+      ("a a a a a", "a a a a"))
+    pairs.foreach { case (x, y) =>
+      def set(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val (sa, sb) = (set(x), set(y))
+      val expect =
+        if (sa.union(sb).isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      val got = TextHashes.shingleJaccard(
+        UTF8String.fromString(x), UTF8String.fromString(y), 3)
+      assert(got == expect, s"jaccard diverges on ('$x','$y'): $got vs $expect")
+    }
+  }
+
   test("RepetitionStats kernel equals the declarative words/shingles chain exactly") {
     // same empty-token-keeping tokenization edge cases as ShingleMd5s,
     // plus planted repetition; checked over real corpus docs below too
