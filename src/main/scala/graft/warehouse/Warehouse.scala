@@ -886,6 +886,164 @@ object Warehouse {
        |  AND regexp_matches(trim(label), '^[0-9]{1,4}$$')
        |ORDER BY sheet, pos""".stripMargin
 
+  // ------------------------------------------------------- fin_load_audit
+
+  /** Header synonym sets the reference accepts when identifying the GL
+    * reference sheet's columns (build_warehouse.py:67-71) — shared with
+    * the SQL oracle so the two engines cannot drift. */
+  val GlHeaderSynonyms: Seq[String] = Seq("gl", "gl code", "glcode", "number",
+    "account", "account number", "account#", "account #")
+  val DescHeaderSynonyms: Seq[String] = Seq("description", "account description",
+    "gl description", "name")
+
+  private def normHeader(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Strict-mode load validation over any statements-shaped frame —
+    * the reference FAILS LOUDLY on malformed inputs (month out of range:
+    * build_warehouse.py:27-29, zero department sheets: :129) where
+    * graft's parsers null-and-continue; a distributed load can't throw
+    * per-file, so the strict contract becomes a verdict REPORT: counts
+    * of rejected files and rows by reason. File-level reasons follow the
+    * reference's raise order (no mm.yyyy in the name, month out of
+    * range, no 'DEPARTMENT NNN-F' sheets); row-level reasons audit the
+    * rows the reference silently drops (non-GL labels, unparseable
+    * amounts) inside otherwise-valid loads.
+    *
+    * Scale: two map-side-combined aggregates — one per distinct file
+    * (|files| rows), one over row reasons (4 rows); every predicate is
+    * a scan-fused column expression. */
+  def loadAudit(statements: DataFrame): DataFrame = {
+    val hasPeriod = regexp_extract(col("file"), "(\\d{2})\\.(\\d{4})", 1) =!= ""
+    val monthOk = Financial.periodMonth(col("file")).isNotNull
+    val isDept = Financial.extractDepartment(col("sheet")).isNotNull
+    val flagged = statements.select(col("file"), col("sheet"), col("label"),
+      col("amount_str"), hasPeriod.cast("int").as("hp"),
+      monthOk.cast("int").as("mo"), isDept.cast("int").as("dp"))
+    val fileVerdicts = flagged.groupBy(col("file"))
+      .agg(max(col("hp")).as("hp"), max(col("mo")).as("mo"), max(col("dp")).as("nd"))
+      .select(when(col("hp") === 0, "no_period_in_filename")
+        .when(col("mo") === 0, "month_out_of_range")
+        .when(col("nd") === 0, "no_department_sheets")
+        .otherwise("ok").as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+      .select(lit("file").as("scope"), col("reason"), col("n"))
+    val lbl = upper(trim(col("label")))
+    val rowVerdicts = flagged
+      .filter(col("hp") === 1 && col("mo") === 1 && col("dp") === 1)
+      .select(when(lbl === "REVENUES" || lbl === "EXPENSES", "marker")
+        .when(Financial.normalizeGlCode(col("label")).isNull, "non_gl_label")
+        .when(Financial.cleanAmount(col("amount_str")).isNull, "unparseable_amount")
+        .otherwise("ok").as("reason"))
+      .filter(col("reason") =!= "marker")
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+      .select(lit("row").as("scope"), col("reason"), col("n"))
+    fileVerdicts.unionByName(rowVerdicts)
+  }
+
+  /** GL-reference header identification audit (build_warehouse.py:73-76:
+    * unidentifiable GL code / Description column is a hard failure) over
+    * a frame of (gl_hdr, desc_hdr) candidate header pairs; the reason
+    * order mirrors the reference's raise order (GL first). */
+  def headerAudit(headers: DataFrame): DataFrame =
+    headers
+      .select(when(!normHeader(col("gl_hdr")).isin(GlHeaderSynonyms: _*),
+          "gl_header_unidentified")
+        .when(!normHeader(col("desc_hdr")).isin(DescHeaderSynonyms: _*),
+          "desc_header_unidentified")
+        .otherwise("ok").as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+      .select(lit("glref").as("scope"), col("reason"), col("n"))
+
+  /** fin_load_audit: the strict-mode validation report over a corpus
+    * with DETERMINISTIC malformed loads planted (both engines derive the
+    * identical perversion of the statements frame, so the oracle counts
+    * the same rejects): months 3/10 lose their mm.yyyy filename period,
+    * months 2/7/12 get an out-of-range month (+12), month 4's sheets
+    * lose their DEPARTMENT names; a 25-row header-variant frame (from
+    * nation) exercises the GL-reference header identification. */
+  def finLoadAudit(spark: SparkSession, dir: String): DataFrame = {
+    val mn0 = regexp_extract(col("file"), "(\\d{2})\\.(\\d{4})", 1).cast("int")
+    val yr0 = regexp_extract(col("file"), "(\\d{2})\\.(\\d{4})", 2).cast("string")
+    val perverted = Statements.income(spark, dir).select(
+      when(mn0 % 7 === 3, concat(lit("Financials draft-"), mn0.cast("string"),
+          lit("-"), yr0, lit(".xlsx")))
+        .when(mn0 % 5 === 2, concat(lit("Financials "), (mn0 + 12).cast("string"),
+          lit("."), yr0, lit(".xlsx")))
+        .otherwise(col("file")).as("file"),
+      when(mn0 === 4, concat(lit("Tab "), col("sheet"))).otherwise(col("sheet")).as("sheet"),
+      col("pos"), col("label"), col("amount_str"))
+    val headerVariants = Tables.nation(spark, dir).select(
+      when(col("n_nationkey") % 4 === 0, "GL Code")
+        .when(col("n_nationkey") % 4 === 1, "Account #")
+        .when(col("n_nationkey") % 4 === 2, "Num")
+        .otherwise("  gl  ").as("gl_hdr"),
+      when(col("n_nationkey") % 3 === 0, "Description")
+        .when(col("n_nationkey") % 3 === 1, "name")
+        .otherwise("Detail").as("desc_hdr"))
+    loadAudit(perverted).unionByName(headerAudit(headerVariants))
+      .orderBy(col("scope"), col("reason"))
+  }
+
+  val finLoadAuditSql: String = {
+    val glIn = GlHeaderSynonyms.map(s => s"'$s'").mkString(", ")
+    val descIn = DescHeaderSynonyms.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${Statements.incomeCtes},
+       |aud AS (
+       |  SELECT CASE WHEN mn0 % 7 = 3
+       |              THEN 'Financials draft-' || CAST(mn0 AS VARCHAR) || '-' || yr0 || '.xlsx'
+       |              WHEN mn0 % 5 = 2
+       |              THEN 'Financials ' || CAST(mn0 + 12 AS VARCHAR) || '.' || yr0 || '.xlsx'
+       |              ELSE file END AS file,
+       |         CASE WHEN mn0 = 4 THEN 'Tab ' || sheet ELSE sheet END AS sheet,
+       |         label, amount_str, k
+       |  FROM (SELECT *,
+       |          CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) AS INT) AS mn0,
+       |          regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 2) AS yr0
+       |        FROM fin_statements)),
+       |fl AS (
+       |  SELECT *,
+       |    CASE WHEN regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) <> ''
+       |         THEN 1 ELSE 0 END AS hp,
+       |    CASE WHEN TRY_CAST(regexp_extract(file, '([0-9]{2})\\.([0-9]{4})', 1) AS INT)
+       |           BETWEEN 1 AND 12 THEN 1 ELSE 0 END AS mo,
+       |    CASE WHEN regexp_extract(trim(sheet),
+       |           '(?i)^DEPARTMENT\\s+([0-9]+)\\s*[-–—]\\s*F', 1) <> ''
+       |         THEN 1 ELSE 0 END AS dp
+       |  FROM aud),
+       |files_r AS (
+       |  SELECT CASE WHEN max(hp) = 0 THEN 'no_period_in_filename'
+       |              WHEN max(mo) = 0 THEN 'month_out_of_range'
+       |              WHEN max(dp) = 0 THEN 'no_department_sheets'
+       |              ELSE 'ok' END AS reason
+       |  FROM fl GROUP BY file),
+       |rows_r AS (
+       |  SELECT CASE WHEN upper(trim(label)) IN ('REVENUES', 'EXPENSES') THEN 'marker'
+       |              WHEN regexp_extract(trim(label), '^([0-9]{1,4})(\\.[0-9]+)?$$', 1) = ''
+       |              THEN 'non_gl_label'
+       |              WHEN k IS NULL OR k % 17 = 0 THEN 'unparseable_amount'
+       |              ELSE 'ok' END AS reason
+       |  FROM fl WHERE hp = 1 AND mo = 1 AND dp = 1),
+       |hdr_r AS (
+       |  SELECT CASE WHEN lower(trim(regexp_replace(gl_hdr, '\\s+', ' ', 'g')))
+       |              NOT IN ($glIn) THEN 'gl_header_unidentified'
+       |              WHEN lower(trim(regexp_replace(desc_hdr, '\\s+', ' ', 'g')))
+       |              NOT IN ($descIn) THEN 'desc_header_unidentified'
+       |              ELSE 'ok' END AS reason
+       |  FROM (SELECT CASE n_nationkey % 4 WHEN 0 THEN 'GL Code' WHEN 1 THEN 'Account #'
+       |               WHEN 2 THEN 'Num' ELSE '  gl  ' END AS gl_hdr,
+       |               CASE n_nationkey % 3 WHEN 0 THEN 'Description' WHEN 1 THEN 'name'
+       |               ELSE 'Detail' END AS desc_hdr
+       |        FROM nation))
+       |SELECT scope, reason, n FROM (
+       |  SELECT 'file' AS scope, reason, count(*) AS n FROM files_r GROUP BY reason
+       |  UNION ALL
+       |  SELECT 'row', reason, count(*) FROM rows_r WHERE reason <> 'marker' GROUP BY reason
+       |  UNION ALL
+       |  SELECT 'glref', reason, count(*) FROM hdr_r GROUP BY reason)
+       |ORDER BY scope, reason""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -909,7 +1067,8 @@ object Warehouse {
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
-    "fin_header_detect" -> (finHeaderDetect _)
+    "fin_header_detect" -> (finHeaderDetect _),
+    "fin_load_audit" -> (finLoadAudit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -933,6 +1092,7 @@ object Warehouse {
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
-    "fin_header_detect" -> finHeaderDetectSql
+    "fin_header_detect" -> finHeaderDetectSql,
+    "fin_load_audit" -> finLoadAuditSql
   )
 }

@@ -38,6 +38,55 @@ class XlsxSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSet.subsetOf(Set("Revenue", "Expenses")))
   }
 
+  test("loadAudit surfaces the reference's failure contract on malformed workbooks") {
+    import graft.sources.XlsxParse.Cell
+    import graft.sources.XlsxWrite
+    // one sheet's cells: the NUMBER/DESCRIPTION/ACTUAL header at row 2
+    // (statementsXlsx detects it), then the given (label, amount) rows
+    def sheetCells(rows: Seq[(String, String)]): Seq[Cell] = {
+      val hdr = Seq(Cell("s", 2, "A", "NUMBER"), Cell("s", 2, "B", "DESCRIPTION"),
+        Cell("s", 2, "C", "ACTUAL"))
+      hdr ++ rows.zipWithIndex.flatMap { case ((l, a), i) =>
+        Seq(Cell("s", 3 + i, "A", l), Cell("s", 3 + i, "B", "d"), Cell("s", 3 + i, "C", a))
+      }
+    }
+    val good = Seq(("REVENUES", ""), ("1010", "$100.00"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    // the reference raises on each of these (build_warehouse.py:27-29, :129);
+    // the audit reports them per file instead
+    XlsxWrite.writeCells(s"$dir/Financials 13.2024.xlsx",
+      Seq(("DEPARTMENT 101-F", sheetCells(good))))
+    XlsxWrite.writeCells(s"$dir/Financials latest.xlsx",
+      Seq(("DEPARTMENT 102-F", sheetCells(good))))
+    XlsxWrite.writeCells(s"$dir/Financials 05.2024.xlsx",
+      Seq(("Summary", sheetCells(good))))
+    XlsxWrite.writeCells(s"$dir/Financials 06.2024.xlsx",
+      Seq(("DEPARTMENT 103-F", sheetCells(
+        good ++ Seq(("Total Revenue", "$5.00"), ("2020", "N/A"))))))
+    val audit = Warehouse.loadAudit(Xlsx.statementsXlsx(spark, s"$dir/*.xlsx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(audit(("file", "month_out_of_range")) == 1)
+    assert(audit(("file", "no_period_in_filename")) == 1)
+    assert(audit(("file", "no_department_sheets")) == 1)
+    assert(audit(("file", "ok")) == 1)
+    assert(audit(("row", "non_gl_label")) == 1)      // 'Total Revenue'
+    assert(audit(("row", "unparseable_amount")) == 1) // 'N/A'
+    assert(audit(("row", "ok")) >= 1)
+  }
+
+  test("headerAudit mirrors the reference's GL-sheet header identification") {
+    import spark.implicits._
+    val audit = Warehouse.headerAudit(Seq(
+      ("GL Code", "Description"), ("account #", "name"), // identified
+      ("Num", "Description"),                            // bad GL header
+      ("GL", "Detail")                                   // bad Description header
+    ).toDF("gl_hdr", "desc_hdr"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(audit("ok") == 2)
+    assert(audit("gl_header_unidentified") == 1)
+    assert(audit("desc_header_unidentified") == 1)
+  }
+
   test("writeBack replaces Final/Missing_GL_Mapping and preserves every other sheet cell-for-cell") {
     import graft.sources.XlsxParse
     // real pipeline output as the report payload
