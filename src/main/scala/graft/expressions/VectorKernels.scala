@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Vector kernels callable from generated code. The fold order is
@@ -91,6 +91,80 @@ object VectorKernels {
     }
     best
   }
+
+  private def dotA(v: ArrayData, c: Array[Double]): Double = {
+    val m = math.min(v.numElements(), c.length)
+    var s = 0.0
+    var d = 0
+    while (d < m) { s += v.getDouble(d) * c(d); d += 1 }
+    s
+  }
+
+  /** Top-`nprobe` flat cells (ci·maxSub + si) for a query vector against
+    * the two-level broadcast index — the DISTRIBUTED probe ranking: rank
+    * the coarse seeds, descend into the `probeCoarse` best coarse cells
+    * only, rank their sub-centroids, return the globally-best nprobe
+    * flat cells by dot (ties → lower cell id, so results are
+    * deterministic). Per-row cost is C1 + probeCoarse·C2 = O(√nlist)
+    * dots — independent of the total cell count, exactly like the
+    * NearestCell/NearestSubCell assignment path. One compiled call per
+    * row regardless of index size (reference objects, not expression
+    * trees). */
+  def topCells(v: ArrayData, coarse: Array[Array[Double]],
+      sub: Array[Array[Array[Double]]], maxSub: Int,
+      probeCoarse: Int, nprobe: Int): ArrayData = {
+    val nc = coarse.length
+    val pc = math.min(probeCoarse, nc)
+    // top-pc coarse cells by dot (selection over nc; nc = O(sqrt(nlist)))
+    val chosen = new Array[Int](pc)
+    val used = new Array[Boolean](nc)
+    var c = 0
+    while (c < pc) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var j = 0
+      while (j < nc) {
+        if (!used(j)) {
+          val s = dotA(v, coarse(j))
+          if (s > bestD || (s == bestD && (best < 0 || j < best))) { bestD = s; best = j }
+        }
+        j += 1
+      }
+      used(best) = true
+      chosen(c) = best
+      c += 1
+    }
+    // rank the chosen cells' sub-centroids; keep the nprobe best flat
+    // cells via insertion into a small sorted buffer
+    val outCell = new Array[Int](nprobe)
+    val outDot = new Array[Double](nprobe)
+    var filled = 0
+    var ci = 0
+    while (ci < pc) {
+      val cc = chosen(ci)
+      val subs = sub(cc)
+      var si = 0
+      while (si < subs.length) {
+        val flat = cc * maxSub + si
+        val s = dotA(v, subs(si))
+        // find insertion point: order by (dot desc, cell asc)
+        var p = filled
+        while (p > 0 && (outDot(p - 1) < s ||
+            (outDot(p - 1) == s && outCell(p - 1) > flat))) p -= 1
+        if (p < nprobe) {
+          val last = math.min(filled, nprobe - 1)
+          var q = last
+          while (q > p) { outCell(q) = outCell(q - 1); outDot(q) = outDot(q - 1); q -= 1 }
+          outCell(p) = flat
+          outDot(p) = s
+          if (filled < nprobe) filled += 1
+        }
+        si += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(outCell, filled))
+  }
 }
 
 /** vec_dot(a, b): sequential-order dot product of two array<double>. */
@@ -145,6 +219,30 @@ case class NearestSubCell(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): NearestSubCell =
     copy(left = newLeft, right = newRight)
+}
+
+/** ivf_top_cells(v): the nprobe best flat cells for a query vector —
+  * the distributed twin of the driver-side probe ranking, so a query
+  * TABLE of any size ranks its probes map-side against the broadcast
+  * index state (see VectorKernels.topCells). */
+case class TopCells(child: Expression, coarse: Array[Array[Double]],
+                    sub: Array[Array[Array[Double]]], maxSub: Int,
+                    probeCoarse: Int, nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells"
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.topCells(v.asInstanceOf[ArrayData], coarse, sub, maxSub,
+      probeCoarse, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("ivfCoarse", coarse, "double[][]")
+    val sref = ctx.addReferenceObj("ivfSub", sub, "double[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VectorKernels.topCells($v, $cref, $sref, $maxSub, $probeCoarse, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
 }
 
 /** vec_quant_error(v): struct(vmin, vmax, max_abs_err, mean_abs_err) of

@@ -64,9 +64,15 @@ object Ann {
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv")).filter(col("q_id") < NQueries)
+    bruteTopkFrom(e, q)
+  }
+
+  /** Exact cosine top-k of `queries` (q_id, qv) against corpus `e`
+    * (vec_id, v) — the yardstick and the degenerate-corpus fallback. */
+  private def bruteTopkFrom(e: DataFrame, queries: DataFrame): DataFrame = {
     val cos = Vectors.cosine(col("qv"), col("v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+    broadcast(queries).join(e, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cos)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -189,12 +195,19 @@ object Ann {
     *
     * Engine-seeded cells → rows-only at the driver; AnnSpec bounds
     * recall@10 against ann_brute_topk and pins determinism. */
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** The broadcast-shaped two-level index state + the celled corpus. */
+  private case class IvfIndex(celled: DataFrame, coarse: Array[Array[Double]],
+      refinedSub: Array[Array[Array[Double]]], maxSub: Int)
+
+  /** Build the two-level IVF index over corpus `e` (vec_id, v): coarse
+    * seeds → strided sub-seeds → one integer-exact Lloyd step → celled
+    * corpus. None when the corpus is degenerate (<2 coarse seeds) — the
+    * callers fall back to brute force. Runs bounded driver jobs
+    * (O(√n·dim) collects) at construction, like factStaged. */
+  private def buildIvfIndex(e: DataFrame, n: Long): Option[IvfIndex] = {
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
     import graft.expressions.{NearestCell, NearestSubCell}
 
-    val e = emb(spark, dir)
-    val n = e.count()
     val nlist = ivfLists(n)
     val c2 = math.ceil(math.sqrt(nlist.toDouble)).toInt
     val c1 = math.ceil(nlist.toDouble / c2).toInt
@@ -204,7 +217,7 @@ object Ann {
     val coarse: Array[Array[Double]] = e.filter(col("vec_id") % strideC === 0)
       .orderBy(col("vec_id")).limit(c1)
       .select(col("v")).collect().map(r => unit(r.getSeq[Double](0).toArray))
-    if (coarse.length < 2) return annBruteTopk(spark, dir)
+    if (coarse.length < 2) return None
 
     def coarseCol(v: Column): Column = kcol(NearestCell(kexp(v), coarse))
     def subCol(v: Column, c: Column, cents: Array[Array[Array[Double]]]): Column =
@@ -262,39 +275,102 @@ object Ann {
     val maxSub = refinedSub.map(_.length).max
     val celled = withCoarse.select(col("vec_id"), col("v"),
       (col("c1") * maxSub + subCol(col("v"), col("c1"), refinedSub)).as("cell"))
+    Some(IvfIndex(celled, coarse, refinedSub, maxSub))
+  }
 
-    // driver-side probe ranking for the 20-query set: nprobe best cells
-    // by centroid cosine (dot against unit centroids), ties → lower cell
-    val probeRows: Seq[(Long, Seq[Double], Int)] = {
-      val flat = for (ci <- refinedSub.indices; si <- refinedSub(ci).indices)
-        yield (ci * maxSub + si, refinedSub(ci)(si))
-      e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
-        .collect().toSeq.flatMap { r =>
-          val qid = r.getLong(0)
-          val qv = r.getSeq[Double](1)
-          flat.map { case (cell, c) =>
-            var s = 0.0; var d = 0
-            val m = math.min(qv.length, c.length)
-            while (d < m) { s += qv(d) * c(d); d += 1 }
-            (cell, s)
-          }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
-            .map { case (cell, _) => (qid, qv, cell) }
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    buildIvfIndex(e, n) match {
+      case None => annBruteTopk(spark, dir)
+      case Some(idx) =>
+        // driver-side probe ranking for the 20-query set: nprobe best
+        // cells by centroid cosine (dot against unit centroids), ties →
+        // lower cell; exhaustive over the flat cell table (nlist dots ×
+        // 20 queries — bounded). ann_ivf_batch is the distributed twin
+        // for query TABLES.
+        val probeRows: Seq[(Long, Seq[Double], Int)] = {
+          val flat = for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
+            yield (ci * idx.maxSub + si, idx.refinedSub(ci)(si))
+          e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+            .collect().toSeq.flatMap { r =>
+              val qid = r.getLong(0)
+              val qv = r.getSeq[Double](1)
+              flat.map { case (cell, c) =>
+                var s = 0.0; var d = 0
+                val m = math.min(qv.length, c.length)
+                while (d < m) { s += qv(d) * c(d); d += 1 }
+                (cell, s)
+              }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
+                .map { case (cell, _) => (qid, qv, cell) }
+            }
         }
-    }
-    val session = spark
-    import session.implicits._
-    val probes = probeRows.toDF("q_id", "qv", "cell")
+        val session = spark
+        import session.implicits._
+        val probes = probeRows.toDF("q_id", "qv", "cell")
 
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(probes).join(celled, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        (round(col("cos"), 4) + 0.0).as("cos_sim"))
-      .orderBy(col("q_id"), col("rank"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        broadcast(probes).join(idx.celled, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  // ----------------------------------------------------------- ann_ivf_batch
+  private val BatchProbeCoarse = 2 // coarse cells descended per query
+
+  /** IVF search with the probe ranking DISTRIBUTED — the shape for a
+    * query TABLE (the registered 20-query ann_ivf_topk ranks its probes
+    * on the driver, which is bounded for a handful of queries but not
+    * for a query table at scale). Each query row ranks its own nprobe
+    * cells map-side via the TopCells kernel against the same broadcast
+    * index state the assignment kernels use: C1 + probeCoarse·C2 =
+    * O(√nlist) dots per query, one generated call regardless of index
+    * size, NO driver collect of the query set. The probe list explodes
+    * to |Q|·nprobe rows joined against the celled corpus — AQE
+    * broadcasts it while it fits and degrades to a cell-keyed shuffle
+    * join beyond that (both sides carry the cell key; the corpus
+    * shuffles ONCE on cell, never pairwise).
+    *
+    * Engine-seeded cells → rows-only at the driver; AnnSpec bounds
+    * recall@10 ≥ 0.5 on a 1000-query set vs brute force. */
+  def annIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // a deterministic query TABLE (every 37th vector), not a collected list
+    val q = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    annIvfBatchFrom(spark, e, q)
+  }
+
+  /** Distributed-probe IVF top-k of `queries` (q_id, qv) against corpus
+    * `e` (vec_id, v); brute-force fallback on degenerate corpora. */
+  def annIvfBatchFrom(spark: SparkSession, e: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    val n = e.count()
+    buildIvfIndex(e, n) match {
+      case None => bruteTopkFrom(e, queries)
+      case Some(idx) =>
+        def topCellsCol(v: Column): Column = kcol(graft.expressions.TopCells(
+          kexp(v), idx.coarse, idx.refinedSub, idx.maxSub, BatchProbeCoarse, IvfProbe))
+        val probed = queries.select(col("q_id"), col("qv"),
+          explode(topCellsCol(col("qv"))).as("cell"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        probed.join(idx.celled, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+    }
   }
 
   // -------------------------------------------------------------- vec_stats
@@ -352,6 +428,7 @@ object Ann {
     "ann_brute_topk" -> (annBruteTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_batch" -> (annIvfBatch _),
     "vec_stats" -> (vecStats _)
   )
 

@@ -40,6 +40,44 @@ class AnnSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("ann_ivf_batch: distributed probe ranking, recall@10 >= 0.5 on a 1000-query set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clustered synthetic corpus: 2000 vectors around 25 centers with
+    // deterministic per-vector jitter; 1000 of them double as queries
+    val corpus = (0 until 2000).map { i =>
+      val c = i % 25
+      (i.toLong, Array.tabulate(64) { d =>
+        math.sin(c * 3.1 + d * 0.73) + 0.08 * math.sin(i * 1.37 + d * 2.11)
+      }.toSeq)
+    }.toDF("vec_id", "v")
+    val queries = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    assert(queries.count() == 1000)
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = neighbors(graft.operators.Ann.annIvfBatchFrom(spark, corpus, queries))
+    // brute-force ground truth over the same frames
+    val truth = neighbors(
+      queries.crossJoin(corpus).filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.Vectors.cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id")))
+    assert(truth.size == 1000)
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg over 1000 queries")
+    // every query returns ranked rows
+    assert(got.size == 1000)
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
