@@ -35,9 +35,18 @@ object GraftColumnBridge {
     * registry queries are constructed immediately before execution, so
     * the eager stages are work that runs exactly once either way. Do NOT
     * construct barrier-wrapped frames in plan-only tooling loops, and
-    * don't construct the same one twice (the stages re-run). */
+    * don't construct the same one twice (the stages re-run).
+    *
+    * Plan-only tooling escape hatch: with JVM property
+    * `graft.barrier.bypass=1` (read per call) the barrier is an
+    * identity, so explain/codegen tooling can construct barrier-staged
+    * queries lazily. Never set for Verify/Bench — they want the staged
+    * shape. */
   def stageBarrier(df: Dataset[Row]): DataFrame = {
-    val cdf = df.asInstanceOf[classic.Dataset[Row]]
-    cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+    if (sys.props.get("graft.barrier.bypass").contains("1")) df.toDF()
+    else {
+      val cdf = df.asInstanceOf[classic.Dataset[Row]]
+      cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+    }
   }
 }

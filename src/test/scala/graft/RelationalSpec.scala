@@ -191,6 +191,25 @@ class RelationalSpec extends SparkSpec {
       s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
   }
 
+  test("barrier bypass keeps plan-only tooling lazy and result-identical") {
+    // with graft.barrier.bypass=1 the stageBarrier is an identity: the
+    // query plan keeps the raw lineage (lineitem scan visible — nothing
+    // pre-executed at construction), and the rows still match the
+    // staged shape bit-for-bit
+    sys.props("graft.barrier.bypass") = "1"
+    val (bypassPlan, bypassRows) = try {
+      val df = run("q15_top_supplier")
+      (df.queryExecution.analyzed.toString, df.collect().toSeq)
+    } finally sys.props.remove("graft.barrier.bypass")
+    assert(!bypassPlan.contains("LogicalRDD"),
+      s"bypassed barrier should keep the raw lineage (no LogicalRDD leaf):\n$bypassPlan")
+    val staged = run("q15_top_supplier")
+    val stagedPlan = staged.queryExecution.analyzed.toString
+    assert(stagedPlan.contains("LogicalRDD"),
+      s"staged barrier should rebase onto a LogicalRDD leaf:\n$stagedPlan")
+    assert(staged.collect().toSeq == bypassRows)
+  }
+
   test("q21: grouped cascades inherit the join partitioning under sort-merge") {
     val rows = run("q21_waiting_supplier").collect()
     assert(rows.nonEmpty)
