@@ -13,14 +13,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Analytics.queries ++ graft.warehouse.Warehouse.queries ++
+    Relational.queries ++ TpchExtra.queries ++ Analytics.queries ++
+      graft.warehouse.Warehouse.queries ++
       TextAnalysis.queries ++ TrainPrep.queries ++ Dedup.queries ++ Ann.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
     * here get the driver's weaker rows-only check (see SURVEY.md §2). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Analytics.oracles ++ graft.warehouse.Warehouse.oracles ++
+    Relational.oracles ++ TpchExtra.oracles ++ Analytics.oracles ++
+      graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TrainPrep.oracles ++ Dedup.oracles ++ Ann.oracles ++
       graft.streaming.EventStreams.oracles ++ Multimodal.oracles
       // mm_metadata / mm_features: binary + stub semantics, rows-only

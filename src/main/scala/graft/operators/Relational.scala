@@ -20,21 +20,21 @@ import graft.sources.Tables
 object Relational {
 
   /** Exact money arithmetic: 2-decimal dollars-as-double → integer cents. */
-  private def cents(c: Column): Column = round(c * lit(100)).cast("long")
+  private[operators] def cents(c: Column): Column = round(c * lit(100)).cast("long")
 
   /** Exact revenue in cents×basis-points: price_cents * (10000 - disc_bp).
     * ~1e10-1e11 per row — a Long SUM would overflow around 1e7 rows/group
     * at 100 TB (ANSI error in Spark 4, silent HUGEINT promotion in
     * DuckDB). Summed as DECIMAL(38,0) for exact 38-digit headroom, the
     * same effective width as DuckDB's HUGEINT promotion. */
-  private def revUnits(price: Column, disc: Column): Column =
+  private[operators] def revUnits(price: Column, disc: Column): Column =
     cents(price) * (lit(10000L) - round(disc * lit(10000)).cast("long"))
 
   /** Exact overflow-safe sum of revUnits → dollars as double. */
-  private def sumRevDollars(price: Column, disc: Column): Column =
+  private[operators] def sumRevDollars(price: Column, disc: Column): Column =
     (sum(revUnits(price, disc).cast("decimal(38,0)")).cast("double") / 1000000.0)
 
-  private def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
+  private[operators] def dollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
 
   // ---------------------------------------------------------------- q1_agg
   /** TPC-H Q1 shape: scan-heavy grouped aggregation on lineitem.

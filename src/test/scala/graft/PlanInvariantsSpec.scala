@@ -14,7 +14,7 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("query registry has no silent name collisions and every oracle has a query") {
     import graft.operators._
-    val parts = Seq(Relational.queries, Analytics.queries,
+    val parts = Seq(Relational.queries, TpchExtra.queries, Analytics.queries,
       graft.warehouse.Warehouse.queries, TextAnalysis.queries,
       TrainPrep.queries, Dedup.queries, Ann.queries,
       graft.streaming.EventStreams.queries, Multimodal.queries)

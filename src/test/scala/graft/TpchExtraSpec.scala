@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The r7 TPC-H additions (TpchExtra.scala): internal-consistency checks
+  * against independently recomputed values at sf0.001. Oracle-parity is
+  * the driver gate's job; these pin the semantics each query claims. */
+class TpchExtraSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q6_filter_agg matches a recomputed filtered revenue sum") {
+    val rows = run("q6_filter_agg").collect()
+    assert(rows.length == 1)
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 10000).cast("long")).as("u"))
+      .agg(sum(col("u"))).first().getLong(0) / 1000000.0
+    assert(math.abs(rows.head.getDouble(0) - expected) < 1e-9)
+  }
+
+  test("q8_market_share yields one share per year, each within [0,1]") {
+    val rows = run("q8_market_share").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1995L, 1996L))
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s >= 0.0 && s <= 1.0, s"share out of range: $s")
+    }
+  }
+
+  test("q9_nation_profit groups are unique and ordered nation asc, year desc") {
+    val rows = run("q9_nation_profit").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys.distinct == keys)
+    assert(keys == keys.sortBy { case (n, y) => (n, -y) })
+  }
+
+  test("q11_value_concentration returns exactly the suppliers above 0.1% of total") {
+    val rows = run("q11_value_concentration").collect()
+    assert(rows.nonEmpty)
+    // recompute per-supplier cent totals independently
+    val sv = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sv.values.map(BigInt(_)).sum
+    val expected = sv.filter { case (_, v) => BigInt(v) * 1000 > total }
+    assert(rows.map(_.getLong(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - expected(r.getLong(0)) / 100.0) < 1e-9)
+    }
+  }
+
+  test("q12_shipping_delay line counts partition the joined fact") {
+    val rows = run("q12_shipping_delay").collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    val totalLines = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val joined = graft.sources.Tables.lineitem(spark, sf).join(
+      graft.sources.Tables.orders(spark, sf),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(totalLines == joined)
+  }
+
+  test("q13_order_count_dist distribution covers every customer exactly once") {
+    val rows = run("q13_order_count_dist").collect()
+    val nCustomers = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCustomers)
+    // custdist descending, ties broken by c_count descending
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(pairs == pairs.sortBy { case (d, c) => (-d, -c) })
+  }
+
+  test("q2_min_cost_supplier keeps only per-part minimum unit prices, ties included") {
+    val rows = run("q2_min_cost_supplier").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val byPart = rows.groupBy(_.getLong(0))
+    byPart.values.foreach { g =>
+      val prices = g.map(_.getDouble(3)).distinct
+      assert(prices.length == 1, s"non-min survivors in a part group: $g")
+    }
+  }
+
+  test("q20_excess_suppliers: every reported supplier holds >20% of some red part") {
+    val rows = run("q20_excess_suppliers").collect()
+    assert(rows.nonEmpty)
+    val l = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty_s"))
+      .collect()
+    val perPart = l.groupBy(_.getLong(0)).map { case (p, g) =>
+      p -> g.map(_.getLong(2)).sum
+    }
+    val redParts = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val qualifying = l.filter(r => redParts(r.getLong(0)) &&
+      r.getLong(2) * 5 > perPart(r.getLong(0))).map(_.getLong(1)).toSet
+    assert(rows.map(_.getLong(0)).toSet == qualifying)
+  }
+}
