@@ -535,11 +535,95 @@ object Dedup {
       |LEFT JOIN best ON d.doc_id = best.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ----------------------------------------------------- dedup_clusters_star
+  /** Connected components via alternating large-star/small-star (the
+    * O(log n)-round refinement dedupClusters' Scaladoc names for DEEP
+    * components — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14; the SHAPE is from the public paper, the code is
+    * original). Where min-label propagation needs O(diameter) rounds — a
+    * 10k-link chain of pairwise near-dups needs 10k joins — the star
+    * rounds halve every path, so any component flattens in O(log n)
+    * rounds regardless of shape.
+    *
+    * Per round, both operations are a groupBy-min plus a join back —
+    * never a collect_set of a neighborhood, so a hot node (one doc
+    * near-dup to millions) costs a wide join fan-out but no single-task
+    * array. Convergence = the small-star edge SET reaches a fixpoint
+    * (count equal + empty set-difference); at fixpoint every edge points
+    * directly at its component minimum, which is exactly the
+    * (doc_id, cluster_id) labeling.
+    *
+    * Registered against the SAME DuckDB recursive-CTE oracle as
+    * dedup_clusters — both must produce the identical labeling. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    starComponents(pairs)._1
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Large-star/small-star fixpoint over an undirected edge list (any
+    * two-column frame of node-id pairs). Returns (labels, rounds):
+    * labels = (node, cluster_id = component min) for every node with
+    * ≥1 edge; rounds = alternation count to the fixpoint (DedupSpec
+    * pins O(log n) on a path graph min-label propagation can't touch). */
+  def starComponents(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val cols = pairs.columns
+    // canonical small-pointing orientation (hi > lo), self-loops dropped
+    def toHiLo(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+    // large-star: every node u connects its LARGER neighbors to
+    // m = min(N(u) ∪ {u}) — paths to the minimum halve each round
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bidir.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      toHiLo(bidir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: every node connects its SMALLER neighbors (and
+    // itself) to the minimum of that down-neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      toHiLo(e.join(mins, "hi")
+        .select(explode(array(
+          struct(col("lo").as("u"), col("m").as("v")),
+          struct(col("hi").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")))
+    }
+    // localCheckpoint (eager) truncates the lineage every round — the
+    // alternative (persist alone) keeps a logical plan that DOUBLES per
+    // round and blows up Catalyst after ~10 rounds on a deep graph, the
+    // exact graphs this operator exists for. Old checkpoint blocks are
+    // freed by the ContextCleaner when the superseded frame drops out
+    // of scope.
+    var cur = toHiLo(pairs.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    // fixpoint is a star per component: hi → component min
+    val labels = cur.select(col("hi").as("node"), col("lo").as("cluster_id"))
+      .union(cur.select(col("lo").as("node"), col("lo").as("cluster_id")))
+      .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -550,6 +634,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_star" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_incremental" -> dedupIncrementalSql
     // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;

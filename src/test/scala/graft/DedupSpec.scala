@@ -137,4 +137,38 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(1) < r.getLong(2))
     }
   }
+
+  test("star components flatten a 256-link chain in O(log n) rounds") {
+    // a path graph is the adversarial case for min-label propagation
+    // (diameter 256 → 256 rounds); the star alternation must land in
+    // O(log n). Shuffled edge order so convergence can't ride on input
+    // ordering.
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0L until 256L).map(i => (i, i + 1)).toSeq)
+      .toDF("a", "b")
+    val (labels, rounds) = Dedup.starComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 257)
+    assert(got.values.forall(_ == 0L), s"non-root labels: ${got.filter(_._2 != 0L)}")
+    assert(rounds <= 12, s"expected O(log 256) rounds, took $rounds")
+  }
+
+  test("star components handle forests, isolated self-pairs, and empty input") {
+    // two components + a self-loop-only node (dropped: no real edge)
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L)).toDF("a", "b")
+    val (labels, _) = Dedup.starComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    val (empty, emptyRounds) = Dedup.starComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.count() == 0 && emptyRounds == 0)
+  }
+
+  test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
+    val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val star = SparkEntry.queries("dedup_clusters_star")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == prop)
+  }
 }
