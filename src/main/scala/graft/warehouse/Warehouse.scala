@@ -912,14 +912,18 @@ object Warehouse {
     *
     * Scale: two map-side-combined aggregates — one per distinct file
     * (|files| rows), one over row reasons (4 rows); every predicate is
-    * a scan-fused column expression. */
+    * a scan-fused column expression. The flagged frame feeds BOTH
+    * aggregate branches, so it is staged once behind a barrier —
+    * without it each branch re-runs the whole statements derivation
+    * (the fin_qa_status double-derive pattern; sf0.1 5.7 → 2.9 s). */
   def loadAudit(statements: DataFrame): DataFrame = {
     val hasPeriod = regexp_extract(col("file"), "(\\d{2})\\.(\\d{4})", 1) =!= ""
     val monthOk = Financial.periodMonth(col("file")).isNotNull
     val isDept = Financial.extractDepartment(col("sheet")).isNotNull
-    val flagged = statements.select(col("file"), col("sheet"), col("label"),
-      col("amount_str"), hasPeriod.cast("int").as("hp"),
-      monthOk.cast("int").as("mo"), isDept.cast("int").as("dp"))
+    val flagged = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      statements.select(col("file"), col("label"),
+        col("amount_str"), hasPeriod.cast("int").as("hp"),
+        monthOk.cast("int").as("mo"), isDept.cast("int").as("dp")))
     val fileVerdicts = flagged.groupBy(col("file"))
       .agg(max(col("hp")).as("hp"), max(col("mo")).as("mo"), max(col("dp")).as("nd"))
       .select(when(col("hp") === 0, "no_period_in_filename")
