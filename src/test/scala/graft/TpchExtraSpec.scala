@@ -85,6 +85,41 @@ class TpchExtraSpec extends SparkSpec {
     }
   }
 
+  test("q6 pushes every predicate to the scan and reads only needed columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = run("q6_filter_agg")
+    // scan METADATA, not the plan string — toString truncates the
+    // PushedFilters list past ~100 chars; unwrap the AQE root first
+    // (its collect treats the input plan as opaque)
+    val inner = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = inner.collectWithSubqueries {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+    }.headOption
+    assert(scan.isDefined, "no lineitem FileSourceScanExec found")
+    val pushed = scan.get.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), s"shipdate not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity"), s"quantity not pushed: $pushed")
+    // column pruning: exactly the 4 touched columns, nothing else
+    assert(scan.get.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"wrong read schema: ${scan.get.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q11's per-supplier sums are staged once (no in-plan lineitem re-derivation)") {
+    // the global total re-aggregates the STAGED sv frame; without the
+    // barrier both the total and the filter side would each scan
+    // lineitem (the q15 double-derive shape)
+    val plan = run("q11_value_concentration").queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"),
+      s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
+  }
+
   test("q20_excess_suppliers: every reported supplier holds >20% of some red part") {
     val rows = run("q20_excess_suppliers").collect()
     assert(rows.nonEmpty)
