@@ -342,7 +342,40 @@ object TpchExtra {
       |FROM sup JOIN supplier ON l_suppkey = s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  // ----------------------------------------------------- grouping_sets_agg
+  /** Arbitrary GROUPING SETS — the lattice {(priority,status), (status),
+    * ()} that neither rollup (wrong nesting) nor cube (extra (priority)
+    * set) expresses. The DataFrame API has no grouping-sets verb, so
+    * this drops to Spark SQL over a temp view — same Catalyst plan
+    * (ONE Expand + one aggregate pass, rows×|sets| expanded map-side,
+    * never |sets| scans). Group columns are never null in this star, so
+    * COALESCE to 'ALL' disambiguates subtotal rows exactly like
+    * rollup_agg. Money exact in integer cents. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_gs_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+        |         AS total_value
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        |ORDER BY priority, status""".stripMargin)
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+      |         AS total_value
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_agg" -> (groupingSetsAgg _),
     "q6_filter_agg" -> (q6FilterAgg _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_nation_profit" -> (q9NationProfit _),
@@ -354,6 +387,7 @@ object TpchExtra {
   )
 
   def oracles: Map[String, String] = Map(
+    "grouping_sets_agg" -> groupingSetsAggSql,
     "q6_filter_agg" -> q6FilterAggSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_nation_profit" -> q9NationProfitSql,

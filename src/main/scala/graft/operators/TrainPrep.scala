@@ -437,7 +437,42 @@ object TrainPrep {
       |ORDER BY coin
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------- corpus_sample_weighted
+  /** Quality-WEIGHTED deterministic sampling: each document keeps with
+    * probability proportional to a quality proxy (here length-based:
+    * w = clamp(n_chars/4000, 10%, 90%)) — the standard upsample-good /
+    * downsample-short mixing move, reproducible on any engine.
+    *
+    * Exactness: the acceptance test never touches floats. The weight
+    * becomes a 16-bit integer threshold via BIGINT floor-division
+    * (n_chars·65536 DIV 4000, clamped), rendered as a 4-char lowercase
+    * hex string; the md5 coin's 4-char prefix compares LEXICOGRAPHICALLY
+    * against it — identical to the numeric compare, and bit-identical in
+    * DuckDB (the corpus_sample_stratified trick generalized to a
+    * per-row threshold).
+    *
+    * Scale: map-only scan-fused filter — no shuffle at all; the
+    * ORDER BY for the gate is the only exchange. */
+  def corpusSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w16 = expr("least(58982L, greatest(6554L, n_chars * 65536L DIV 4000L))")
+    Tables.documents(spark, dir)
+      .withColumn("w16", w16)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+        lpad(lower(hex(col("w16"))), 4, "0"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("w16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSampleWeightedSql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |       least(58982, greatest(6554, n_chars * 65536 // 4000)) AS w16
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |      lpad(lower(hex(least(58982, greatest(6554, n_chars * 65536 // 4000)))), 4, '0')
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
@@ -452,6 +487,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,

@@ -120,6 +120,22 @@ class TpchExtraSpec extends SparkSpec {
       s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
   }
 
+  test("grouping_sets_agg emits exactly the {(p,s),(s),()} lattice, sums consistent") {
+    val rows = run("grouping_sets_agg").collect()
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val byStatus = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    // the (priority)-only set is NOT in the lattice — rollup/cube would add it
+    assert(!rows.exists(r => r.getString(0) != "ALL" && r.getString(1) == "ALL"),
+      "unexpected (priority, ALL) rows — lattice is not the requested grouping sets")
+    assert(grand.length == 1 && byStatus.nonEmpty && leaves.nonEmpty)
+    assert(leaves.map(_.getLong(2)).sum == grand.head.getLong(2))
+    byStatus.foreach { s =>
+      val exp = leaves.filter(_.getString(1) == s.getString(1)).map(_.getLong(2)).sum
+      assert(s.getLong(2) == exp, s"status ${s.getString(1)} subtotal mismatch")
+    }
+  }
+
   test("q20_excess_suppliers: every reported supplier holds >20% of some red part") {
     val rows = run("q20_excess_suppliers").collect()
     assert(rows.nonEmpty)

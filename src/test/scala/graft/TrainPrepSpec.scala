@@ -163,6 +163,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("weighted sample keeps exactly the coins below each doc's own threshold") {
+    import org.apache.spark.sql.functions._
+    val kept = SparkEntry.queries("corpus_sample_weighted")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // independent recompute: md5-prefix-as-int vs the integer threshold
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("coin"))
+      .collect()
+    docs.foreach { r =>
+      val w16 = math.min(58982L, math.max(6554L, r.getLong(1) * 65536L / 4000L))
+      val expectKeep = r.getLong(2) < w16
+      assert(kept.contains(r.getLong(0)) == expectKeep,
+        s"doc ${r.getLong(0)}: coin ${r.getLong(2)} vs w16 $w16")
+      if (expectKeep) assert(kept(r.getLong(0)) == w16)
+    }
+    // longer docs keep more often overall (weights actually bite)
+    assert(kept.nonEmpty && kept.size < docs.length)
+  }
+
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
     val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
