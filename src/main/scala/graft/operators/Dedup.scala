@@ -161,6 +161,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The whole banded-candidate ngram-dup pipeline as an oracle CTE
+    * chain ending in `ngram_dups(doc_id)` — every document that appears
+    * as the LARGER id of a ≥0.9-Jaccard candidate pair. Shared with
+    * corpus_curate's oracle (TrainPrep) so the two queries' SQL can
+    * never disagree about the candidate generator again: the r7 sf0.1
+    * gate caught corpus_curate still carrying the r6 1-band min-shingle
+    * CTE while the Spark side had moved to banded candidates — 4 true
+    * near-dups found only by the banded side. */
+  val ngramDupsCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |b AS (
+      |  $bandedCteSql),
+      |p AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id),
+      |ngram_dups AS (
+      |  SELECT DISTINCT id_b AS doc_id
+      |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s c ON p.id_b = c.doc_id
+      |  WHERE len(list_intersect(a.sh, c.sh))
+      |          / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) >= 0.9)""".stripMargin
+
   val dedupNgramJaccardSql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |s AS (

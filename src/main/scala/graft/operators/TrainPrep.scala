@@ -179,7 +179,7 @@ object TrainPrep {
   }
 
   val corpusCurateSql: String =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT doc_id,
       |    len(regexp_extract_all(text, '[^ ]+')) AS n_words,
       |    len(list_distinct(string_split(text, ' ')))
@@ -189,21 +189,11 @@ object TrainPrep {
       |    len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','von'))) AS s_de,
       |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','un','une','et','est'))) AS s_fr
       |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |         list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |                        for i in range(0, len(words)-2)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
-      |m AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS minh FROM sh),
-      |dups AS (
-      |  SELECT DISTINCT b.doc_id
-      |  FROM m a JOIN m b ON a.minh = b.minh AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh))
-      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9)
-      |SELECT doc_id, n_words, uniq_ratio FROM scored s
+      |${graft.operators.Dedup.ngramDupsCtes}
+      |SELECT doc_id, n_words, uniq_ratio FROM scored sc
       |WHERE n_words >= 20 AND uniq_ratio >= 0.3 AND s_en > 0
       |  AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-      |  AND NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = s.doc_id)
+      |  AND NOT EXISTS (SELECT 1 FROM ngram_dups d WHERE d.doc_id = sc.doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- corpus_sample_stratified
