@@ -404,6 +404,54 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // ------------------------------------------------------------ range_join
+  /** Nearest-within-tolerance range join: each purchase finds its
+    * CLOSEST error event within ±300 s — the telemetry-correlation shape
+    * ("which error was this failed purchase near"), with NO equality
+    * key to shuffle on.
+    *
+    * Scale: the naive formulation is a cross join with an |Δt| filter —
+    * O(n²) pairs, unrunnable at any scale. Banded buckets make it a
+    * hash join: targets key on floor(ts/δ); each probe explodes into
+    * its 3 adjacent buckets (a pair within δ ALWAYS lands in one of
+    * them, and in exactly one — a target has one bucket), so candidate
+    * work is O(n · density·δ), the true number of near pairs, and the
+    * join shuffles on scalar bucket ids. Top-1 per probe (|Δt|, then
+    * event_id) keeps output linear in probes regardless of δ. The same
+    * banding generalizes to any numeric band join (value ranges, geo
+    * grids). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = 300000000L // ±300 s tolerance, µs
+    val e = Tables.eventsUs(spark, dir)
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    val targets = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts_us").as("e_ts"),
+        expr(s"ts_us DIV ${d}L").as("bucket"))
+    val b = expr(s"p_ts DIV ${d}L")
+    val cand = probes
+      .select(col("p_id"), col("p_ts"),
+        explode(array(b - 1, b, b + 1)).as("bucket"))
+      .join(targets, Seq("bucket"))
+      .filter(abs(col("e_ts") - col("p_ts")) <= d)
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(abs(col("e_ts") - col("p_ts")), col("e_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p_id"), col("e_id"), (col("e_ts") - col("p_ts")).as("dt_us"))
+      .orderBy(col("p_id"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS e_id, epoch_us(ts) AS e_ts
+      |      FROM events WHERE event_type = 'error'),
+      |c AS (SELECT p_id, e_id, e_ts - p_ts AS dt_us, abs(e_ts - p_ts) AS adt
+      |      FROM p JOIN e ON abs(e_ts - p_ts) <= 300000000),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY adt, e_id) AS rn
+      |      FROM c)
+      |SELECT p_id, e_id, dt_us FROM r WHERE rn = 1 ORDER BY p_id""".stripMargin
+
   val sessionizeSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
       |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
@@ -1009,6 +1057,7 @@ object Relational {
     "json_extract" -> (jsonExtract _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
+    "range_join" -> (rangeJoin _),
     "range_window" -> (rangeWindow _),
     "dedup_exact_keyed" -> (dedupExactKeyed _)
   )
@@ -1040,6 +1089,7 @@ object Relational {
     "json_extract" -> jsonExtractSql,
     "asof_join" -> asofJoinSql,
     "sessionize" -> sessionizeSql,
+    "range_join" -> rangeJoinSql,
     "range_window" -> rangeWindowSql,
     "dedup_exact_keyed" -> dedupExactKeyedSql
     // approx_distinct / approx_percentiles: sketch-seeded, rows-only

@@ -171,6 +171,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range_join matches the brute-force nearest computation") {
+    import org.apache.spark.sql.functions._
+    val got = run("range_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // O(n²) reference at sf0.001 scale
+    val ev = graft.sources.Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts_us")).collect()
+    val probes = ev.filter(_.getString(1) == "purchase").map(r => (r.getLong(0), r.getLong(2)))
+    val errs = ev.filter(_.getString(1) == "error").map(r => (r.getLong(0), r.getLong(2)))
+    val d = 300000000L
+    val expected = probes.flatMap { case (pid, pts) =>
+      val cands = errs.filter { case (_, ets) => math.abs(ets - pts) <= d }
+      if (cands.isEmpty) None
+      else {
+        val (eid, ets) = cands.minBy { case (eid, ets) => (math.abs(ets - pts), eid) }
+        Some((pid, eid, ets - pts))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // every probe at most once (top-1 semantics)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("q15: the revenue aggregate is staged once, not re-derived by the max probe") {
     val df = run("q15_top_supplier")
     val rows = df.collect()
