@@ -192,8 +192,42 @@ object TextAnalysis {
       |  10 * len(list_distinct(bi)) < 7 * len(bi) AS is_repetitive
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- heavy_hitters_cms
+  /** Token heavy hitters with a Count-Min sketch cross-check: exact
+    * top-20 tokens by frequency, each annotated with its CMS estimate.
+    *
+    * Scale: the sketch is the 100 TB story — `stat.countMinSketch` runs
+    * ONE treeAggregate pass (fixed w×d counter grid per partition,
+    * merged pairwise; NO shuffle, memory independent of token
+    * cardinality), where the exact groupBy shuffles |distinct tokens|.
+    * At gate scale both run and the sketch is audited against truth:
+    * CMS never underestimates, and overshoots ≤ ε·N with prob 1-δ
+    * (ε=1e-4, δ=0.01 — TextSpec asserts both bounds). Probing 20
+    * driver-held keys against the driver-held sketch is O(1) — the same
+    * bounded-driver-work exception as the IVF index build
+    * (Ann.scala:206). Sketch seeded (seed=42) → no DuckDB twin;
+    * rows-only at the gate, spec is the correctness authority. */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cms = toks.stat.countMinSketch("tok", 1e-4, 0.99, 42)
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(20)
+      .collect()
+    val rows = top.map { r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("tok", "n_exact", "cms_est")
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters_cms" -> (heavyHittersCms _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),

@@ -62,4 +62,22 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got(1L) && !got(2L))
   }
+
+  test("heavy_hitters_cms: estimates never undercount and overshoot within eps*N") {
+    val rows = SparkEntry.queries("heavy_hitters_cms")(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    val slack = (1e-4 * totalTokens).ceil.toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(est - exact <= slack,
+        s"CMS overshoot ${est - exact} beyond eps*N=$slack for ${r.getString(0)}")
+    }
+    // descending by exact count, deterministic tie-break
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
 }
