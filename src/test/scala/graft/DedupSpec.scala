@@ -164,6 +164,27 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0 && emptyRounds == 0)
   }
 
+  test("embedding reps: one best edge per vector, rep is the block min, drops are real pairs") {
+    val reps = SparkEntry.queries("dedup_embedding_reps")(spark, sf).collect()
+    assert(reps.nonEmpty)
+    val ids = reps.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "a vector got two rep edges")
+    reps.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "rep must be the block's minimum id")
+      val expected = if (r.getDouble(2) >= 0.99) "drop" else "keep"
+      assert(r.getString(3) == expected)
+    }
+    // every dropped member's (rep, member) edge exists in the full pair
+    // list with the identical cosine — the star edge IS a pair
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    reps.filter(_.getString(3) == "drop").foreach { r =>
+      val key = (r.getLong(1), r.getLong(0))
+      assert(pairs.get(key).contains(r.getDouble(2)),
+        s"drop edge $key missing from the pair list")
+    }
+  }
+
   test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
     val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
