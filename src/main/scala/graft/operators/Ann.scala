@@ -130,6 +130,52 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ±1 plane components of LSH table `t`, plane `p`, as a DuckDB list
+    * literal — generated from the same planeSign as the Spark buckets
+    * (the Dedup oracle's pattern), so the two engines cannot drift. */
+  private def lshPlaneListSql(t: Int, p: Int): String =
+    (0 until 64).map(d => s"${planeSign(t, p, d)}.0").mkString("[", ", ", "]")
+
+  /** Bucket of `v` in table `t` with the DYNAMIC plane count `np` (the
+    * `pl` CTE mirrors adaptivePlanes in SQL): the bit-sum unrolls to 12
+    * planes (512·2¹² ≈ 2M vectors before the cap binds — far past any
+    * oracle scale) and masks each bit with `p < np`, so the same SQL is
+    * exact at every SF the gate runs, not just where planes sit at the
+    * floor. Each dot is the identical-order sequential fold, so the
+    * sign test agrees bit-for-bit with Spark. */
+  private def lshBucketSqlDyn(t: Int): String =
+    (0 until 12).map { p =>
+      s"""(CASE WHEN $p < np AND list_reduce([v[i] * (${lshPlaneListSql(t, p)})[i]
+         |  for i in range(1, 65)], (x, y) -> x + y) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of annLshTopk — candidates = same bucket in ANY of the
+    * 6 tables (the OR mirrors the Spark explode-join-dropDuplicates),
+    * ranked by the RAW cosine fold with the n_id tie-break, rounded
+    * only at the output boundary. */
+  val annLshTopkSql: String = {
+    val ors = (0 until Tables_).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+    val buckets = (0 until Tables_).map(t => s"${lshBucketSqlDyn(t)} AS b$t").mkString(",\n      |        ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT greatest($Planes, CAST(ceil(ln(greatest(1, (SELECT count(*) FROM e)) / $BucketTarget.0)
+      |                / ln(2.0)) AS INT)) AS np),
+      |bkt AS (SELECT vec_id, v,
+      |        $buckets
+      |        FROM e, pl),
+      |cands AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         list_reduce([q.v[i]*c.v[i] for i in range(1, len(q.v)+1)], (x, y) -> x + y)
+      |         / (sqrt(list_reduce([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)], (x, y) -> x + y))
+      |          * sqrt(list_reduce([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)], (x, y) -> x + y))) AS cos
+      |  FROM bkt q JOIN bkt c
+      |    ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id AND ($ors)),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY cos DESC, n_id) AS rank FROM cands)
+      |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+      |FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- ann_ivf_topk
   private val IvfProbe = 4 // cells probed per query
 
@@ -434,8 +480,9 @@ object Ann {
 
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql,
     "vec_stats" -> vecStatsSql
-    // ann_lsh_topk: bucket assignment is engine-side → rows-only;
-    // AnnSpec bounds recall@10 vs the brute-force baseline.
+    // ann_ivf_topk / ann_ivf_batch: Lloyd-refined centroid state is
+    // engine-side → rows-only; AnnSpec bounds recall@10 + determinism.
   )
 }
