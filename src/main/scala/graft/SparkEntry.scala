@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TpchExtra.queries ++ Analytics.queries ++
       graft.warehouse.Warehouse.queries ++
-      TextAnalysis.queries ++ TrainPrep.queries ++ Dedup.queries ++ Ann.queries ++
+      TextAnalysis.queries ++ TextStats.queries ++ TrainPrep.queries ++
+      Dedup.queries ++ Ann.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
@@ -23,7 +24,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TpchExtra.oracles ++ Analytics.oracles ++
       graft.warehouse.Warehouse.oracles ++
-      TextAnalysis.oracles ++ TrainPrep.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      TextAnalysis.oracles ++ TextStats.oracles ++ TrainPrep.oracles ++
+      Dedup.oracles ++ Ann.oracles ++
       graft.streaming.EventStreams.oracles ++ Multimodal.oracles
       // mm_metadata / mm_features: binary + stub semantics, rows-only
       // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)

@@ -386,6 +386,33 @@ object Analytics {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // -------------------------------------------------------- skew_salted_agg
+  /** The Salt module's two-phase salted aggregation as a driver-gated
+    * query: per-type value totals where each (type) group is first
+    * partially aggregated on (type, salt) across 8 deterministic salts,
+    * then combined — the 100 TB shape for a hot group that would
+    * otherwise funnel into one reducer (AQE splits skewed JOIN
+    * partitions but cannot split a single aggregation key). The salt is
+    * a hash of event_id, so retries and speculative tasks reproduce the
+    * exact same partials, and the oracle is the PLAIN group-by: salting
+    * must not change one bit of output. Sums run in integer cents —
+    * exact under any partial-aggregation order. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+    Salt.saltedSumCount(ev, Seq(col("event_type")), col("v"),
+        n = 8, saltSource = Seq(col("event_id")))
+      .select(col("event_type"), dollars(col("sum_value")).as("sum_value"),
+        col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewSaltedAggSql: String =
+    """SELECT event_type,
+      |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
@@ -397,7 +424,8 @@ object Analytics {
     "fin_sparse_fill" -> (finSparseFill _),
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
-    "event_transitions" -> (eventTransitions _)
+    "event_transitions" -> (eventTransitions _),
+    "skew_salted_agg" -> (skewSaltedAgg _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -412,6 +440,7 @@ object Analytics {
     "fin_sparse_fill" -> finSparseFillSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
-    "event_transitions" -> eventTransitionsSql
+    "event_transitions" -> eventTransitionsSql,
+    "skew_salted_agg" -> skewSaltedAggSql
   )
 }

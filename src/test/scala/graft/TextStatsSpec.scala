@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextStats
+
+/** Semantic checks for the corpus-level text statistics beyond oracle
+  * parity: planted-corpus hand computations, information-theoretic
+  * invariants, and the salted-agg plan shape. */
+class TextStatsSpec extends SparkSpec {
+
+  test("lm score: hand-computed Laplace bigram NLL on a planted corpus") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,2), "b a" x1, "b c" x1
+    // prefixes: a->3, b->2; prefix vocab V = 2
+    // p(bg) = (c2+1)/(c1+V)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextStats.lmScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def nll(ps: Seq[Double]) =
+      BigDecimal(-ps.map(math.log).sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 bigrams: a-b (4/5), b-a (2/4), a-b (4/5)
+    assert(got(1L) == ((3L, nll(Seq(0.8, 0.5, 0.8)))))
+    // doc 2 bigrams: a-b (4/5), b-c (2/4)
+    assert(got(2L) == ((2L, nll(Seq(0.8, 0.5)))))
+  }
+
+  test("lm score: boilerplate scores lower than novel word salad") {
+    import spark.implicits._
+    val repeated = Array.fill(30)("the quick brown fox").mkString(" ")
+    val salad = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((1L, repeated), (2L, salad)) ++
+      (3 to 40).map(i => (i.toLong, repeated))).toDF("doc_id", "text")
+    val s = TextStats.lmScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) < s(2L),
+      s"boilerplate ${s(1L)} should beat word salad ${s(2L)}")
+    // corpus-frequent bigrams give near-zero NLL for the repeated doc
+    assert(s(1L) < 0.2 && s(2L) > 1.0)
+  }
+
+  test("domain KL: non-negative everywhere, zero for an on-distribution source") {
+    import spark.implicits._
+    // src_same's distribution IS the global distribution of itself alone
+    val one = Seq(("only", "a b c a")).toDF("source", "text")
+    val klOne = TextStats.domainKlOf(one).collect()
+    assert(klOne.length == 1 && klOne(0).getDouble(2) == 0.0)
+    // real corpus: every source diverges non-negatively (Gibbs)
+    val rows = SparkEntry.queries("corpus_domain_kl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0,
+      s"KL must be >= 0, got ${r.getDouble(2)} for ${r.getString(0)}"))
+    // a source with a private vocabulary diverges more than a clone of
+    // the global mix
+    val skewed = Seq(
+      ("clone", "x y z x y z"), ("clone2", "x y z x y z"),
+      ("private", "qq rr ss qq rr ss")).toDF("source", "text")
+    val kl = TextStats.domainKlOf(skewed).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("private") > kl("clone"))
+  }
+
+  test("tfidf top term: a doc-unique term beats corpus-wide terms; ties break lexically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common zebra zebra common"),
+      (2L, "common common common common"),
+      (3L, "common apple banana common")).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // zebra: tf 2, df 1 -> (2*3)/(4*1) = 1.5; common: (2*3)/(4*3) = 0.5
+    assert(got(1L) == "zebra", "unique term dominates")
+    assert(got(2L) == "common", "only term wins by default")
+    // apple and banana tie (same tf, same df) -> lexicographic winner
+    assert(got(3L) == "apple")
+  }
+
+  test("skew_salted_agg equals the plain aggregate and keeps the two-phase plan") {
+    val salted = SparkEntry.queries("skew_salted_agg")(spark, sf)
+    val got = salted.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val plain = ev.groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == plain, "salting must not change one bit of output")
+    // structural: one shuffle on (event_type, __salt), one on (event_type).
+    // Inspect a FRESH (unexecuted) frame — after execution AQE wraps the
+    // exchanges in leaf query stages that plain collect won't traverse.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val root = SparkEntry.queries("skew_salted_agg")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val keys = inner.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s.outputPartitioning
+    }.collect { case h: HashPartitioning =>
+      h.expressions.flatMap(_.references.toSeq.map(_.name)).toSet
+    }
+    assert(keys.contains(Set("event_type", "__salt")),
+      s"partial phase must shuffle on (key, salt): $keys")
+    assert(keys.contains(Set("event_type")),
+      s"final phase must combine on the key alone: $keys")
+  }
+}
