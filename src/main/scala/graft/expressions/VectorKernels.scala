@@ -165,6 +165,61 @@ object VectorKernels {
     }
     new GenericArrayData(java.util.Arrays.copyOf(outCell, filled))
   }
+
+  /** Product-quantization code assignment: for each of the `cents.length`
+    * subspaces (subspace m covers elements [m·dsub, (m+1)·dsub)), the
+    * argmin-L2 sub-centroid index — L2 on the SUBVECTOR, the standard PQ
+    * encoding objective (minimizing ‖v_m − c‖ bounds the ADC dot error
+    * by ‖q_m‖·‖v_m − c‖). Ties → lowest index. One compiled call per row;
+    * the codebook rides in as a reference object, so generated-code size
+    * is independent of M and ks. */
+  def pqCodes(v: ArrayData, cents: Array[Array[Array[Double]]], dsub: Int): ArrayData = {
+    // normalize internally: the codebook quantizes UNIT vectors (ADC
+    // approximates the cosine dot); zero-norm vectors encode as zeros
+    val nv = v.numElements()
+    var ss = 0.0
+    var k = 0
+    while (k < nv) { val x = v.getDouble(k); ss += x * x; k += 1 }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val m = cents.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cs = cents(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = v.getDouble(off + i) * inv - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC (asymmetric distance computation) score: Σ_m lut[m][codes[m]] —
+    * the query's precomputed per-subspace partial dots looked up by the
+    * candidate's 4-bit codes. The candidate's float vector is never read:
+    * scoring cost is M lookups + adds per row. */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    var s = 0.0
+    var m = 0
+    val n = math.min(codes.numElements(), lut.numElements())
+    while (m < n) {
+      val row = lut.getArray(m)
+      val c = codes.getInt(m)
+      if (c < row.numElements()) s += row.getDouble(c)
+      m += 1
+    }
+    s
+  }
 }
 
 /** vec_dot(a, b): sequential-order dot product of two array<double>. */
@@ -261,4 +316,37 @@ case class VectorQuantError(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, v => s"graft.expressions.VectorKernels.quantError($v)")
   override protected def withNewChildInternal(newChild: Expression): VectorQuantError =
     copy(child = newChild)
+}
+
+/** pq_codes(v): per-subspace argmin-L2 code assignment against the
+  * broadcast PQ codebook (see VectorKernels.pqCodes). array<int> of
+  * length M — at 100 TB this column (M bytes of information per vector)
+  * REPLACES the float vector in the candidate-generation scan. */
+case class PqCodes(child: Expression, cents: Array[Array[Array[Double]]], dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqCodes(v.asInstanceOf[ArrayData], cents, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.expressions.VectorKernels.pqCodes($v, $ref, $dsub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** pq_adc(codes, lut): ADC score of one candidate against one query's
+  * lookup table (see VectorKernels.pqAdc). */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.expressions.VectorKernels.pqAdc($c, $l)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
 }

@@ -414,6 +414,72 @@ object Analytics {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // ------------------------------------------------------ event_attribution
+  /** Multi-touch purchase attribution with EXACT integer allocation:
+    * each purchase's value (cents) is split evenly across its click/view
+    * touches in the prior hour via largest-remainder — every touch gets
+    * cents DIV n, and the cents MOD n leftover pennies go one each to
+    * the touches closest to conversion (latest first, event_id
+    * tie-break). Purchases with no touch attribute whole to 'direct'.
+    * The invariant sum(attributed) == sum(purchase cents) holds exactly
+    * — float splits (value/n) leak pennies and drift across engines;
+    * integer DIV/MOD cannot.
+    *
+    * Scale: the touch join is an equi-key (user_id) sort-merge with a
+    * residual range predicate — never a cross product; the allocation
+    * window partitions per purchase (bounded by touches-per-user-hour);
+    * the final rollup is |channels| rows, map-side combined. */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir)
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_us").as("c_ts_us"),
+        col("event_id").as("c_event_id"), col("event_type").as("channel"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"),
+        col("event_id").as("p_event_id"), cents(col("value")).as("pc"))
+    val w = Window.partitionBy(col("p_event_id"))
+    val wr = w.orderBy(col("c_ts_us").desc, col("c_event_id"))
+    purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("c_ts_us") >= col("p_ts_us") - hourUs &&
+          col("c_ts_us") < col("p_ts_us"), "left")
+      .withColumn("n", count(col("c_event_id")).over(w))
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("attributed",
+        when(col("n") === 0, col("pc"))
+          .otherwise(expr("pc DIV n") +
+            when(col("rnk") <= col("pc") % col("n"), 1L).otherwise(0L)))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(countDistinct(col("p_event_id")).as("n_purchases"),
+        count(col("c_event_id")).as("n_touches"),
+        dollars(sum(col("attributed"))).as("attributed_total"))
+      .orderBy(col("channel"))
+  }
+
+  val eventAttributionSql: String =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS c_ts_us, event_id AS c_event_id,
+      |                  event_type AS channel
+      |           FROM events WHERE event_type IN ('click','view')),
+      |p AS (SELECT user_id, epoch_us(ts) AS p_ts_us, event_id AS p_event_id,
+      |             CAST(round(value*100) AS BIGINT) AS pc
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.*, t.c_ts_us, t.c_event_id, t.channel
+      |      FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |        AND t.c_ts_us >= p.p_ts_us - 3600000000 AND t.c_ts_us < p.p_ts_us),
+      |a AS (SELECT *,
+      |        count(c_event_id) OVER (PARTITION BY p_event_id) AS n,
+      |        row_number() OVER (PARTITION BY p_event_id
+      |                           ORDER BY c_ts_us DESC, c_event_id) AS rnk
+      |      FROM j)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |       count(DISTINCT p_event_id) AS n_purchases,
+      |       count(c_event_id) AS n_touches,
+      |       CAST(sum(CASE WHEN n = 0 THEN pc
+      |                     ELSE pc // n + (CASE WHEN rnk <= pc % n THEN 1 ELSE 0 END)
+      |                END) AS DOUBLE)/100.0 AS attributed_total
+      |FROM a GROUP BY 1 ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
@@ -425,7 +491,8 @@ object Analytics {
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
-    "skew_salted_agg" -> (skewSaltedAgg _)
+    "skew_salted_agg" -> (skewSaltedAgg _),
+    "event_attribution" -> (eventAttribution _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -441,6 +508,7 @@ object Analytics {
     "scd2_intervals" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
-    "skew_salted_agg" -> skewSaltedAggSql
+    "skew_salted_agg" -> skewSaltedAggSql,
+    "event_attribution" -> eventAttributionSql
   )
 }

@@ -421,6 +421,127 @@ object Ann {
 
   // -------------------------------------------------------------- vec_stats
   /** Per-label vector statistics in exact integer micro-units. */
+  // ------------------------------------------------------------ ann_pq_topk
+  private val PqM = 8   // subspaces (64-dim → 8 dims per subspace)
+  private val PqKs = 16 // sub-centroids per subspace → 4-bit codes
+
+  /** ADC re-rank depth: fraction-bounded on small corpora, capped at
+    * 1024 at scale — PQ quantization error does not grow with n on
+    * clustered data, so the candidate pool need not either. */
+  private def pqRerank(n: Long): Int =
+    math.max(64L, math.min(1024L, n / 32L)).toInt
+
+  /** Product-quantization ANN (Jégou et al., PAMI'11 — the memory-bound
+    * 100 TB scale structure next to LSH and IVF): each unit vector is
+    * encoded as M=8 sub-centroid codes of ks=16 (4 bits each), so the
+    * candidate-generation scan reads ~M bytes of code per vector instead
+    * of d floats — a 32× reduction (64×8B → 8×1B of information), which
+    * at 100 TB is the difference between an index that fits executor
+    * memory and one that doesn't. Queries score candidates by ADC
+    * (asymmetric distance computation): a per-query M×ks lookup table of
+    * partial dots is broadcast, scoring is M lookups+adds per candidate
+    * (PqAdc kernel — no float vector is read until re-rank); the top-C
+    * ADC candidates re-rank by exact cosine against the ORIGINAL
+    * vectors, fetched by a candidate-side join the optimizer broadcasts
+    * (≤ |queries|·C rows against the corpus scan).
+    *
+    * All deterministic, the IVF playbook: strided unit seeds (no RNG),
+    * ONE Lloyd refinement whose sub-centroid means are exact integer
+    * micro-unit sums (summation order cannot perturb a centroid bit),
+    * argmin ties → lowest code, ADC ties → lowest vec_id. Corpora with
+    * <2 seed vectors fall back to the exact brute scan.
+    *
+    * Engine-seeded codebook → rows-only at the driver; AnnSpec bounds
+    * recall@10 vs ann_brute_topk, pins determinism and the code shape. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.{PqAdc, PqCodes}
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val n = e.count()
+
+    // codebook seeds: ks strided unit vectors, sliced per subspace
+    val stride = math.max(1L, n / PqKs)
+    val seedRows = e.filter(col("vec_id") % stride === 0).orderBy(col("vec_id"))
+      .limit(PqKs).select(col("v")).collect()
+      .map(r => unit(r.getSeq[Double](0).toArray))
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    if (seedRows.length < 2) return bruteTopkFrom(e, q0)
+    val dim = seedRows(0).length
+    val dsub = math.max(1, dim / PqM)
+    val m = dim / dsub
+    val seeds: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+
+    // one Lloyd step: per-(subspace, code, pos) means of the members'
+    // UNIT subvector values in exact integer micro-units
+    val nrm = Vectors.norm(col("v"))
+    val sums = e
+      .select(col("vec_id"),
+        when(nrm === lit(0.0), col("v"))
+          .otherwise(transform(col("v"), x => x / nrm)).as("u"),
+        kcol(PqCodes(kexp(col("v")), seeds, dsub)).as("codes"))
+      .select(col("codes"),
+        posexplode(transform(col("u"), x => round(x * 1000000).cast("long")))
+          .as(Seq("pos", "x")))
+      .select(expr(s"CAST(pos DIV $dsub AS INT)").as("mi"),
+        expr(s"codes[CAST(pos DIV $dsub AS INT)]").as("code"),
+        expr(s"CAST(pos % $dsub AS INT)").as("j"), col("x"))
+      .groupBy(col("mi"), col("code"), col("j"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+      .collect()
+    val refined: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds(mi).map(_.clone()))
+    sums.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / (r.getLong(4) * 1000000.0)
+    }
+
+    // encoded corpus: vec_id + M code ints — the only columns the
+    // candidate-generation scan touches
+    val encoded = e.select(col("vec_id"),
+      kcol(PqCodes(kexp(col("v")), refined, dsub)).as("codes"))
+
+    // per-query ADC lookup tables (queries are NQueries collected rows;
+    // a query TABLE would build luts distributed like annIvfBatch)
+    val qRows = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = qRows.toSeq.map { case (qid, qv) =>
+      val qu = unit(qv)
+      (qid, (0 until m).map { mi =>
+        refined(mi).toSeq.map { cent =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += qu(mi * dsub + i) * cent(i); i += 1 }
+          s
+        }
+      })
+    }
+    val lutDf = luts.toDF("q_id", "lut")
+
+    val c = pqRerank(n)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = encoded.crossJoin(broadcast(lutDf))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", kcol(PqAdc(kexp(col("codes")), kexp(col("lut")))))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= c)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact re-rank on the original vectors (cosine is scale-invariant,
+    // so output parity with ann_brute_topk's rounding is preserved)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q0), Seq("q_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def vecStats(spark: SparkSession, dir: String): DataFrame = {
     val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
@@ -475,6 +596,7 @@ object Ann {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_batch" -> (annIvfBatch _),
+    "ann_pq_topk" -> (annPqTopk _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -482,7 +604,8 @@ object Ann {
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "vec_stats" -> vecStatsSql
-    // ann_ivf_topk / ann_ivf_batch: Lloyd-refined centroid state is
-    // engine-side → rows-only; AnnSpec bounds recall@10 + determinism.
+    // ann_ivf_topk / ann_ivf_batch / ann_pq_topk: Lloyd-refined
+    // centroid/codebook state is engine-side → rows-only; AnnSpec
+    // bounds recall@10 + determinism (+ code shape for PQ).
   )
 }

@@ -24,13 +24,24 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
 
-  /** events with `ts` (ns-since-epoch Long, see GraftSession nanosAsLong)
-    * normalized to `ts_us` (µs, matches DuckDB `epoch_us(ts)`). Integer
-    * division — `ts/1000` through Double would lose precision above 2^53.
-    */
+  /** events with `ts` normalized to `ts_us` (µs-since-epoch Long, matches
+    * DuckDB `epoch_us(ts)`), whichever way the parquet encodes it: the
+    * r1-r6 testdata stored ns-as-Long (read via GraftSession's
+    * nanosAsLong), the r7 regeneration stores TIMESTAMP(µs) NTZ. Long →
+    * integer division (ts/1000 through Double would lose precision above
+    * 2^53); NTZ → cast through session-tz TIMESTAMP (sessions pin UTC, so
+    * the wall-clock reading matches DuckDB's naive epoch_us exactly). */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    import org.apache.spark.sql.types._
+    val e = events(s, d)
+    val tsUs = e.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType => unix_micros(col("ts"))
+      case t => throw new IllegalArgumentException(s"unsupported events.ts type: $t")
+    }
+    e.withColumn("ts_us", tsUs)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

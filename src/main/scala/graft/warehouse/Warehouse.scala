@@ -520,6 +520,59 @@ object Warehouse {
        |WINDOW w AS (PARTITION BY department, gl_code ORDER BY year, month)
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** fin_yoy_trend: year-over-year movement per (department, GL, month) —
+    * the seasonally-aligned twin of fin_trend_mom (compare each month to
+    * the SAME month one year back, not the previous month), the other
+    * half of the reference's "trend analysis" promise
+    * (docs/architecture_overview.md). lag(1) over year ordering within a
+    * (department, gl_code, month) partition; pct change is ONE IEEE
+    * division on integer-cent operands (exactly rounded → cross-engine
+    * deterministic), nulled when the prior year is absent or zero.
+    * Scale: one shuffle on the grouping key, then a window over tiny
+    * per-key year series — partitions are independent (dept, GL, month)
+    * triples, so 100 TB parallelizes across them. */
+  def finYoyTrend(spark: SparkSession, dir: String): DataFrame =
+    finYoyTrendFrom(upserted(spark, dir))
+
+  private def finYoyTrendFrom(up: DataFrame): DataFrame = {
+    val monthly = up
+      .groupBy(col("department"), col("gl_code"), col("month"), col("year"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val w = Window.partitionBy(col("department"), col("gl_code"), col("month"))
+      .orderBy(col("year"))
+    monthly
+      .withColumn("prev_tc",
+        when(lag(col("year"), 1).over(w) === col("year") - 1,
+          lag(col("tc"), 1).over(w)))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        dollars(col("prev_tc")).as("prev_year_total"),
+        dollars(col("tc") - col("prev_tc")).as("yoy_delta"),
+        (round((col("tc") - col("prev_tc")).cast("double") /
+          nullif(col("prev_tc"), lit(0L)).cast("double"), 6) + 0.0).as("yoy_pct"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finYoyTrendSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, month, year,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, month, year),
+       |fin_lagged AS (
+       |  SELECT department, gl_code, year, month, tc,
+       |         CASE WHEN lag(year) OVER w = year - 1
+       |              THEN lag(tc) OVER w END AS prev_tc
+       |  FROM fin_monthly
+       |  WINDOW w AS (PARTITION BY department, gl_code, month ORDER BY year))
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(prev_tc AS DOUBLE)/100.0 AS prev_year_total,
+       |       CAST(tc - prev_tc AS DOUBLE)/100.0 AS yoy_delta,
+       |       round(CAST(tc - prev_tc AS DOUBLE) / CAST(nullif(prev_tc, 0) AS DOUBLE), 6) + 0.0 AS yoy_pct
+       |FROM fin_lagged
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
   /** fin_ytd_cumulative: YTD running total per (department, category). */
   def finYtdCumulative(spark: SparkSession, dir: String): DataFrame =
     finYtdFrom(upserted(spark, dir))
@@ -1064,6 +1117,7 @@ object Warehouse {
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
+    "fin_yoy_trend" -> (finYoyTrend _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
@@ -1089,6 +1143,7 @@ object Warehouse {
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
+    "fin_yoy_trend" -> finYoyTrendSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,

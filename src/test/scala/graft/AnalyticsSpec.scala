@@ -67,4 +67,23 @@ class AnalyticsSpec extends SparkSpec {
     val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected a single shuffle, got $exchanges:\n$plan")
   }
+
+  test("event_attribution conserves every purchase penny across channels") {
+    val rows = Analytics.eventAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val channels = rows.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "direct")), s"channels $channels")
+    // largest-remainder allocation: the attributed totals across channels
+    // sum to EXACTLY the purchase total — float splits would leak pennies
+    val attributedCents = rows.map(r =>
+      math.round(r.getAs[Double]("attributed_total") * 100)).sum
+    val purchaseCents = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long")))
+      .first().getLong(0)
+    assert(attributedCents == purchaseCents,
+      s"attributed $attributedCents cents != purchased $purchaseCents cents")
+  }
 }

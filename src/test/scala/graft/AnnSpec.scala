@@ -78,6 +78,30 @@ class AnnSpec extends SparkSpec {
     assert(got.size == 1000)
   }
 
+  test("ann_pq_topk recall@10 >= 0.5 vs brute force, deterministic, k rows per query") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val pq = neighbors("ann_pq_topk")
+    assert(truth.nonEmpty)
+    // every query comes back fully ranked
+    assert(pq.keySet == truth.keySet)
+    assert(pq.values.forall(_.size == truth.values.head.size))
+    val recalls = truth.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg")
+    // strided seeds + integer micro-unit Lloyd means -> bit-stable codes
+    val again = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .repartition(5).collect().map(_.toSeq).toSet
+    val first = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(first == again)
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>

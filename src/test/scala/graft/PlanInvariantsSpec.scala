@@ -16,7 +16,7 @@ class PlanInvariantsSpec extends SparkSpec {
     import graft.operators._
     val parts = Seq(Relational.queries, TpchExtra.queries, Analytics.queries,
       graft.warehouse.Warehouse.queries, TextAnalysis.queries,
-      TrainPrep.queries, Dedup.queries, Ann.queries,
+      TextStats.queries, TrainPrep.queries, Dedup.queries, Ann.queries,
       graft.streaming.EventStreams.queries, Multimodal.queries)
     // Map ++ overwrites silently: a duplicate name would shrink the merge
     assert(parts.map(_.size).sum == SparkEntry.queries.size,

@@ -200,4 +200,27 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(checked == rows.length)
   }
+
+  test("fin_yoy_trend: prev-year linkage only across consecutive years, delta consistent") {
+    val rows = graft.warehouse.Warehouse.finYoyTrend(spark, sf)
+      .select("department", "gl_code", "year", "month", "total",
+        "prev_year_total", "yoy_delta", "yoy_pct")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getString(1), r.getInt(3))).values.foreach { g =>
+      val byYear = g.map(r => r.getInt(2) -> r).toMap
+      g.foreach { r =>
+        byYear.get(r.getInt(2) - 1) match {
+          case Some(prev) =>
+            assert(r.getDouble(5) == prev.getDouble(4),
+              s"prev_year_total must be last year's total at $r")
+            assert(math.abs(r.getDouble(6) - (r.getDouble(4) - prev.getDouble(4))) < 1e-9,
+              s"yoy_delta inconsistent at $r")
+          case None =>
+            assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+              s"no prior year -> all yoy fields null at $r")
+        }
+      }
+    }
+  }
 }
