@@ -214,16 +214,102 @@ object TextStats {
       |       CAST(round(score, 6) AS DOUBLE) + 0.0 AS relevance
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- bm25_topk
+  /** BM25 relevance search (k1=1.2, b=0.75): the 20 most relevant
+    * documents for a data-derived query — the 5 highest-df terms that
+    * still appear in at most half the corpus (frequent enough to match,
+    * rare enough to discriminate; exact integer df, so both engines pick
+    * the identical query). The reference promise this serves: "supports
+    * reporting ... and downstream analytics" extends to corpus search
+    * over the documents table; BM25 is the standard lexical ranking.
+    *
+    * Determinism: tf/df/dl/N/total_len are exact integers; the per-term
+    * score is ONE ln (absorbed by the sorted per-doc fold + round-4, the
+    * text_lm_score discipline) and otherwise mirrored IEEE arithmetic —
+    * the SQL twin writes the identical expression tree. Ranking compares
+    * ROUNDED scores (doc_id tie-break), so a last-ulp wobble cannot
+    * reorder the output.
+    *
+    * Scale: df comes from an explode of per-doc DISTINCT terms —
+    * vocabulary-bounded, map-side combined, no (doc, term) shuffle; the
+    * query-term frame (5 rows) broadcast-joins INTO the tf explode, so
+    * only matching (doc, term) pairs ever shuffle; doc stats are one
+    * broadcast row; the final top-20 is a TakeOrdered, no global sort. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val dfT = docs
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = dfT.crossJoin(broadcast(stats))
+      .filter(col("df") * 2 <= col("n_docs"))
+      .orderBy(col("df").desc, col("w")).limit(5)
+      .select(col("w"), col("df"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .join(broadcast(qterms), "w")
+      .groupBy(col("doc_id"), col("dl"), col("w"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(0.3) + (lit(0.9) * col("dl")) * col("n_docs") / col("total_len")))
+          .as("s"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (round(aggregate(
+          sort_array(collect_list(struct(col("w"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")), 4) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  val bm25TopkSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |dd AS (SELECT doc_id, ws, len(ws) AS dl FROM d),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dd),
+      |dft AS (
+      |  SELECT w, count(*) AS df
+      |  FROM (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM dd)
+      |  GROUP BY w),
+      |q AS (SELECT w, df FROM dft CROSS JOIN st WHERE df * 2 <= n_docs
+      |      ORDER BY df DESC, w LIMIT 5),
+      |tf AS (
+      |  SELECT doc_id, dl, e.w, q.df, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM dd) e
+      |  JOIN q ON e.w = q.w
+      |  GROUP BY doc_id, dl, e.w, q.df),
+      |sc AS (
+      |  SELECT doc_id, w,
+      |         ln((n_docs - df + 0.5) / (df + 0.5)) *
+      |           (tf * 2.2) /
+      |           (tf + 0.3 + (0.9 * dl) * n_docs / total_len) AS s
+      |  FROM tf CROSS JOIN st),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |         round(list_reduce(list_transform(
+      |           list_sort(list(struct_pack(w := w, s := s))), x -> x.s),
+      |           (a, x) -> a + x), 4) + 0.0 AS score
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_terms, score
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> (textLmScore _),
     "corpus_domain_kl" -> (corpusDomainKl _),
-    "text_tfidf_top" -> (textTfidfTop _)
+    "text_tfidf_top" -> (textTfidfTop _),
+    "bm25_topk" -> (bm25Topk _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_lm_score" -> textLmScoreSql,
     "corpus_domain_kl" -> corpusDomainKlSql,
-    "text_tfidf_top" -> textTfidfTopSql
+    "text_tfidf_top" -> textTfidfTopSql,
+    "bm25_topk" -> bm25TopkSql
   )
 }

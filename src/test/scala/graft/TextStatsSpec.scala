@@ -108,4 +108,16 @@ class TextStatsSpec extends SparkSpec {
     assert(keys.contains(Set("event_type")),
       s"final phase must combine on the key alone: $keys")
   }
+
+  test("bm25_topk: ranked top-20, query terms discriminate, scores reproducible") {
+    val df = SparkEntry.queries("bm25_topk")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq, "scores must be descending")
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 5))
+    // deterministic under repartitioning (sorted fold + integer stats)
+    val again = df.collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
 }
