@@ -32,16 +32,27 @@ object Multimodal {
       col("text").cast("binary").as("payload"))
 
   /** mm_metadata: typed metadata extracted without decoding — payload
-    * length, leading magic bytes, crc — pure column expressions, the
-    * payload never leaves the executor. Rows-only at the driver (binary
-    * semantics aren't DuckDB-comparable); MultimodalSpec is authority. */
+    * length, leading magic bytes, content hash — pure column
+    * expressions, the payload never leaves the executor. Fully oracled
+    * (r7 — was rows-only under crc32, which DuckDB lacks): the checksum
+    * is md5 of the payload bytes (identical hex both engines, the
+    * mm_dedup contract) and the magic is the first 4 bytes as uppercase
+    * hex, which DuckDB reproduces as a prefix of the full-blob hex. */
   def mmMetadata(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(
       col("doc_id"), col("kind"),
       octet_length(col("payload")).as("byte_len"),
       hex(substring(col("payload"), 1, 4)).as("magic_hex"),
-      crc32(col("payload")).as("checksum"))
+      md5(col("payload")).as("checksum_md5"))
       .orderBy(col("doc_id"))
+
+  val mmMetadataSql: String =
+    """SELECT doc_id,
+      |       ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |       strlen(text) AS byte_len,
+      |       substring(hex(encode(text)), 1, 8) AS magic_hex,
+      |       md5(text) AS checksum_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * decode (???: no media libs in this environment). Derives pseudo
@@ -150,6 +161,7 @@ object Multimodal {
     "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
+    "mm_metadata" -> mmMetadataSql,
     "mm_dedup" -> mmDedupSql,
     "mm_shard_pack" -> mmShardPackSql)
 }

@@ -573,6 +573,83 @@ object Warehouse {
        |FROM fin_lagged
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** fin_forecast_linear: next-month OLS forecast per (department, GL) —
+    * "trend analysis" carried to its standard conclusion: fit
+    * amount ≈ a + b·x over the observed months (x = months since the
+    * group's first month) and extrapolate one month past the last.
+    *
+    * EXACT integer OLS: with x shifted to start at 0 (window min over
+    * the group — the shift keeps every product below ~2^53 where raw
+    * year·12 indices would overflow Σy·Σx²), all five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums, so
+    * slope_num = n·Σxy − Σx·Σy, denom = n·Σx² − (Σx)² and the forecast
+    * numerator are exact integers; the ONLY float ops are one correctly
+    * rounded IEEE division each for slope and forecast — bit-identical
+    * cross-engine (never a decimal/HUGEINT→double cast, which DuckDB
+    * does not round correctly). Groups need ≥2 distinct months
+    * (denom > 0) to fit a line.
+    *
+    * Scale: monthly rollup shuffles on its natural 4-key; the window +
+    * final per-(dept, GL) aggregate share one 2-key shuffle; every
+    * group's series is tiny (months), so 100 TB parallelizes across
+    * groups. */
+  def finForecastLinear(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = upserted(spark, dir)
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+      .withColumn("m_idx", col("year") * 12 + col("month") - 1)
+    val wg = Window.partitionBy(col("department"), col("gl_code"))
+    val fitted = monthly
+      .withColumn("x", col("m_idx") - min(col("m_idx")).over(wg))
+      .groupBy(col("department"), col("gl_code"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("tc")).as("sy"), sum(col("x") * col("tc")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), min(col("m_idx")).as("m0"),
+        max(col("x")).as("xmax"))
+      .filter(col("n") >= 2 &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) > 0)
+      .withColumn("snum", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("inum", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("xf", col("xmax") + 1)
+      .withColumn("fidx", col("m0") + col("xf"))
+    fitted.select(col("department"), col("gl_code"), col("n").as("n_months"),
+        expr("CAST(fidx DIV 12 AS INT)").as("forecast_year"),
+        (col("fidx") % 12 + 1).cast("int").as("forecast_month"),
+        (round(col("snum").cast("double") / col("den") / 100.0, 6) + 0.0).as("slope"),
+        (round((col("inum") + col("snum") * col("xf")).cast("double")
+          / col("den") / 100.0, 4) + 0.0).as("forecast"))
+      .orderBy(col("department"), col("gl_code"))
+  }
+
+  val finForecastLinearSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc,
+       |         year*12 + month - 1 AS m_idx
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |shifted AS (
+       |  SELECT *, m_idx - min(m_idx) OVER (PARTITION BY department, gl_code) AS x
+       |  FROM fin_monthly),
+       |fitted AS (
+       |  SELECT department, gl_code,
+       |         count(*) AS n, sum(x) AS sx, sum(tc) AS sy,
+       |         sum(x * tc) AS sxy, sum(x * x) AS sxx,
+       |         min(m_idx) AS m0, max(x) AS xmax
+       |  FROM shifted GROUP BY department, gl_code),
+       |lines AS (
+       |  SELECT *,
+       |         n*sxy - sx*sy AS snum, n*sxx - sx*sx AS den,
+       |         sy*sxx - sx*sxy AS inum, xmax + 1 AS xf, m0 + xmax + 1 AS fidx
+       |  FROM fitted WHERE n >= 2 AND n*sxx - sx*sx > 0)
+       |SELECT department, gl_code, n AS n_months,
+       |       CAST(fidx // 12 AS INT) AS forecast_year,
+       |       CAST(fidx % 12 + 1 AS INT) AS forecast_month,
+       |       round(CAST(snum AS DOUBLE) / den / 100.0, 6) + 0.0 AS slope,
+       |       round(CAST(inum + snum * xf AS DOUBLE) / den / 100.0, 4) + 0.0 AS forecast
+       |FROM lines ORDER BY department, gl_code""".stripMargin
+
   /** fin_ytd_cumulative: YTD running total per (department, category). */
   def finYtdCumulative(spark: SparkSession, dir: String): DataFrame =
     finYtdFrom(upserted(spark, dir))
@@ -1118,6 +1195,7 @@ object Warehouse {
     "fin_trend_mom" -> (finTrendMom _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_yoy_trend" -> (finYoyTrend _),
+    "fin_forecast_linear" -> (finForecastLinear _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
@@ -1144,6 +1222,7 @@ object Warehouse {
     "fin_trend_mom" -> finTrendMomSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_yoy_trend" -> finYoyTrendSql,
+    "fin_forecast_linear" -> finForecastLinearSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,

@@ -201,6 +201,42 @@ class WarehouseSpec extends SparkSpec {
     assert(checked == rows.length)
   }
 
+  test("fin_forecast_linear matches a driver-side OLS recomputation") {
+    val monthly = graft.warehouse.Warehouse.finTrendMom(spark, sf)
+      .select("department", "gl_code", "year", "month", "total").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    val got = graft.warehouse.Warehouse.finForecastLinear(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val series = monthly(key).map { m =>
+        (m.getInt(2).toLong * 12 + m.getInt(3) - 1,
+          math.round(m.getDouble(4) * 100))
+      }.sortBy(_._1)
+      val m0 = series.map(_._1).min
+      val xs = series.map(s => (s._1 - m0, s._2))
+      val n = xs.length.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      assert(n >= 2 && den > 0, s"group $key should not have been emitted")
+      val snum = n * sxy - sx * sy
+      val inum = sy * sxx - sx * sxy
+      val xf = xs.map(_._1).max + 1
+      // java BigDecimal.valueOf == Spark's round(double) path exactly
+      val slope = java.math.BigDecimal.valueOf(snum.toDouble / den / 100.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      val fc = java.math.BigDecimal.valueOf((inum + snum * xf).toDouble / den / 100.0)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      assert(r.getAs[Double]("slope") == slope, s"slope mismatch at $key")
+      assert(r.getAs[Double]("forecast") == fc, s"forecast mismatch at $key")
+      val fi = m0 + xf
+      assert(r.getAs[Int]("forecast_year") == (fi / 12).toInt &&
+        r.getAs[Int]("forecast_month") == (fi % 12 + 1).toInt, s"period mismatch at $key")
+    }
+  }
+
   test("fin_yoy_trend: prev-year linkage only across consecutive years, delta consistent") {
     val rows = graft.warehouse.Warehouse.finYoyTrend(spark, sf)
       .select("department", "gl_code", "year", "month", "total",
