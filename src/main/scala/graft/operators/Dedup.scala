@@ -169,6 +169,82 @@ object Dedup {
     * gate caught corpus_curate still carrying the r6 1-band min-shingle
     * CTE while the Spark side had moved to banded candidates — 4 true
     * near-dups found only by the banded side. */
+  // ------------------------------------------------- dedup_containment
+  /** Asymmetric containment near-dup: find documents whose distinct
+    * word-3-shingle set is ≥80% CONTAINED in another document's —
+    * the quote/excerpt/boilerplate-wrapper case Jaccard misses (a short
+    * doc fully inside a long one has low Jaccard but containment 1.0).
+    *
+    * Candidates come from a min-shingle INVERTED probe, not the banded
+    * Jaccard generator (symmetric MinHash bands lose recall exactly on
+    * the asymmetric pairs this operator exists for): if sh(a) ⊆ sh(b),
+    * then a's MINIMUM shingle hash is necessarily one of b's shingles —
+    * so probing each doc's single min hash against an inverted index of
+    * every doc's distinct shingles finds every FULL containment by
+    * construction (spec-pinned), and a ≥0.8-contained doc's min shingle
+    * lands in the shared 80% with matching probability ≥ its
+    * containment. Exact overlap counts (ShingleOverlap kernel) then
+    * score each candidate; containment = n_shared/na is one exact
+    * integer division, bit-identical in the oracle.
+    *
+    * Scale: the probe side is ONE scalar (min hash) per doc; the
+    * posting side explodes distinct shingles — linear in corpus tokens,
+    * the inverted-index cost (same explode family as text_lm_score),
+    * shuffling only (hash, id) scalar pairs; candidate work equals the
+    * true min-hash hit count, never all pairs; texts are fetched only
+    * for candidates. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec entry point. */
+  def containmentFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def overlap(a: Column, b: Column): Column =
+      GraftColumnBridge.column(graft.expressions.ShingleOverlap(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), 3))
+    val t = docs.select(col("doc_id"), col("text"))
+    val probe = docs.select(col("doc_id").as("id_a"),
+        array_min(Text.shingleHashes(col("text"), 3)).as("m"))
+      .filter(col("m").isNotNull)
+    val post = docs.select(col("doc_id").as("id_b"),
+        explode(array_distinct(Text.shingleHashes(col("text"), 3))).as("m"))
+    val cands = probe.join(post, Seq("m"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cands
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), overlap(col("ta"), col("tb")).as("ov"))
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("ov.n_shared").as("n_shared"), col("ov.na").as("n_contained"),
+        (col("ov.n_shared").cast("double") / col("ov.na")).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  val dedupContainmentSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |probe AS (SELECT doc_id AS id_a, list_min(sh) AS m FROM s),
+      |post AS (SELECT doc_id AS id_b, unnest(sh) AS m FROM s),
+      |cand AS (
+      |  SELECT p.id_a, q.id_b FROM probe p JOIN post q ON p.m = q.m
+      |  WHERE p.id_a <> q.id_b),
+      |o AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_intersect(sa.sh, sb.sh)) AS n_shared,
+      |         len(sa.sh) AS n_contained
+      |  FROM cand c JOIN s sa ON c.id_a = sa.doc_id JOIN s sb ON c.id_b = sb.doc_id)
+      |SELECT id_a AS contained_id, id_b AS container_id, n_shared, n_contained,
+      |       CAST(n_shared AS DOUBLE) / n_contained AS containment
+      |FROM o WHERE CAST(n_shared AS DOUBLE) / n_contained >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin
+
   val ngramDupsCtes: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |s AS (
@@ -735,6 +811,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -747,6 +824,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,

