@@ -542,6 +542,112 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The ENTIRE PQ pipeline as a DuckDB mirror (the ann_lsh_topk
+    * dynamic-plane precedent): strided seeds, seed assignment, the
+    * integer-micro-unit Lloyd step, re-encoding, per-query LUTs, ADC
+    * top-C, exact re-rank. Float parity is op-for-op:
+    *  - ss (squared norm) is the same 0.0-seeded ascending fold both
+    *    sides; codes normalize by MULTIPLYING 1/sqrt(ss) (the PqCodes
+    *    kernel's `inv`), while unit vectors u and seeds DIVIDE by
+    *    sqrt(ss) (the declarative transform / `unit` helper) — the SQL
+    *    reproduces each form where each is used;
+    *  - squared distances write (t)*(t), never ^2 (DuckDB pow ≠ x*x in
+    *    the last ulp), folded in ascending j like the kernel loop;
+    *  - argmin/rank ties break to the lowest index/id exactly like the
+    *    kernel's strict `<` scan;
+    *  - Lloyd means are exact BIGINT micro-unit sums divided once;
+    *  - ADC folds the 8 per-subspace lookups in ascending m (sorted
+    *    struct fold), matching pqAdc's loop.
+    * dsub is pinned at 8 (64-dim embeddings), like the LSH oracle's
+    * 64-dim plane literals. */
+  val annPqTopkSql: String = {
+    val c = s"greatest(64, least(1024, (SELECT n FROM nn) // 32))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |norms AS (
+       |  SELECT vec_id, v,
+       |         list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
+       |  FROM e),
+       |un AS (  -- unit vectors, DIVISION form (declarative transform / unit())
+       |  SELECT vec_id, v, ss,
+       |         CASE WHEN ss = 0 THEN v
+       |              ELSE [x / sqrt(ss) FOR x IN v] END AS u,
+       |         CASE WHEN ss = 0 THEN 0.0 ELSE 1.0/sqrt(ss) END AS inv
+       |  FROM norms),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, u AS su
+       |  FROM un WHERE vec_id % greatest(1, (SELECT n FROM nn) // $PqKs) = 0
+       |  ORDER BY vec_id LIMIT $PqKs),
+       |cent0 AS (  -- seed codebook: (m, c, 8-dim sub-centroid)
+       |  SELECT m.range AS m, s.c, su[m.range*8 + 1 : m.range*8 + 8] AS cent
+       |  FROM seeds s, range(0, $PqM) m),
+       |a0 AS (  -- seed assignment: argmin L2, codes normalize by inv MULTIPLY
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT un.vec_id, c0.m, c0.c,
+       |           row_number() OVER (PARTITION BY un.vec_id, c0.m ORDER BY
+       |             list_reduce([(un.v[c0.m*8 + j]*un.inv - c0.cent[j])
+       |                          * (un.v[c0.m*8 + j]*un.inv - c0.cent[j])
+       |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
+       |             c0.c ASC) AS rn
+       |    FROM un CROSS JOIN cent0 c0)
+       |  WHERE rn = 1),
+       |lloyd AS (  -- exact integer micro-unit means over members' u values
+       |  SELECT a0.m, a0.code, j.range AS j,
+       |         sum(CAST(round(un.u[a0.m*8 + j.range + 1] * 1000000) AS BIGINT)) AS sx,
+       |         count(*) AS cn
+       |  FROM a0 JOIN un ON a0.vec_id = un.vec_id CROSS JOIN range(0, 8) j
+       |  GROUP BY a0.m, a0.code, j.range),
+       |cent1 AS (  -- refined codebook; empty cells keep their seed
+       |  SELECT c0.m, c0.c,
+       |         list_transform(list_sort(list(struct_pack(j := j.range,
+       |           val := coalesce(l.val, c0.cent[j.range + 1])))), x -> x.val) AS cent
+       |  FROM cent0 c0 CROSS JOIN range(0, 8) j
+       |  LEFT JOIN (SELECT m, code, j, CAST(sx AS DOUBLE) / (cn * 1000000.0) AS val
+       |             FROM lloyd) l
+       |    ON l.m = c0.m AND l.code = c0.c AND l.j = j.range
+       |  GROUP BY c0.m, c0.c),
+       |a1 AS (  -- re-encode against the refined codebook
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT un.vec_id, c1.m, c1.c,
+       |           row_number() OVER (PARTITION BY un.vec_id, c1.m ORDER BY
+       |             list_reduce([(un.v[c1.m*8 + j]*un.inv - c1.cent[j])
+       |                          * (un.v[c1.m*8 + j]*un.inv - c1.cent[j])
+       |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
+       |             c1.c ASC) AS rn
+       |    FROM un CROSS JOIN cent1 c1)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, u AS qu FROM un WHERE vec_id < $NQueries),
+       |lut AS (  -- per-(query, m, c) partial dot, ascending-j fold
+       |  SELECT q.q_id, c1.m, c1.c,
+       |         list_reduce([q.qu[c1.m*8 + j] * c1.cent[j] for j in range(1, 9)],
+       |                     (x, y) -> x + y) AS lv
+       |  FROM q CROSS JOIN cent1 c1),
+       |adc AS (  -- sum the 8 lookups in ascending m, 0.0-seeded order
+       |  SELECT a1.vec_id, l.q_id,
+       |         list_reduce(list_transform(
+       |           list_sort(list(struct_pack(m := a1.m, lv := l.lv))), x -> x.lv),
+       |           (x, y) -> x + y) AS adc
+       |  FROM a1 JOIN lut l ON a1.m = l.m AND a1.code = l.c
+       |  WHERE a1.vec_id <> l.q_id
+       |  GROUP BY a1.vec_id, l.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crank
+       |    FROM adc)
+       |  WHERE crank <= $c),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |rr AS (
+       |  SELECT cand.q_id, cand.vec_id AS n_id,
+       |         $cosFoldSql AS cos
+       |  FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |  JOIN qv ON cand.q_id = qv.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   def vecStats(spark: SparkSession, dir: String): DataFrame = {
     val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
@@ -603,9 +709,9 @@ object Ann {
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_pq_topk" -> annPqTopkSql,
     "vec_stats" -> vecStatsSql
-    // ann_ivf_topk / ann_ivf_batch / ann_pq_topk: Lloyd-refined
-    // centroid/codebook state is engine-side → rows-only; AnnSpec
-    // bounds recall@10 + determinism (+ code shape for PQ).
+    // ann_ivf_topk / ann_ivf_batch: two-level Lloyd centroid state is
+    // engine-side → rows-only; AnnSpec bounds recall@10 + determinism.
   )
 }
