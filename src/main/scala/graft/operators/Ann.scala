@@ -648,6 +648,131 @@ object Ann {
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The two-level IVF pipeline as a DuckDB mirror (the ann_pq_topk /
+    * ann_lsh_topk precedent): coarse strided seeds → coarse argmax-dot
+    * assignment → per-cell strided sub-seeds (padded with the cell's
+    * first seed; seedless cells carry their coarse seed alone — padding
+    * copies lose argmax ties to the lowest index exactly like the
+    * kernel's strict `>` scan, but they occupy flat-cell slots and CAN
+    * attract rows after refinement, so the mirror reproduces them) →
+    * one integer-micro-unit Lloyd step whose means are then
+    * unit-NORMALIZED (division form, the `unit` helper) → re-assignment
+    * → exhaustive per-query probe ranking (raw-query dot vs every flat
+    * centroid, ties to the lower cell — the driver loop's sortBy) →
+    * cosine re-rank. Assignment dots use the RAW vector against unit
+    * centroids (NearestCell's contract); every fold is 0.0-seeded
+    * ascending; dim pinned at 64 like the LSH plane literals. */
+  val annIvfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (
+       |  SELECT n, nlist,
+       |         CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT) AS c2,
+       |         CAST(ceil(CAST(nlist AS DOUBLE)
+       |                   / CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT)) AS INT) AS c1
+       |  FROM (SELECT n, greatest(8, least(n // 64,
+       |                 4 * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS nlist
+       |        FROM (SELECT count(*) AS n FROM e))),
+       |un AS (
+       |  SELECT vec_id, v, ss,
+       |         CASE WHEN ss = 0 THEN v ELSE [x / sqrt(ss) FOR x IN v] END AS u
+       |  FROM (SELECT vec_id, v,
+       |          list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
+       |        FROM e)),
+       |coarse AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, u AS cu
+       |  FROM un WHERE vec_id % greatest(1, (SELECT n FROM params) // (SELECT c1 FROM params)) = 0
+       |  ORDER BY vec_id LIMIT (SELECT c1 FROM params)),
+       |ac AS (  -- coarse assignment: argmax raw·unit dot, ties -> lowest ci
+       |  SELECT vec_id, ci AS ca FROM (
+       |    SELECT un.vec_id, co.ci,
+       |           row_number() OVER (PARTITION BY un.vec_id ORDER BY
+       |             list_reduce([un.v[i] * co.cu[i] for i in range(1, len(un.v)+1)],
+       |                         (x, y) -> x + y) DESC, co.ci ASC) AS rn
+       |    FROM un CROSS JOIN coarse co)
+       |  WHERE rn = 1),
+       |counts AS (SELECT ca, count(*) AS cnt FROM ac GROUP BY ca),
+       |strided AS (  -- evenly-strided candidate seed rows per cell
+       |  SELECT ca, u, row_number() OVER (PARTITION BY ca ORDER BY vec_id) AS k
+       |  FROM (
+       |    SELECT ac.ca, un.u, ac.vec_id,
+       |           row_number() OVER (PARTITION BY ac.ca ORDER BY ac.vec_id) AS rn,
+       |           greatest(1, CAST(ceil(CAST(counts.cnt AS DOUBLE)
+       |                                / (SELECT c2 FROM params)) AS BIGINT)) AS sstride
+       |    FROM ac JOIN un USING (vec_id) JOIN counts USING (ca))
+       |  WHERE (rn - 1) % sstride = 0),
+       |sgk AS (SELECT ca, k - 1 AS k, u FROM strided WHERE k <= (SELECT c2 FROM params)),
+       |gotn AS (SELECT ca, count(*) AS gn FROM sgk GROUP BY ca),
+       |subseed AS (  -- padded per-cell sub-seed table (kernel's got ++ fill(got0));
+       |              -- range(0,64) + filter because range() rejects subquery bounds
+       |  SELECT co.ci AS ca, kk.range AS si, coalesce(sk.u, s0.u, co.cu) AS su
+       |  FROM coarse co CROSS JOIN range(0, 64) kk
+       |  LEFT JOIN gotn g ON g.ca = co.ci
+       |  LEFT JOIN sgk sk ON sk.ca = co.ci AND sk.k = kk.range
+       |  LEFT JOIN sgk s0 ON s0.ca = co.ci AND s0.k = 0
+       |  WHERE kk.range < (SELECT c2 FROM params)
+       |    AND (kk.range = 0 OR coalesce(g.gn, 0) > 0)),
+       |as0 AS (  -- sub assignment against the seed subcells
+       |  SELECT vec_id, ca, si FROM (
+       |    SELECT un.vec_id, ac.ca, ss.si,
+       |           row_number() OVER (PARTITION BY un.vec_id ORDER BY
+       |             list_reduce([un.v[i] * ss.su[i] for i in range(1, len(un.v)+1)],
+       |                         (x, y) -> x + y) DESC, ss.si ASC) AS rn
+       |    FROM un JOIN ac USING (vec_id) JOIN subseed ss ON ss.ca = ac.ca)
+       |  WHERE rn = 1),
+       |lloyd AS (  -- exact integer micro-unit sums of members' RAW values
+       |  SELECT a.ca, a.si, p.range AS pos,
+       |         sum(CAST(round(un.v[p.range + 1] * 1000000) AS BIGINT)) AS sx,
+       |         count(*) AS cn
+       |  FROM as0 a JOIN un USING (vec_id) CROSS JOIN range(0, 64) p
+       |  GROUP BY a.ca, a.si, p.range),
+       |means AS (  -- mean vector per refined cell, ascending-pos order
+       |  SELECT ca, si,
+       |         list_transform(list_sort(list(struct_pack(pos := pos,
+       |           val := CAST(sx AS DOUBLE) / (cn * 1000000.0)))), x -> x.val) AS mv
+       |  FROM lloyd GROUP BY ca, si),
+       |refined AS (  -- unit-normalize the means (unit(): division form)
+       |  SELECT ss.ca, ss.si,
+       |         CASE WHEN m.mv IS NULL THEN ss.su
+       |              WHEN mss.mss = 0 THEN m.mv
+       |              ELSE [x / sqrt(mss.mss) FOR x IN m.mv] END AS ru
+       |  FROM subseed ss
+       |  LEFT JOIN means m ON m.ca = ss.ca AND m.si = ss.si
+       |  LEFT JOIN (SELECT ca, si,
+       |               list_reduce([mv[i]*mv[i] for i in range(1, len(mv)+1)],
+       |                           (x, y) -> x + y) AS mss
+       |             FROM means) mss ON mss.ca = ss.ca AND mss.si = ss.si),
+       |msub AS (SELECT max(cnt) AS maxsub FROM
+       |           (SELECT ca, count(*) AS cnt FROM refined GROUP BY ca)),
+       |flatcells AS (
+       |  SELECT ca, si, ca * (SELECT maxsub FROM msub) + si AS cell, ru FROM refined),
+       |celled AS (  -- final assignment against the refined subcells
+       |  SELECT vec_id, cell FROM (
+       |    SELECT un.vec_id, f.cell,
+       |           row_number() OVER (PARTITION BY un.vec_id ORDER BY
+       |             list_reduce([un.v[i] * f.ru[i] for i in range(1, len(un.v)+1)],
+       |                         (x, y) -> x + y) DESC, f.si ASC) AS rn
+       |    FROM un JOIN ac USING (vec_id) JOIN flatcells f ON f.ca = ac.ca)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (  -- exhaustive probe ranking: raw query dot vs every flat centroid
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM q CROSS JOIN flatcells f)
+       |  WHERE pr <= $IvfProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN q qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   def vecStats(spark: SparkSession, dir: String): DataFrame = {
     val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
@@ -710,8 +835,9 @@ object Ann {
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "vec_stats" -> vecStatsSql
-    // ann_ivf_topk / ann_ivf_batch: two-level Lloyd centroid state is
-    // engine-side → rows-only; AnnSpec bounds recall@10 + determinism.
+    // ann_ivf_batch: TopCells probe descent is kernel-side → rows-only;
+    // AnnSpec bounds recall@10 on a 1000-query set.
   )
 }
