@@ -662,8 +662,11 @@ object Ann {
     * cosine re-rank. Assignment dots use the RAW vector against unit
     * centroids (NearestCell's contract); every fold is 0.0-seeded
     * ascending; dim pinned at 64 like the LSH plane literals. */
-  val annIvfTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The shared two-level index-construction CTE chain (through the
+    * celled corpus) — one Scala constant so the topk and batch mirrors
+    * can never drift on the index (the ngramDupsCtes lesson). */
+  private val ivfIndexCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |params AS (
        |  SELECT n, nlist,
        |         CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT) AS c2,
@@ -752,7 +755,10 @@ object Ann {
        |             list_reduce([un.v[i] * f.ru[i] for i in range(1, len(un.v)+1)],
        |                         (x, y) -> x + y) DESC, f.si ASC) AS rn
        |    FROM un JOIN ac USING (vec_id) JOIN flatcells f ON f.ca = ac.ca)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  val annIvfTopkSql: String =
+    s"""WITH $ivfIndexCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |probes AS (  -- exhaustive probe ranking: raw query dot vs every flat centroid
        |  SELECT q_id, cell FROM (
@@ -767,6 +773,42 @@ object Ann {
        |  FROM probes p JOIN celled c USING (cell)
        |  JOIN e ON c.vec_id = e.vec_id
        |  JOIN q qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** ann_ivf_batch's mirror: same index CTEs, but the probe ranking is
+    * the TopCells kernel's two-step descent — top-$BatchProbeCoarse
+    * coarse cells (dot DESC, ci ASC: the kernel's strict-> selection),
+    * then the $IvfProbe best flat cells among ONLY those cells'
+    * subcells, ordered (dot DESC, cell ASC: the insertion buffer's
+    * comparison). Query table = every 37th vector, as registered. */
+  val annIvfBatchSql: String =
+    s"""WITH $ivfIndexCtes,
+       |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 37 = 0),
+       |pcq AS (  -- kernel step 1: the probeCoarse best coarse cells
+       |  SELECT q_id, ci FROM (
+       |    SELECT qb.q_id, co.ci,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * co.cu[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, co.ci ASC) AS rn
+       |    FROM qb CROSS JOIN coarse co)
+       |  WHERE rn <= $BatchProbeCoarse),
+       |probes AS (  -- kernel step 2: nprobe best flat cells among their subcells
+       |  SELECT q_id, cell FROM (
+       |    SELECT qb.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * f.ru[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM qb JOIN pcq USING (q_id) JOIN flatcells f ON f.ca = pcq.ci)
+       |  WHERE pr <= $IvfProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN qb qv0 ON p.q_id = qv0.q_id
        |  WHERE p.q_id <> c.vec_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
@@ -836,8 +878,7 @@ object Ann {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_batch" -> annIvfBatchSql,
     "vec_stats" -> vecStatsSql
-    // ann_ivf_batch: TopCells probe descent is kernel-side → rows-only;
-    // AnnSpec bounds recall@10 on a 1000-query set.
   )
 }
