@@ -480,6 +480,103 @@ object Analytics {
       |                END) AS DOUBLE)/100.0 AS attributed_total
       |FROM a GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // --------------------------------------------------------- events_dau_mau
+  /** DAU/MAU engagement: daily active users, the enclosing fixed 30-day period's
+    * active users (the rolling-window MAU convention), and the stickiness ratio — the standard product
+    * health metric over the events table. day/month keys are integer
+    * microsecond truncations (no calendar parity risk); stickiness is
+    * ONE exactly rounded IEEE division of two exact counts.
+    * Scale: two distinct-count aggregates (day- and month-keyed) with
+    * partial aggregation; the month frame is ≤ |months| rows and
+    * broadcast-joins back onto days. */
+  def eventsDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), (col("ts_us") - pmod(col("ts_us"), lit(dayUs))).as("day_us"))
+      .withColumn("period_us", col("day_us") - pmod(expr("day_us DIV 86400000000"), lit(30L)) * dayUs)
+    val dau = e.groupBy(col("day_us"), col("period_us"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy(col("period_us")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), Seq("period_us"))
+      .select(col("day_us"), col("dau"), col("mau"),
+        (round(col("dau").cast("double") / col("mau"), 6) + 0.0).as("stickiness"))
+      .orderBy(col("day_us"))
+  }
+
+  val eventsDauMauSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+      |  FROM events),
+      |e2 AS (
+      |  SELECT user_id, day_us,
+      |         day_us - ((day_us // 86400000000) % 30) * 86400000000 AS period_us
+      |  FROM e),
+      |dau AS (SELECT day_us, period_us, count(DISTINCT user_id) AS dau
+      |        FROM e2 GROUP BY day_us, period_us),
+      |mau AS (SELECT period_us, count(DISTINCT user_id) AS mau
+      |        FROM e2 GROUP BY period_us)
+      |SELECT day_us, dau.dau, mau.mau,
+      |       round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) + 0.0 AS stickiness
+      |FROM dau JOIN mau USING (period_us)
+      |ORDER BY day_us""".stripMargin
+
+  // -------------------------------------------------------------- orders_rfm
+  /** RFM customer segmentation over orders: recency (days since the
+    * customer's last order, against the corpus max date), frequency
+    * (order count), monetary (exact cents), each scored into quintiles
+    * by ntile(5) under a TOTAL order (value, custkey) so both engines
+    * assign identical buckets, then the classic 3-digit segment code.
+    * Scale: one custkey shuffle for the per-customer rollup; the corpus
+    * max date is a broadcast 1-row aggregate; ntile partitions are
+    * unbounded windows over |customers| rows — for 100 TB swap in the
+    * rank_stats_scalable bucketed two-pass rank (same module). */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxd = o.agg(max(col("o_orderdate")).as("corpus_max"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_order")))
+    val wr = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val wm = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
+    per
+      .withColumn("r_score", ntile(5).over(wr))
+      .withColumn("f_score", ntile(5).over(wf))
+      .withColumn("m_score", ntile(5).over(wm))
+      .select(col("o_custkey").as("custkey"), col("recency_days"),
+        col("frequency"), dollars(col("monetary_cents")).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("custkey"))
+  }
+
+  val ordersRfmSql: String =
+    """WITH mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+      |per AS (
+      |  SELECT o_custkey,
+      |         max(o_orderdate) AS last_order,
+      |         count(*) AS frequency,
+      |         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT per.*, datediff('day', last_order, corpus_max) AS recency_days
+      |  FROM per CROSS JOIN mx),
+      |nt AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      |  FROM scored)
+      |SELECT o_custkey AS custkey, recency_days, frequency,
+      |       CAST(monetary_cents AS DOUBLE)/100.0 AS monetary,
+      |       r_score, f_score, m_score,
+      |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+      |FROM nt ORDER BY custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
@@ -492,7 +589,9 @@ object Analytics {
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
     "skew_salted_agg" -> (skewSaltedAgg _),
-    "event_attribution" -> (eventAttribution _)
+    "event_attribution" -> (eventAttribution _),
+    "events_dau_mau" -> (eventsDauMau _),
+    "orders_rfm" -> (ordersRfm _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -509,6 +608,8 @@ object Analytics {
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
     "skew_salted_agg" -> skewSaltedAggSql,
-    "event_attribution" -> eventAttributionSql
+    "event_attribution" -> eventAttributionSql,
+    "events_dau_mau" -> eventsDauMauSql,
+    "orders_rfm" -> ordersRfmSql
   )
 }

@@ -68,6 +68,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected a single shuffle, got $exchanges:\n$plan")
   }
 
+  test("events_dau_mau: dau bounded by mau, stickiness in (0,1]") {
+    val rows = Analytics.eventsDauMau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau >= 1 && dau <= mau, s"dau $dau vs mau $mau")
+      assert(s > 0.0 && s <= 1.0, s"stickiness $s")
+    }
+  }
+
+  test("orders_rfm: quintiles balanced within 1, segment concatenates the scores") {
+    val rows = Analytics.ordersRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.length)
+      assert(byScore.keySet == (1 to 5).toSet, s"$c buckets ${byScore.keySet}")
+      assert(byScore.values.max - byScore.values.min <= 1, s"$c unbalanced $byScore")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}${r.getAs[Int]("m_score")}")
+    }
+  }
+
   test("event_attribution conserves every purchase penny across channels") {
     val rows = Analytics.eventAttribution(spark, sf).collect()
     assert(rows.nonEmpty)
