@@ -32,13 +32,28 @@ object MakeScale {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "events", "lineitem"))
+    // dims stay fixed (the 100 TB shape: facts grow, dims don't)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(read(t), t)
 
     val orders = read("orders")
     val maxK = orders.agg(max(col("o_orderkey"))).first().getLong(0) + 1
     write(replicate(orders, copies)((df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxK))), "orders")
+
+    // lineitem rides the SAME orderkey shift, so orders⋈lineitem joins
+    // scale with the copies instead of collapsing onto copy 0 (the r7
+    // fix — the earlier sweep copied lineitem 1x, quietly shrinking
+    // every TPC-H join at "sf1")
+    write(replicate(read("lineitem"), copies)((df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxK))), "lineitem")
+
+    val events = read("events")
+    val maxE = events.agg(max(col("event_id"))).first().getLong(0) + 1
+    val maxU = events.agg(max(col("user_id"))).first().getLong(0) + 1
+    write(replicate(events, copies)((df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * maxE))
+        .withColumn("user_id", col("user_id") + lit(i * maxU))), "events")
 
     val docs = read("documents")
     val maxD = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
