@@ -195,31 +195,6 @@ object TextHashes {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
-  /** Distinct word-k-shingle overlap counts of two texts:
-    * (n_shared, na, nb) — the asymmetric-containment inputs
-    * (containment of a in b = n_shared / na), same tokenization and
-    * set semantics as shingleJaccard. */
-  def shingleOverlap(a: UTF8String, b: UTF8String, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    def set(t: UTF8String): java.util.HashSet[String] = {
-      val words = t.toString.split(" ", -1)
-      val s = new java.util.HashSet[String]()
-      var i = 0
-      while (i + k <= words.length) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
-        s.add(sb.toString)
-        i += 1
-      }
-      s
-    }
-    val sa = set(a); val sb = set(b)
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](inter, sa.size, sb.size))
-  }
 
   /** One-pass repetition stats: (n_words, n_distinct_words, n_bigrams,
     * n_distinct_bigrams) with the same `split(" ", -1)` tokenization and
@@ -319,26 +294,6 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
       (a, b) => s"graft.expressions.TextHashes.shingleJaccard($a, $b, $k)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleJaccard =
-    copy(left = newLeft, right = newRight)
-}
-
-/** shingle_overlap(a, b, k): struct(n_shared, na, nb) of distinct
-  * word-k-shingle sets — the containment-dedup kernel. */
-case class ShingleOverlap(left: Expression, right: Expression, k: Int)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_shared", IntegerType, nullable = false),
-    StructField("na", IntegerType, nullable = false),
-    StructField("nb", IntegerType, nullable = false)))
-  override def prettyName: String = "shingle_overlap"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    TextHashes.shingleOverlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.expressions.TextHashes.shingleOverlap($a, $b, $k)")
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ShingleOverlap =
     copy(left = newLeft, right = newRight)
 }
 
