@@ -324,36 +324,37 @@ object Ann {
     Some(IvfIndex(celled, coarse, refinedSub, maxSub))
   }
 
+  /** Driver-side probe ranking for a collected query set: the nprobe
+    * best flat cells by centroid dot (ties → lower cell), exhaustive
+    * over the flat table — nlist dots × |queries|, bounded. The
+    * distributed twin for query TABLES is the TopCells kernel
+    * (ann_ivf_batch). */
+  private def driverProbes(idx: IvfIndex,
+      qRows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double], Int)] = {
+    val flat = for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
+      yield (ci * idx.maxSub + si, idx.refinedSub(ci)(si))
+    qRows.flatMap { case (qid, qv) =>
+      flat.map { case (cell, c) =>
+        var s = 0.0; var d = 0
+        val m = math.min(qv.length, c.length)
+        while (d < m) { s += qv(d) * c(d); d += 1 }
+        (cell, s)
+      }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
+        .map { case (cell, _) => (qid, qv, cell) }
+    }
+  }
+
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val n = e.count()
     buildIvfIndex(e, n) match {
       case None => annBruteTopk(spark, dir)
       case Some(idx) =>
-        // driver-side probe ranking for the 20-query set: nprobe best
-        // cells by centroid cosine (dot against unit centroids), ties →
-        // lower cell; exhaustive over the flat cell table (nlist dots ×
-        // 20 queries — bounded). ann_ivf_batch is the distributed twin
-        // for query TABLES.
-        val probeRows: Seq[(Long, Seq[Double], Int)] = {
-          val flat = for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
-            yield (ci * idx.maxSub + si, idx.refinedSub(ci)(si))
-          e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
-            .collect().toSeq.flatMap { r =>
-              val qid = r.getLong(0)
-              val qv = r.getSeq[Double](1)
-              flat.map { case (cell, c) =>
-                var s = 0.0; var d = 0
-                val m = math.min(qv.length, c.length)
-                while (d < m) { s += qv(d) * c(d); d += 1 }
-                (cell, s)
-              }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
-                .map { case (cell, _) => (qid, qv, cell) }
-            }
-        }
+        val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
         val session = spark
         import session.implicits._
-        val probes = probeRows.toDF("q_id", "qv", "cell")
+        val probes = driverProbes(idx, qRows).toDF("q_id", "qv", "cell")
 
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
         broadcast(probes).join(idx.celled, Seq("cell"))
@@ -453,21 +454,20 @@ object Ann {
     *
     * Engine-seeded codebook → rows-only at the driver; AnnSpec bounds
     * recall@10 vs ann_brute_topk, pins determinism and the code shape. */
-  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.{PqAdc, PqCodes}
-    import spark.implicits._
-    val e = emb(spark, dir)
-    val n = e.count()
+  /** The PQ codebook state: refined sub-centroids per subspace. */
+  private case class PqBook(cents: Array[Array[Array[Double]]], dsub: Int, m: Int)
 
-    // codebook seeds: ks strided unit vectors, sliced per subspace
+  /** Build the M×ks codebook over corpus `e` (vec_id, v): strided unit
+    * seeds sliced per subspace, one Lloyd step in exact integer
+    * micro-units. None when fewer than 2 seed vectors exist. */
+  private def buildPqCodebook(e: DataFrame, n: Long): Option[PqBook] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.PqCodes
     val stride = math.max(1L, n / PqKs)
     val seedRows = e.filter(col("vec_id") % stride === 0).orderBy(col("vec_id"))
       .limit(PqKs).select(col("v")).collect()
       .map(r => unit(r.getSeq[Double](0).toArray))
-    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .filter(col("q_id") < NQueries)
-    if (seedRows.length < 2) return bruteTopkFrom(e, q0)
+    if (seedRows.length < 2) return None
     val dim = seedRows(0).length
     val dsub = math.max(1, dim / PqM)
     val m = dim / dsub
@@ -497,28 +497,47 @@ object Ann {
       refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
         r.getLong(3).toDouble / (r.getLong(4) * 1000000.0)
     }
+    Some(PqBook(refined, dsub, m))
+  }
+
+  /** Per-query ADC lookup tables against a codebook (ascending-j fold,
+    * matching the pqAdc kernel's loop). */
+  private def pqLuts(qRows: Seq[(Long, Array[Double])], book: PqBook): Seq[(Long, Seq[Seq[Double]])] =
+    qRows.map { case (qid, qv) =>
+      val qu = unit(qv)
+      (qid, (0 until book.m).map { mi =>
+        book.cents(mi).toSeq.map { cent =>
+          var s = 0.0; var i = 0
+          while (i < book.dsub) { s += qu(mi * book.dsub + i) * cent(i); i += 1 }
+          s
+        }
+      })
+    }
+
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.{PqAdc, PqCodes}
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val n = e.count()
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    val book = buildPqCodebook(e, n) match {
+      case None => return bruteTopkFrom(e, q0)
+      case Some(b) => b
+    }
 
     // encoded corpus: vec_id + M code ints — the only columns the
     // candidate-generation scan touches
     val encoded = e.select(col("vec_id"),
-      kcol(PqCodes(kexp(col("v")), refined, dsub)).as("codes"))
+      kcol(PqCodes(kexp(col("v")), book.cents, book.dsub)).as("codes"))
 
     // per-query ADC lookup tables (queries are NQueries collected rows;
     // a query TABLE would build luts distributed like annIvfBatch)
     val qRows = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = qRows.toSeq.map { case (qid, qv) =>
-      val qu = unit(qv)
-      (qid, (0 until m).map { mi =>
-        refined(mi).toSeq.map { cent =>
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += qu(mi * dsub + i) * cent(i); i += 1 }
-          s
-        }
-      })
-    }
-    val lutDf = luts.toDF("q_id", "lut")
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val lutDf = pqLuts(qRows, book).toDF("q_id", "lut")
 
     val c = pqRerank(n)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
@@ -560,28 +579,19 @@ object Ann {
     *    struct fold), matching pqAdc's loop.
     * dsub is pinned at 8 (64-dim embeddings), like the LSH oracle's
     * 64-dim plane literals. */
-  val annPqTopkSql: String = {
-    val c = s"greatest(64, least(1024, (SELECT n FROM nn) // 32))"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nn AS (SELECT count(*) AS n FROM e),
-       |norms AS (
-       |  SELECT vec_id, v,
-       |         list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
-       |  FROM e),
-       |un AS (  -- unit vectors, DIVISION form (declarative transform / unit())
-       |  SELECT vec_id, v, ss,
-       |         CASE WHEN ss = 0 THEN v
-       |              ELSE [x / sqrt(ss) FOR x IN v] END AS u,
-       |         CASE WHEN ss = 0 THEN 0.0 ELSE 1.0/sqrt(ss) END AS inv
-       |  FROM norms),
-       |seeds AS (
+  /** The PQ codebook + corpus codes as shareable CTEs (pq_-prefixed so
+    * they compose with ivfIndexCtes without name collisions): seeds →
+    * seed assignment → integer-micro-unit Lloyd → refined codebook →
+    * re-encoded corpus codes. Depends on vecBaseCtes' e/nn/un. */
+  private lazy val pqCodebookCtes: String =
+    s"""pq_seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, u AS su
        |  FROM un WHERE vec_id % greatest(1, (SELECT n FROM nn) // $PqKs) = 0
        |  ORDER BY vec_id LIMIT $PqKs),
-       |cent0 AS (  -- seed codebook: (m, c, 8-dim sub-centroid)
+       |pq_cent0 AS (  -- seed codebook: (m, c, 8-dim sub-centroid)
        |  SELECT m.range AS m, s.c, su[m.range*8 + 1 : m.range*8 + 8] AS cent
-       |  FROM seeds s, range(0, $PqM) m),
-       |a0 AS (  -- seed assignment: argmin L2, codes normalize by inv MULTIPLY
+       |  FROM pq_seeds s, range(0, $PqM) m),
+       |pq_a0 AS (  -- seed assignment: argmin L2, codes normalize by inv MULTIPLY
        |  SELECT vec_id, m, c AS code FROM (
        |    SELECT un.vec_id, c0.m, c0.c,
        |           row_number() OVER (PARTITION BY un.vec_id, c0.m ORDER BY
@@ -589,24 +599,24 @@ object Ann {
        |                          * (un.v[c0.m*8 + j]*un.inv - c0.cent[j])
        |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
        |             c0.c ASC) AS rn
-       |    FROM un CROSS JOIN cent0 c0)
+       |    FROM un CROSS JOIN pq_cent0 c0)
        |  WHERE rn = 1),
-       |lloyd AS (  -- exact integer micro-unit means over members' u values
+       |pq_lloyd AS (  -- exact integer micro-unit means over members' u values
        |  SELECT a0.m, a0.code, j.range AS j,
        |         sum(CAST(round(un.u[a0.m*8 + j.range + 1] * 1000000) AS BIGINT)) AS sx,
        |         count(*) AS cn
-       |  FROM a0 JOIN un ON a0.vec_id = un.vec_id CROSS JOIN range(0, 8) j
+       |  FROM pq_a0 a0 JOIN un ON a0.vec_id = un.vec_id CROSS JOIN range(0, 8) j
        |  GROUP BY a0.m, a0.code, j.range),
-       |cent1 AS (  -- refined codebook; empty cells keep their seed
+       |pq_cent1 AS (  -- refined codebook; empty cells keep their seed
        |  SELECT c0.m, c0.c,
        |         list_transform(list_sort(list(struct_pack(j := j.range,
        |           val := coalesce(l.val, c0.cent[j.range + 1])))), x -> x.val) AS cent
-       |  FROM cent0 c0 CROSS JOIN range(0, 8) j
+       |  FROM pq_cent0 c0 CROSS JOIN range(0, 8) j
        |  LEFT JOIN (SELECT m, code, j, CAST(sx AS DOUBLE) / (cn * 1000000.0) AS val
-       |             FROM lloyd) l
+       |             FROM pq_lloyd) l
        |    ON l.m = c0.m AND l.code = c0.c AND l.j = j.range
        |  GROUP BY c0.m, c0.c),
-       |a1 AS (  -- re-encode against the refined codebook
+       |pq_codes AS (  -- re-encode against the refined codebook
        |  SELECT vec_id, m, c AS code FROM (
        |    SELECT un.vec_id, c1.m, c1.c,
        |           row_number() OVER (PARTITION BY un.vec_id, c1.m ORDER BY
@@ -614,20 +624,25 @@ object Ann {
        |                          * (un.v[c1.m*8 + j]*un.inv - c1.cent[j])
        |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
        |             c1.c ASC) AS rn
-       |    FROM un CROSS JOIN cent1 c1)
-       |  WHERE rn = 1),
+       |    FROM un CROSS JOIN pq_cent1 c1)
+       |  WHERE rn = 1)""".stripMargin
+
+  lazy val annPqTopkSql: String = {
+    val c = s"greatest(64, least(1024, (SELECT n FROM nn) // 32))"
+    s"""WITH $vecBaseCtes,
+       |$pqCodebookCtes,
        |q AS (SELECT vec_id AS q_id, u AS qu FROM un WHERE vec_id < $NQueries),
        |lut AS (  -- per-(query, m, c) partial dot, ascending-j fold
        |  SELECT q.q_id, c1.m, c1.c,
        |         list_reduce([q.qu[c1.m*8 + j] * c1.cent[j] for j in range(1, 9)],
        |                     (x, y) -> x + y) AS lv
-       |  FROM q CROSS JOIN cent1 c1),
+       |  FROM q CROSS JOIN pq_cent1 c1),
        |adc AS (  -- sum the 8 lookups in ascending m, 0.0-seeded order
        |  SELECT a1.vec_id, l.q_id,
        |         list_reduce(list_transform(
        |           list_sort(list(struct_pack(m := a1.m, lv := l.lv))), x -> x.lv),
        |           (x, y) -> x + y) AS adc
-       |  FROM a1 JOIN lut l ON a1.m = l.m AND a1.code = l.c
+       |  FROM pq_codes a1 JOIN lut l ON a1.m = l.m AND a1.code = l.c
        |  WHERE a1.vec_id <> l.q_id
        |  GROUP BY a1.vec_id, l.q_id),
        |cand AS (
@@ -648,6 +663,56 @@ object Ann {
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The composed IVF-PQ mirror: ivfIndexCtes prunes to probed cells,
+    * pqCodebookCtes scores them by ADC, exact cosine re-ranks — the
+    * same constants as the single-structure oracles, so the three
+    * mirrors share one index/codebook definition. */
+  lazy val annIvfPqTopkSql: String =
+    s"""WITH $ivfIndexCtes,
+       |$pqCodebookCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qv, u AS qu FROM un WHERE vec_id < $NQueries),
+       |probes AS (  -- exhaustive driver probe ranking (annIvfTopk's contract)
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM q CROSS JOIN flatcells f)
+       |  WHERE pr <= $IvfProbe),
+       |lut AS (
+       |  SELECT q.q_id, c1.m, c1.c,
+       |         list_reduce([q.qu[c1.m*8 + j] * c1.cent[j] for j in range(1, 9)],
+       |                     (x, y) -> x + y) AS lv
+       |  FROM q CROSS JOIN pq_cent1 c1),
+       |probed AS (  -- only the probed cells' rows reach ADC scoring
+       |  SELECT p.q_id, c.vec_id
+       |  FROM probes p JOIN celled c USING (cell)
+       |  WHERE p.q_id <> c.vec_id),
+       |adc AS (
+       |  SELECT pr.vec_id, pr.q_id,
+       |         list_reduce(list_transform(
+       |           list_sort(list(struct_pack(m := a1.m, lv := l.lv))), x -> x.lv),
+       |           (x, y) -> x + y) AS adc
+       |  FROM probed pr
+       |  JOIN pq_codes a1 ON a1.vec_id = pr.vec_id
+       |  JOIN lut l ON a1.m = l.m AND a1.code = l.c AND l.q_id = pr.q_id
+       |  GROUP BY pr.vec_id, pr.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS crank
+       |    FROM adc)
+       |  WHERE crank <= $IvfPqRerank),
+       |rr AS (
+       |  SELECT cand.q_id, cand.vec_id AS n_id,
+       |         $cosFoldSql AS cos
+       |  FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |  JOIN q qv0 ON cand.q_id = qv0.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   /** The two-level IVF pipeline as a DuckDB mirror (the ann_pq_topk /
     * ann_lsh_topk precedent): coarse strided seeds → coarse argmax-dot
     * assignment → per-cell strided sub-seeds (padded with the cell's
@@ -662,11 +727,86 @@ object Ann {
     * cosine re-rank. Assignment dots use the RAW vector against unit
     * centroids (NearestCell's contract); every fold is 0.0-seeded
     * ascending; dim pinned at 64 like the LSH plane literals. */
+  // ---------------------------------------------------------- ann_ivfpq_topk
+  /** IVF-PQ re-rank depth: the ADC pass inside the probed cells keeps
+    * this many candidates for the exact re-rank. */
+  private val IvfPqRerank = 64
+
+  /** IVF-PQ: the two index structures COMPOSED, the production ANN
+    * shape (FAISS IVFx,PQy) — IVF cells prune the corpus to nprobe
+    * cells per query, then PQ ADC scores ONLY the probed cells' rows
+    * from their 8-byte codes (no float vector is read between the cell
+    * scan and the final re-rank), and the top-IvfPqRerank candidates
+    * re-rank by exact cosine. Per-query cost: O(√nlist) probe dots +
+    * (n·nprobe/nlist) ADC lookups + IvfPqRerank exact cosines — both
+    * the scan set (IVF) and the bytes-per-row (PQ) shrink, which is the
+    * point of the composition at 100 TB.
+    *
+    * Deterministic end to end (both builders' playbooks), and fully
+    * oracled: the SQL mirror composes the SAME ivfIndexCtes and
+    * pqCodebookCtes constants the single-structure mirrors use, so the
+    * three oracles cannot drift on shared state. Degenerate corpora
+    * fall back to brute force. */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.{PqAdc, PqCodes}
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val n = e.count()
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    (buildIvfIndex(e, n), buildPqCodebook(e, n)) match {
+      case (Some(idx), Some(book)) =>
+        // celled + PQ-coded corpus: (vec_id, cell, 8 code ints) — the
+        // only columns between the probe join and the re-rank
+        val encoded = idx.celled.select(col("vec_id"), col("cell"),
+          kcol(PqCodes(kexp(col("v")), book.cents, book.dsub)).as("codes"))
+        val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val luts = pqLuts(qRows.map { case (q, v) => (q, v.toArray) }, book).toMap
+        val probes = driverProbes(idx, qRows)
+          .map { case (qid, _, cell) => (qid, cell, luts(qid)) }
+          .toDF("q_id", "cell", "lut")
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+        val cand = broadcast(probes).join(encoded, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("adc", kcol(PqAdc(kexp(col("codes")), kexp(col("lut")))))
+          .withColumn("crank", row_number().over(wAdc))
+          .filter(col("crank") <= IvfPqRerank)
+          .select(col("q_id"), col("vec_id"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .join(broadcast(q0), Seq("q_id"))
+          .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      case _ => bruteTopkFrom(e, q0)
+    }
+  }
+
   /** The shared two-level index-construction CTE chain (through the
     * celled corpus) — one Scala constant so the topk and batch mirrors
     * can never drift on the index (the ngramDupsCtes lesson). */
-  private val ivfIndexCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared base: the corpus as DOUBLE[] plus unit-normalized vectors in
+    * BOTH forms (u: division, the declarative transform/`unit`; inv:
+    * 1/sqrt multiplier, the PqCodes kernel) — one constant under every
+    * ANN mirror. */
+  private lazy val vecBaseCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM e),
+      |un AS (
+      |  SELECT vec_id, v, ss,
+      |         CASE WHEN ss = 0 THEN v ELSE [x / sqrt(ss) FOR x IN v] END AS u,
+      |         CASE WHEN ss = 0 THEN 0.0 ELSE 1.0/sqrt(ss) END AS inv
+      |  FROM (SELECT vec_id, v,
+      |          list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
+      |        FROM e))""".stripMargin
+
+  private lazy val ivfIndexCtes: String =
+    s"""$vecBaseCtes,
        |params AS (
        |  SELECT n, nlist,
        |         CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT) AS c2,
@@ -674,13 +814,7 @@ object Ann {
        |                   / CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT)) AS INT) AS c1
        |  FROM (SELECT n, greatest(8, least(n // 64,
        |                 4 * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS nlist
-       |        FROM (SELECT count(*) AS n FROM e))),
-       |un AS (
-       |  SELECT vec_id, v, ss,
-       |         CASE WHEN ss = 0 THEN v ELSE [x / sqrt(ss) FOR x IN v] END AS u
-       |  FROM (SELECT vec_id, v,
-       |          list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
-       |        FROM e)),
+       |        FROM nn)),
        |coarse AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, u AS cu
        |  FROM un WHERE vec_id % greatest(1, (SELECT n FROM params) // (SELECT c1 FROM params)) = 0
@@ -757,7 +891,7 @@ object Ann {
        |    FROM un JOIN ac USING (vec_id) JOIN flatcells f ON f.ca = ac.ca)
        |  WHERE rn = 1)""".stripMargin
 
-  val annIvfTopkSql: String =
+  lazy val annIvfTopkSql: String =
     s"""WITH $ivfIndexCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |probes AS (  -- exhaustive probe ranking: raw query dot vs every flat centroid
@@ -785,7 +919,7 @@ object Ann {
     * then the $IvfProbe best flat cells among ONLY those cells'
     * subcells, ordered (dot DESC, cell ASC: the insertion buffer's
     * comparison). Query table = every 37th vector, as registered. */
-  val annIvfBatchSql: String =
+  lazy val annIvfBatchSql: String =
     s"""WITH $ivfIndexCtes,
        |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 37 = 0),
        |pcq AS (  -- kernel step 1: the probeCoarse best coarse cells
@@ -870,6 +1004,7 @@ object Ann {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_batch" -> (annIvfBatch _),
     "ann_pq_topk" -> (annPqTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -879,6 +1014,7 @@ object Ann {
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_batch" -> annIvfBatchSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "vec_stats" -> vecStatsSql
   )
 }

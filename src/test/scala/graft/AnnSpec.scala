@@ -102,6 +102,26 @@ class AnnSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("ann_ivfpq_topk: composed index recall >= 0.5, deterministic") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val got = neighbors("ann_ivfpq_topk")
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg")
+    val again = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
+      .repartition(3).collect().map(_.toSeq).toSet
+    val first = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(first == again)
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
