@@ -713,20 +713,6 @@ object Ann {
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
-  /** The two-level IVF pipeline as a DuckDB mirror (the ann_pq_topk /
-    * ann_lsh_topk precedent): coarse strided seeds → coarse argmax-dot
-    * assignment → per-cell strided sub-seeds (padded with the cell's
-    * first seed; seedless cells carry their coarse seed alone — padding
-    * copies lose argmax ties to the lowest index exactly like the
-    * kernel's strict `>` scan, but they occupy flat-cell slots and CAN
-    * attract rows after refinement, so the mirror reproduces them) →
-    * one integer-micro-unit Lloyd step whose means are then
-    * unit-NORMALIZED (division form, the `unit` helper) → re-assignment
-    * → exhaustive per-query probe ranking (raw-query dot vs every flat
-    * centroid, ties to the lower cell — the driver loop's sortBy) →
-    * cosine re-rank. Assignment dots use the RAW vector against unit
-    * centroids (NearestCell's contract); every fold is 0.0-seeded
-    * ascending; dim pinned at 64 like the LSH plane literals. */
   // ---------------------------------------------------------- ann_ivfpq_topk
   /** IVF-PQ re-rank depth: the ADC pass inside the probed cells keeps
     * this many candidates for the exact re-rank. */
@@ -891,6 +877,20 @@ object Ann {
        |    FROM un JOIN ac USING (vec_id) JOIN flatcells f ON f.ca = ac.ca)
        |  WHERE rn = 1)""".stripMargin
 
+  /** The two-level IVF pipeline as a DuckDB mirror (the ann_pq_topk /
+    * ann_lsh_topk precedent): coarse strided seeds → coarse argmax-dot
+    * assignment → per-cell strided sub-seeds (padded with the cell's
+    * first seed; seedless cells carry their coarse seed alone — padding
+    * copies lose argmax ties to the lowest index exactly like the
+    * kernel's strict `>` scan, but they occupy flat-cell slots and CAN
+    * attract rows after refinement, so the mirror reproduces them) →
+    * one integer-micro-unit Lloyd step whose means are then
+    * unit-NORMALIZED (division form, the `unit` helper) → re-assignment
+    * → exhaustive per-query probe ranking (raw-query dot vs every flat
+    * centroid, ties to the lower cell — the driver loop's sortBy) →
+    * cosine re-rank. Assignment dots use the RAW vector against unit
+    * centroids (NearestCell's contract); every fold is 0.0-seeded
+    * ascending; dim pinned at 64 like the LSH plane literals. */
   lazy val annIvfTopkSql: String =
     s"""WITH $ivfIndexCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
