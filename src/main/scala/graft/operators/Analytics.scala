@@ -274,6 +274,91 @@ object Analytics {
        |ORDER BY d.department, d.gl_code, d.year, d.month""".stripMargin
   }
 
+  // --------------------------------------------------------- fin_interpolate
+  /** fin_sparse_fill's analytical twin: silent months take the LINEAR
+    * INTERPOLATION between the nearest observed months instead of zero
+    * (zero-fill is right for "no bookings"; interpolation is right for
+    * a metric that kept accruing between statements). Same dense month
+    * spine; prev/next observed (m_idx, cents) ride last/first
+    * IGNORE-NULLS window frames over one (department, GL) shuffle;
+    * the interpolated value is prev + ((next−prev)·gap_pos)/gap — the
+    * numerator exact BIGINT, ONE division, one rounded output division,
+    * so the oracle mirrors it bit-for-bit. Months outside the observed
+    * range extrapolate flat from the nearest edge (kind='edge'). */
+  def finInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.warehouse.Warehouse.factStaged(
+      spark, dir, "department", "gl_code", "year", "month", "amount")
+    val actual = f.groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val dims = f.select(col("department"), col("gl_code"), col("year")).distinct()
+      .withColumn("month", explode(sequence(lit(1), lit(12))))
+    val spine = dims.join(actual, Seq("department", "gl_code", "year", "month"), "left")
+      .withColumn("m_idx", col("year") * 12 + col("month") - 1)
+    val w = Window.partitionBy(col("department"), col("gl_code")).orderBy(col("m_idx"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("tc").isNotNull, struct(col("m_idx").as("i"), col("tc").as("c")))
+    val withNbr = spine
+      .withColumn("prev", last(obs, ignoreNulls = true).over(before))
+      .withColumn("next", first(obs, ignoreNulls = true).over(after))
+    val interp = col("prev.c").cast("double") +
+      ((col("next.c") - col("prev.c")) * (col("m_idx") - col("prev.i"))).cast("double") /
+        (col("next.i") - col("prev.i"))
+    val valueC = when(col("tc").isNotNull, col("tc").cast("double"))
+      .when(col("prev").isNotNull && col("next").isNotNull, interp)
+      .otherwise(coalesce(col("prev.c"), col("next.c")).cast("double"))
+    withNbr.select(col("department"), col("gl_code"), col("year"), col("month"),
+        (round(valueC / 100.0, 6) + 0.0).as("total"),
+        when(col("tc").isNotNull, "actual")
+          .when(col("prev").isNotNull && col("next").isNotNull, "interpolated")
+          .otherwise("edge").as("kind"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finInterpolateSql: String = {
+    val factCte = graft.warehouse.Warehouse.factCtesPublic
+    s"""WITH $factCte,
+       |actual AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_fact GROUP BY department, gl_code, year, month),
+       |dims AS (
+       |  SELECT department, gl_code, year, m.month
+       |  FROM (SELECT DISTINCT department, gl_code, year FROM fin_fact)
+       |  CROSS JOIN (SELECT CAST(i AS INT) AS month FROM range(1, 13) t(i)) m),
+       |spine AS (
+       |  SELECT d.department, d.gl_code, d.year, d.month, a.tc,
+       |         d.year*12 + d.month - 1 AS m_idx
+       |  FROM dims d LEFT JOIN actual a
+       |    ON d.department = a.department AND d.gl_code = a.gl_code
+       |   AND d.year = a.year AND d.month = a.month),
+       |nbr AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN tc IS NOT NULL
+       |                    THEN struct_pack(i := m_idx, c := tc) END IGNORE NULLS)
+       |      OVER (PARTITION BY department, gl_code ORDER BY m_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+       |    first_value(CASE WHEN tc IS NOT NULL
+       |                     THEN struct_pack(i := m_idx, c := tc) END IGNORE NULLS)
+       |      OVER (PARTITION BY department, gl_code ORDER BY m_idx
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+       |  FROM spine)
+       |SELECT department, gl_code, year, month,
+       |       round(CASE
+       |         WHEN tc IS NOT NULL THEN CAST(tc AS DOUBLE)
+       |         WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+       |           CAST(prev.c AS DOUBLE)
+       |             + CAST((next.c - prev.c) * (m_idx - prev.i) AS DOUBLE)
+       |               / (next.i - prev.i)
+       |         ELSE CAST(COALESCE(prev.c, next.c) AS DOUBLE)
+       |       END / 100.0, 6) + 0.0 AS total,
+       |       CASE WHEN tc IS NOT NULL THEN 'actual'
+       |            WHEN prev IS NOT NULL AND next IS NOT NULL THEN 'interpolated'
+       |            ELSE 'edge' END AS kind
+       |FROM nbr
+       |ORDER BY department, gl_code, year, month""".stripMargin
+  }
+
   // --------------------------------------------------------- scd2_intervals
   /** SCD2 dimension versioning from a change stream: collapse each
     * user's consecutive runs of the same attribute (event_type here
@@ -585,6 +670,7 @@ object Analytics {
     "events_funnel" -> (eventsFunnel _),
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _),
+    "fin_interpolate" -> (finInterpolate _),
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
@@ -604,6 +690,7 @@ object Analytics {
     "events_funnel" -> eventsFunnelSql,
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql,
+    "fin_interpolate" -> finInterpolateSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,

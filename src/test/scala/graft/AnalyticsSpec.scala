@@ -68,6 +68,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected a single shuffle, got $exchanges:\n$plan")
   }
 
+  test("fin_interpolate: actuals preserved, gaps convex between neighbors, edges flat") {
+    val rows = Analytics.finInterpolate(spark, sf)
+      .select("department", "gl_code", "year", "month", "total", "kind").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getString(5) == "interpolated") ||
+      rows.exists(_.getString(5) == "edge"))
+    rows.groupBy(r => (r.getString(0), r.getString(1))).values.foreach { g =>
+      val series = g.sortBy(r => r.getInt(2) * 12 + r.getInt(3))
+      val obs = series.filter(_.getString(5) == "actual")
+        .map(r => (r.getInt(2) * 12 + r.getInt(3) - 1, r.getDouble(4)))
+      series.foreach { r =>
+        val idx = r.getInt(2) * 12 + r.getInt(3) - 1
+        val v = r.getDouble(4)
+        r.getString(5) match {
+          case "actual" => ()
+          case "interpolated" =>
+            val prev = obs.filter(_._1 < idx).last
+            val next = obs.find(_._1 > idx).get
+            val expect = prev._2 + (next._2 - prev._2) * (idx - prev._1) / (next._1 - prev._1)
+            assert(math.abs(v - expect) < 1e-6, s"interp $v vs $expect at $r")
+            assert(v >= math.min(prev._2, next._2) - 1e-9 &&
+              v <= math.max(prev._2, next._2) + 1e-9)
+          case "edge" =>
+            val nearest = if (obs.head._1 > idx) obs.head._2 else obs.last._2
+            assert(v == nearest, s"edge $v vs flat $nearest at $r")
+          case other => fail(s"unexpected kind $other")
+        }
+      }
+    }
+  }
+
   test("events_dau_mau: dau bounded by mau, stickiness in (0,1]") {
     val rows = Analytics.eventsDauMau(spark, sf).collect()
     assert(rows.nonEmpty)
