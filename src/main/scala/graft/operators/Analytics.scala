@@ -662,6 +662,55 @@ object Analytics {
       |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
       |FROM nt ORDER BY custkey""".stripMargin
 
+  // ---------------------------------------------------------- orders_pareto
+  /** Revenue-concentration (Pareto) report: customers ranked by spend,
+    * cut into deciles, each decile's revenue share and the cumulative
+    * share — the "do 20% of customers carry 80% of revenue" audit.
+    * Exact integer cents throughout; share and cumulative share are
+    * each ONE IEEE division of exact integers (cum via an integer
+    * running sum over the 10-row decile frame, never a float cascade).
+    * Scale: one custkey shuffle for the rollup; the global ntile
+    * window has the rank_stats_scalable caveat (swap in the bucketed
+    * two-pass rank at 100 TB); everything after is 10 rows. */
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("mc"))
+    val wd = Window.orderBy(col("mc").desc, col("o_custkey"))
+    val deciles = per.withColumn("decile", ntile(10).over(wd))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mc")).as("rc"))
+    val wc = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    // staged: the 10-row frame feeds both the total probe and the report
+    // (unstaged, each consumer re-runs the orders rollup)
+    val staged = org.apache.spark.sql.GraftColumnBridge.stageBarrier(deciles)
+    staged.crossJoin(broadcast(staged.agg(sum(col("rc")).as("total"))))
+      .withColumn("cum_rc", sum(col("rc")).over(wc))
+      .select(col("decile"), col("n_customers"), dollars(col("rc")).as("revenue"),
+        (round(col("rc").cast("double") / col("total"), 6) + 0.0).as("share"),
+        (round(col("cum_rc").cast("double") / col("total"), 6) + 0.0).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val ordersParetoSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS mc
+      |  FROM orders GROUP BY o_custkey),
+      |dec AS (
+      |  SELECT ntile(10) OVER (ORDER BY mc DESC, o_custkey) AS decile, mc FROM per),
+      |agg AS (
+      |  SELECT decile, count(*) AS n_customers, sum(mc) AS rc
+      |  FROM dec GROUP BY decile),
+      |tot AS (SELECT sum(rc) AS total FROM agg)
+      |SELECT decile, n_customers,
+      |       CAST(rc AS DOUBLE)/100.0 AS revenue,
+      |       round(CAST(rc AS DOUBLE) / total, 6) + 0.0 AS share,
+      |       round(CAST(sum(rc) OVER (ORDER BY decile
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |             / total, 6) + 0.0 AS cum_share
+      |FROM agg CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
@@ -677,7 +726,8 @@ object Analytics {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
-    "orders_rfm" -> (ordersRfm _)
+    "orders_rfm" -> (ordersRfm _),
+    "orders_pareto" -> (ordersPareto _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -697,6 +747,7 @@ object Analytics {
     "skew_salted_agg" -> skewSaltedAggSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,
-    "orders_rfm" -> ordersRfmSql
+    "orders_rfm" -> ordersRfmSql,
+    "orders_pareto" -> ordersParetoSql
   )
 }

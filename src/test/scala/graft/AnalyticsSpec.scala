@@ -123,6 +123,18 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("orders_pareto: 10 deciles, shares sum to 1, cum_share monotone to 1") {
+    val rows = Analytics.ordersPareto(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.toSeq == cums.sorted.toSeq && math.abs(cums.last - 1.0) < 1e-6)
+    // deciles ranked by spend: each decile's revenue no less than the next
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    revs.sliding(2).foreach { case Array(a, b) => assert(a >= b, s"$a < $b") }
+  }
+
   test("event_attribution conserves every purchase penny across channels") {
     val rows = Analytics.eventAttribution(spark, sf).collect()
     assert(rows.nonEmpty)
