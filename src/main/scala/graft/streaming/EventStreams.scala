@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sources.Tables
@@ -123,6 +124,71 @@ object EventStreams {
       | AND c.c_ts_us >= p.p_ts_us - 3600000000 AND c.c_ts_us <= p.p_ts_us
       |ORDER BY p_event_id, c_event_id""".stripMargin
 
+  /** stream_late_audit: the watermark-tuning report — how late does
+    * data actually arrive? Arrival order is event_id (the ingest
+    * sequence); an event's lateness is how far its timestamp sits
+    * behind the maximum timestamp already seen when it arrived
+    * (exactly the quantity a `withWatermark` bound must exceed to keep
+    * the event). Lateness distribution is reported in operational
+    * buckets (on-time / <1 min / <10 min / <1 h / ≥1 h) with max
+    * lateness per bucket — read the result, pick the watermark.
+    *
+    * Scale: the naive formulation is ONE GLOBAL running-max window
+    * (a single-partition sort — the rank_stats straggler). Here the
+    * prefix max decomposes into the two-pass cascade: arrival-chunk
+    * local running max + the tiny per-chunk max frame's own running max
+    * broadcast back — the rank_stats_scalable pattern applied to a
+    * prefix SCAN; the largest task holds ~n/chunks rows. Exactness is
+    * chunking-independent, so the DuckDB oracle IS the naive global
+    * window — the decomposition must not change one bit. */
+  def streamLateAudit(spark: SparkSession, dir: String): DataFrame =
+    lateAuditFrom(Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us")))
+
+  /** Core over any (event_id, ts_us) frame — spec entry point (the
+    * parquet corpus arrives nearly in order; the spec feeds scrambled
+    * arrivals and pins equality with the naive global window). */
+  def lateAuditFrom(e: DataFrame): DataFrame = {
+    val chunkSz = 4096L
+    val chunked = e.withColumn("chunk", expr(s"event_id DIV $chunkSz"))
+    val wLoc = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = chunked.withColumn("loc_prev", max(col("ts_us")).over(wLoc))
+    val wPfx = Window.orderBy(col("chunk")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = chunked.groupBy(col("chunk")).agg(max(col("ts_us")).as("cmax"))
+      .withColumn("pfx", max(col("cmax")).over(wPfx))
+      .select(col("chunk"), col("pfx"))
+    val late = local.join(broadcast(prefix), Seq("chunk"))
+      .withColumn("run_prev", greatest(coalesce(col("loc_prev"), lit(Long.MinValue)),
+        coalesce(col("pfx"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("run_prev") === Long.MinValue, 0L)
+          .otherwise(greatest(lit(0L), col("run_prev") - col("ts_us"))))
+    late.groupBy(
+        when(col("late_us") === 0, "0_on_time")
+          .when(col("late_us") <= 60L * 1000000, "1_under_1m")
+          .when(col("late_us") <= 600L * 1000000, "2_under_10m")
+          .when(col("late_us") <= 3600L * 1000000, "3_under_1h")
+          .otherwise("4_over_1h").as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("bucket"))
+  }
+
+  val streamLateAuditSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      |lat AS (
+      |  SELECT event_id, ts_us,
+      |         coalesce(greatest(0,
+      |           max(ts_us) OVER (ORDER BY event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us), 0) AS late_us
+      |  FROM e)
+      |SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+      |            WHEN late_us <= 60000000 THEN '1_under_1m'
+      |            WHEN late_us <= 600000000 THEN '2_under_10m'
+      |            WHEN late_us <= 3600000000 THEN '3_under_1h'
+      |            ELSE '4_over_1h' END AS bucket,
+      |       count(*) AS n, max(late_us) AS max_late_us
+      |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Streaming exact dedup bounded by watermark: duplicates arriving
     * within the watermark horizon are dropped, state is evicted beyond
     * it — the streaming face of dedup_exact (unbounded-state dedup is
@@ -228,11 +294,13 @@ object EventStreams {
     "stream_tumbling_agg" -> (streamTumblingAgg _),
     "stream_hopping_agg" -> (streamHoppingAgg _),
     "stream_session_agg" -> (streamSessionAgg _),
+    "stream_late_audit" -> (streamLateAudit _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_hopping_agg" -> streamHoppingAggSql,
     "stream_session_agg" -> streamSessionAggSql,
+    "stream_late_audit" -> streamLateAuditSql,
     "interval_join" -> intervalJoinSql)
 }

@@ -182,4 +182,35 @@ class StreamingSpec extends SparkSpec {
         s"streaming sessions ${got.size} vs batch ${want.size}")
     } finally q.stop()
   }
+
+  test("late audit: chunked prefix max equals the naive global window on scrambled arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arrival order (event_id) deliberately decorrelated from event time:
+    // deterministic scramble with known heavy stragglers
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val ts = (i.toLong * 7919 % n) * 1000000L // scrambled seconds
+      (i.toLong, ts)
+    }
+    val e = rows.toDF("event_id", "ts_us").repartition(13)
+    val got = graft.streaming.EventStreams.lateAuditFrom(e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive single-pass reference
+    var runMax = Long.MinValue
+    val lates = rows.sortBy(_._1).map { case (_, ts) =>
+      val late = if (runMax == Long.MinValue) 0L else math.max(0L, runMax - ts)
+      runMax = math.max(runMax, ts)
+      late
+    }
+    def bucket(l: Long): String =
+      if (l == 0) "0_on_time" else if (l <= 60000000L) "1_under_1m"
+      else if (l <= 600000000L) "2_under_10m" else if (l <= 3600000000L) "3_under_1h"
+      else "4_over_1h"
+    val want = lates.groupBy(bucket).map { case (b, ls) =>
+      (b, ls.size.toLong, ls.max)
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size >= 3, s"scramble should spread buckets: $got")
+  }
 }
