@@ -225,6 +225,59 @@ object TextAnalysis {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  // ----------------------------------------------------------- text_entropy
+  /** Word-distribution Shannon entropy per document (nats) — the
+    * information-theoretic repetition signal: boilerplate and template
+    * spam score LOW entropy relative to their length even when no
+    * single bigram crosses text_repetition's exact-count gates. Pure
+    * map-only array work over the scan (distinct words → in-doc counts
+    * → −Σ (c/n)·ln(c/n) folded over the SORTED distinct words, so the
+    * ln wobble is absorbed by identical summation order + round-6, the
+    * text_lm_score discipline; c/n is one exact division each). Also
+    * emits the normalized ratio entropy/ln(n_distinct) (1 = uniform) —
+    * the ratio's denominator is ln of an exact integer, same wobble
+    * discipline. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec entry point. */
+  def entropyOf(docs: DataFrame): DataFrame = {
+    val ws = Text.words(col("text"))
+    val n = size(ws)
+    val terms = transform(sort_array(array_distinct(ws)),
+      w => {
+        val c = size(filter(ws, x => x === w))
+        (c.cast("double") / n) * log(c.cast("double") / n)
+      })
+    val ent = -aggregate(terms, lit(0.0), (acc, x) => acc + x)
+    docs
+      .select(col("doc_id"), n.as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        (round(ent, 6) + 0.0).as("entropy"),
+        (round(
+          when(size(array_distinct(ws)) > 1, ent / log(size(array_distinct(ws)).cast("double")))
+            .otherwise(lit(0.0)), 6) + 0.0).as("uniformity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textEntropySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |         len(list_distinct(ws)) AS n_distinct,
+      |         -list_reduce(list_prepend(0.0, list_transform(
+      |            list_sort(list_distinct(ws)),
+      |            w -> (CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE) / len(ws))
+      |                 * ln(CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE) / len(ws)))),
+      |            (a, x) -> a + x) AS ent
+      |  FROM w)
+      |SELECT doc_id, n_words, n_distinct,
+      |       round(ent, 6) + 0.0 AS entropy,
+      |       round(CASE WHEN n_distinct > 1
+      |                  THEN ent / ln(CAST(n_distinct AS DOUBLE))
+      |                  ELSE 0.0 END, 6) + 0.0 AS uniformity
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters_cms" -> (heavyHittersCms _),
@@ -233,7 +286,8 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_shingle_fp" -> (textShingleFp _),
-    "text_repetition" -> (textRepetition _)
+    "text_repetition" -> (textRepetition _),
+    "text_entropy" -> (textEntropy _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -242,6 +296,7 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_shingle_fp" -> textShingleFpSql,
-    "text_repetition" -> textRepetitionSql
+    "text_repetition" -> textRepetitionSql,
+    "text_entropy" -> textEntropySql
   )
 }

@@ -80,4 +80,25 @@ class TextSpec extends SparkSpec {
     val ns = rows.map(_.getLong(1)).toSeq
     assert(ns == ns.sorted.reverse)
   }
+
+  test("text_entropy: bounded by ln(n_distinct), repetition scores below diversity") {
+    val rows = SparkEntry.queries("text_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, ent, uni) = (r.getInt(2), r.getDouble(3), r.getDouble(4))
+      assert(ent >= 0.0 && ent <= math.log(math.max(nd, 1).toDouble) + 1e-6, s"$r")
+      assert(uni >= 0.0 && uni <= 1.0 + 1e-9, s"$r")
+    }
+    // planted extremes: pure repetition -> 0; 40 distinct words -> ln(40)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, Seq.fill(40)("spam").mkString(" ")),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val planted = graft.operators.TextAnalysis.entropyOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(planted(1L) == 0.0, s"pure repetition must score zero entropy: $planted")
+    assert(math.abs(planted(2L) - math.log(40.0)) < 1e-4,
+      s"40 distinct words ~ ln(40): $planted")
+  }
 }
