@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 import graft.sources.Tables
@@ -240,16 +240,41 @@ object TextAnalysis {
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     entropyOf(Tables.documents(spark, dir))
 
-  /** Core over any (doc_id, text) frame — spec entry point. */
+  /** Core over any (doc_id, text) frame — spec entry point.
+    *
+    * One pass over the SORTED word array: equal words are adjacent, so a
+    * (word, run_len, running_sum) accumulator closes each run when the
+    * next distinct word begins — O(n log n) sort + O(n) fold per doc.
+    * (The previous shape re-scanned the whole array per distinct word:
+    * O(n_distinct × n) per doc, which explodes on exactly the long
+    * documents an entropy filter targets — it was the r7 bench max.)
+    * Runs close in ascending word order, i.e. the IDENTICAL summation
+    * order and per-term arithmetic ((c/n)·ln(c/n), one exact division,
+    * left-fold from 0.0) as the sorted-distinct transform it replaces —
+    * oracle hashes are unchanged. Sentinel " " can never be a token
+    * (words = split on " "), so the c>0 guard alone marks the empty
+    * initial run; an empty-string token (empty text) is still counted. */
   def entropyOf(docs: DataFrame): DataFrame = {
     val ws = Text.words(col("text"))
     val n = size(ws)
-    val terms = transform(sort_array(array_distinct(ws)),
-      w => {
-        val c = size(filter(ws, x => x === w))
-        (c.cast("double") / n) * log(c.cast("double") / n)
+    def term(c: Column): Column = {
+      val p = c.cast("double") / n
+      p * log(p)
+    }
+    val folded = aggregate(
+      sort_array(ws),
+      struct(lit(" ").as("w"), lit(0).as("c"), lit(0.0).as("s")),
+      (acc, x) => {
+        val (w, c, s) = (acc.getField("w"), acc.getField("c"), acc.getField("s"))
+        when(x === w, struct(w.as("w"), (c + 1).as("c"), s.as("s")))
+          .otherwise(struct(x.as("w"), lit(1).as("c"),
+            when(c > 0, s + term(c)).otherwise(s).as("s")))
+      },
+      acc => {
+        val (c, s) = (acc.getField("c"), acc.getField("s"))
+        when(c > 0, s + term(c)).otherwise(s)
       })
-    val ent = -aggregate(terms, lit(0.0), (acc, x) => acc + x)
+    val ent = -folded
     docs
       .select(col("doc_id"), n.as("n_words"),
         size(array_distinct(ws)).as("n_distinct"),

@@ -101,4 +101,40 @@ class TextSpec extends SparkSpec {
     assert(math.abs(planted(2L) - math.log(40.0)) < 1e-4,
       s"40 distinct words ~ ln(40): $planted")
   }
+
+  test("text_entropy: one-pass sorted-run fold is bit-equal to the naive per-distinct formula") {
+    // The naive O(n_distinct × n) shape the operator replaced: transform
+    // over sorted distinct words, each re-scanning the array. Same fold
+    // order ⇒ the one-pass plan must be BIT-identical, not just close.
+    import org.apache.spark.sql.functions._
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    val terms = transform(sort_array(array_distinct(ws)),
+      w => {
+        val c = size(filter(ws, x => x === w))
+        (c.cast("double") / n) * log(c.cast("double") / n)
+      })
+    val naiveEnt = -aggregate(terms, lit(0.0), (acc, x) => acc + x)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val naive = docs.select(col("doc_id"), (round(naiveEnt, 6) + 0.0).as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = graft.operators.TextAnalysis.entropyOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fast.keySet == naive.keySet)
+    fast.foreach { case (id, e) =>
+      assert(java.lang.Double.doubleToRawLongBits(e) ==
+        java.lang.Double.doubleToRawLongBits(naive(id)),
+        s"doc $id: one-pass $e != naive ${naive(id)}")
+    }
+    // edge shapes: empty text ([""] token), single word, all-equal runs
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "solo"), (3L, "b a b a b"))
+      .toDF("doc_id", "text")
+    val e = graft.operators.TextAnalysis.entropyOf(edge)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(e(1L) == ((1, 1, 0.0)))
+    assert(e(2L) == ((1, 1, 0.0)))
+    val expected3 = -(3.0 / 5 * math.log(3.0 / 5) + 2.0 / 5 * math.log(2.0 / 5))
+    assert(math.abs(e(3L)._3 - expected3) < 1e-6, s"$e")
+  }
 }
