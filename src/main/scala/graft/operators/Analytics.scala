@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -606,32 +606,92 @@ object Analytics {
       |FROM dau JOIN mau USING (period_us)
       |ORDER BY day_us""".stripMargin
 
+  // ------------------------------------------------- exact distributed ntile
+  /** Equi-width bucket index (0..B-1) of `v` within [mn, mx] — a
+    * NON-DECREASING function of v, so bucketing preserves any total
+    * order whose leading key is v (the rank_stats_scalable invariant). */
+  private val NTILE_B = 64
+  private def eqWidthBkt(v: Column, mn: Column, mx: Column): Column =
+    coalesce(greatest(lit(0L), least(lit(NTILE_B - 1L),
+      floor((v - mn) * NTILE_B / (mx - mn + lit(1e-6))))), lit(0L))
+
+  /** Exact `ntile(k) OVER (ORDER BY <order>)` WITHOUT a global
+    * single-reducer window — the rank_stats_scalable cascade applied to
+    * an unpartitioned total order: `df` carries a bucket column `bcol`
+    * that is non-decreasing along `order`; histogram → per-bucket global
+    * offsets (tiny windows over the B-row histogram, which sits ABOVE an
+    * aggregate — never over the data-scaled frame) → within-bucket
+    * row_number + offset = exact global rank → Spark's closed-form NTile
+    * (first n%k tiles carry n/k+1 rows). Bit-identical to the global
+    * ntile wherever the bucket boundaries land, because equal order-keys
+    * share a bucket and offsets restore the global numbering. */
+  private def exactNtile(df: DataFrame, bcol: String, order: Seq[Column],
+                         k: Int, out: String): DataFrame = {
+    val hist = df.groupBy(col(bcol)).agg(count(lit(1)).as("c_"))
+    val wOff = Window.orderBy(col(bcol)).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off_", coalesce(sum(col("c_")).over(wOff), lit(0L)))
+      .withColumn("n_", sum(col("c_")).over(Window.partitionBy()))
+      .select(col(bcol), col("off_"), col("n_"))
+    val wLoc = Window.partitionBy(col(bcol)).orderBy(order: _*)
+    df.withColumn("rn_", row_number().over(wLoc))
+      .join(broadcast(offs), Seq(bcol))
+      .withColumn("rk_", col("off_") + col("rn_"))
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN rk_ <= (n_ % $k) * (n_ DIV $k + 1)
+           |          THEN (rk_ - 1) DIV (n_ DIV $k + 1) + 1
+           |          ELSE (n_ % $k) + (rk_ - 1 - (n_ % $k) * (n_ DIV $k + 1)) DIV (n_ DIV $k) + 1
+           |     END AS INT)""".stripMargin))
+      .drop("c_", "off_", "n_", "rn_", "rk_", bcol)
+  }
+
   // -------------------------------------------------------------- orders_rfm
   /** RFM customer segmentation over orders: recency (days since the
     * customer's last order, against the corpus max date), frequency
     * (order count), monetary (exact cents), each scored into quintiles
-    * by ntile(5) under a TOTAL order (value, custkey) so both engines
-    * assign identical buckets, then the classic 3-digit segment code.
+    * under a TOTAL order (value, custkey) so both engines assign
+    * identical buckets, then the classic 3-digit segment code.
     * Scale: one custkey shuffle for the per-customer rollup; the corpus
-    * max date is a broadcast 1-row aggregate; ntile partitions are
-    * unbounded windows over |customers| rows — for 100 TB swap in the
-    * rank_stats_scalable bucketed two-pass rank (same module). */
+    * max date and the three dimension ranges are broadcast 1-row
+    * aggregates; each quintile is the bucketed two-pass exact rank
+    * (exactNtile above) — three bkt-partitioned shuffles of the
+    * customer frame replace r6's three SINGLE-REDUCER global ntile
+    * sorts, the shape that dies first at 100×. Descending dimensions
+    * bucket on the negated value so the bucket index is non-decreasing
+    * along each sort order. Oracle (real ntile) unchanged: AnalyticsSpec
+    * pins bit-equality against the global-window formula. */
   def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val maxd = o.agg(max(col("o_orderdate")).as("corpus_max"))
-    val per = o.groupBy(col("o_custkey"))
+    val per0 = o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(cents(col("o_totalprice"))).as("monetary_cents"))
       .crossJoin(broadcast(maxd))
       .withColumn("recency_days", datediff(col("corpus_max"), col("last_order")))
-    val wr = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val wm = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
-    per
-      .withColumn("r_score", ntile(5).over(wr))
-      .withColumn("f_score", ntile(5).over(wf))
-      .withColumn("m_score", ntile(5).over(wm))
+    // staged: the rollup feeds the range probe AND the scoring joins —
+    // its shuffle outputs are reused, not recomputed per consumer
+    val per = org.apache.spark.sql.GraftColumnBridge.stageBarrier(per0)
+    val rng = per.agg(
+      min(col("recency_days").cast("double")).as("r_mn"),
+      max(col("recency_days").cast("double")).as("r_mx"),
+      min((-col("frequency")).cast("double")).as("f_mn"),
+      max((-col("frequency")).cast("double")).as("f_mx"),
+      min((-col("monetary_cents")).cast("double")).as("m_mn"),
+      max((-col("monetary_cents")).cast("double")).as("m_mx"))
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      per.crossJoin(broadcast(rng))
+        .withColumn("bkt_r", eqWidthBkt(col("recency_days").cast("double"), col("r_mn"), col("r_mx")))
+        .withColumn("bkt_f", eqWidthBkt((-col("frequency")).cast("double"), col("f_mn"), col("f_mx")))
+        .withColumn("bkt_m", eqWidthBkt((-col("monetary_cents")).cast("double"), col("m_mn"), col("m_mx")))
+        .drop("r_mn", "r_mx", "f_mn", "f_mx", "m_mn", "m_mx"))
+    val scored = exactNtile(
+      exactNtile(
+        exactNtile(bucketed,
+          "bkt_r", Seq(col("recency_days"), col("o_custkey")), 5, "r_score"),
+        "bkt_f", Seq(col("frequency").desc, col("o_custkey")), 5, "f_score"),
+      "bkt_m", Seq(col("monetary_cents").desc, col("o_custkey")), 5, "m_score")
+    scored
       .select(col("o_custkey").as("custkey"), col("recency_days"),
         col("frequency"), dollars(col("monetary_cents")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -669,15 +729,25 @@ object Analytics {
     * Exact integer cents throughout; share and cumulative share are
     * each ONE IEEE division of exact integers (cum via an integer
     * running sum over the 10-row decile frame, never a float cascade).
-    * Scale: one custkey shuffle for the rollup; the global ntile
-    * window has the rank_stats_scalable caveat (swap in the bucketed
-    * two-pass rank at 100 TB); everything after is 10 rows. */
+    * Scale: one custkey shuffle for the rollup; the decile assignment
+    * is the bucketed two-pass exact rank (exactNtile — bkt-partitioned
+    * row_number + histogram offsets), not a single-reducer global
+    * ntile; everything after is 10 rows. Oracle (real ntile)
+    * unchanged: AnalyticsSpec pins bit-equality. */
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(spark, dir)
+    val per0 = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("mc"))
-    val wd = Window.orderBy(col("mc").desc, col("o_custkey"))
-    val deciles = per.withColumn("decile", ntile(10).over(wd))
+    val per = org.apache.spark.sql.GraftColumnBridge.stageBarrier(per0)
+    val rng = per.agg(
+      min((-col("mc")).cast("double")).as("d_mn"),
+      max((-col("mc")).cast("double")).as("d_mx"))
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      per.crossJoin(broadcast(rng))
+        .withColumn("bkt_d", eqWidthBkt((-col("mc")).cast("double"), col("d_mn"), col("d_mx")))
+        .drop("d_mn", "d_mx"))
+    val deciles = exactNtile(bucketed,
+        "bkt_d", Seq(col("mc").desc, col("o_custkey")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("mc")).as("rc"))
     val wc = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)

@@ -123,6 +123,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("orders_rfm: bucketed two-pass quintiles bit-equal the global ntile windows") {
+    // The single-reducer formula the operator replaced — three global
+    // ntile(5) windows under total orders (value, custkey). Equal rows,
+    // same order ⇒ the bucketed exact rank must be BIT-identical.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sf)
+    val maxd = o.agg(max(col("o_orderdate")).as("corpus_max"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_order")))
+    val naive = per
+      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+      .select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("o_custkey")).collect()
+    val fast = Analytics.ordersRfm(spark, sf)
+      .select(col("custkey"), col("r_score"), col("f_score"), col("m_score")).collect()
+    assert(naive.length == fast.length)
+    naive.zip(fast).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("orders_rfm / orders_pareto: scoring row_numbers run inside bkt partitions") {
+    // Plan pin for the 100x property: every row_number over the
+    // customer-scaled frame must be partitioned by a bkt_* column; the
+    // only unpartitioned windows left are over the B-row histograms.
+    // Barrier bypass exposes the sub-plans that stageBarrier would hide
+    // behind LogicalRDD leaves.
+    System.setProperty("graft.barrier.bypass", "1")
+    try {
+      for (q <- Seq("orders_rfm", "orders_pareto")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+        val rnLines = plan.split("\n").filter(_.contains("row_number()"))
+        assert(rnLines.nonEmpty && rnLines.forall(_.contains("bkt_")), s"$q:\n$plan")
+        assert(!plan.contains("ntile("), s"$q still plans a global ntile:\n$plan")
+      }
+    } finally System.clearProperty("graft.barrier.bypass")
+  }
+
   test("orders_pareto: 10 deciles, shares sum to 1, cum_share monotone to 1") {
     val rows = Analytics.ordersPareto(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
