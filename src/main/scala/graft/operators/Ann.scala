@@ -540,10 +540,21 @@ object Ann {
     val lutDf = pqLuts(qRows, book).toDF("q_id", "lut")
 
     val c = pqRerank(n)
+    // Exact two-level top-C (the corpus_sample_per_group argument: a
+    // query's C best-ADC rows are each among their own shard's C best,
+    // so level 1 can never evict a global survivor): first a window
+    // within (q_id, vec_id%32) — each task holds ~1/32 of the corpus —
+    // then the true per-query window over ≤ 32·C survivors. r7's
+    // single q_id window put the ENTIRE encoded corpus in every query's
+    // partition: one task per query at any scale.
+    val wShard = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32L)))
+      .orderBy(col("adc").desc, col("vec_id"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     val cand = encoded.crossJoin(broadcast(lutDf))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", kcol(PqAdc(kexp(col("codes")), kexp(col("lut")))))
+      .withColumn("cs", row_number().over(wShard))
+      .filter(col("cs") <= c)
       .withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= c)
       .select(col("q_id"), col("vec_id"))

@@ -102,6 +102,19 @@ class AnnSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("ann_pq_topk: ADC candidate rank is two-level, never a whole-corpus q_id partition") {
+    // Plan pin for the 100x property: the first row_number over the
+    // encoded corpus must be partitioned by (q_id, vec_id%32); only the
+    // ≤32·C survivors take a q_id-only window.
+    val plan = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the shard key is projected as _w0 := pmod(vec_id, 32) below the window
+    val rnLines = plan.split("\n").filter(_.contains("row_number()"))
+    assert(plan.contains("pmod(vec_id") &&
+      rnLines.exists(l => l.contains("adc") && l.contains("_w0")),
+      s"no shard-level ADC window:\n$plan")
+  }
+
   test("ann_ivfpq_topk: composed index recall >= 0.5, deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
