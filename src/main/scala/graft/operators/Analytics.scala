@@ -508,7 +508,11 @@ object Analytics {
     * tie-break). Purchases with no touch attribute whole to 'direct'.
     * The invariant sum(attributed) == sum(purchase cents) holds exactly
     * — float splits (value/n) leak pennies and drift across engines;
-    * integer DIV/MOD cannot.
+    * integer DIV/MOD cannot. Allocation is SIGN-SAFE: the base share is
+    * floorDiv and the penny count floorMod (computed as pmod, always in
+    * [0, n)), so refund/chargeback purchases (pc < 0) conserve exactly
+    * too — truncating DIV with a negative MOD would hand out no penny
+    * correction and over-state the sum by the lost remainder.
     *
     * Scale: the touch join is an equi-key (user_id) sort-merge with a
     * residual range predicate — never a cross product; the allocation
@@ -531,10 +535,13 @@ object Analytics {
           col("c_ts_us") < col("p_ts_us"), "left")
       .withColumn("n", count(col("c_event_id")).over(w))
       .withColumn("rnk", row_number().over(wr))
+      // floorMod: in [0, n); the n=0 guard keeps pmod off a zero divisor
+      // (ANSI mode would raise before the when() below ever filtered it)
+      .withColumn("fm", when(col("n") === 0, lit(0L)).otherwise(pmod(col("pc"), col("n"))))
       .withColumn("attributed",
         when(col("n") === 0, col("pc"))
-          .otherwise(expr("pc DIV n") +
-            when(col("rnk") <= col("pc") % col("n"), 1L).otherwise(0L)))
+          .otherwise(expr("(pc - fm) DIV n") + // exact floorDiv: pc - fm is divisible
+            when(col("rnk") <= col("fm"), 1L).otherwise(0L)))
       .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
       .agg(countDistinct(col("p_event_id")).as("n_purchases"),
         count(col("c_event_id")).as("n_touches"),
@@ -556,19 +563,26 @@ object Analytics {
       |        count(c_event_id) OVER (PARTITION BY p_event_id) AS n,
       |        row_number() OVER (PARTITION BY p_event_id
       |                           ORDER BY c_ts_us DESC, c_event_id) AS rnk
-      |      FROM j)
+      |      FROM j),
+      |f AS (SELECT *,  -- sign-safe floorMod in [0, n), mirroring Spark's pmod
+      |        CASE WHEN n = 0 THEN 0 ELSE ((pc % n) + n) % n END AS fm
+      |      FROM a)
       |SELECT coalesce(channel, 'direct') AS channel,
       |       count(DISTINCT p_event_id) AS n_purchases,
       |       count(c_event_id) AS n_touches,
       |       CAST(sum(CASE WHEN n = 0 THEN pc
-      |                     ELSE pc // n + (CASE WHEN rnk <= pc % n THEN 1 ELSE 0 END)
+      |                     ELSE (pc - fm) // n + (CASE WHEN rnk <= fm THEN 1 ELSE 0 END)
       |                END) AS DOUBLE)/100.0 AS attributed_total
-      |FROM a GROUP BY 1 ORDER BY channel""".stripMargin
+      |FROM f GROUP BY 1 ORDER BY channel""".stripMargin
 
   // --------------------------------------------------------- events_dau_mau
-  /** DAU/MAU engagement: daily active users, the enclosing fixed 30-day period's
-    * active users (the rolling-window MAU convention), and the stickiness ratio — the standard product
-    * health metric over the events table. day/month keys are integer
+  /** DAU/MAU engagement: daily active users, the enclosing FIXED
+    * epoch-aligned 30-day period's active users (tumbling periods, NOT
+    * the trailing-30-day rolling convention — a rolling MAU counts the
+    * distinct users in the 30 days ending at each day; that variant is
+    * registered as `events_rolling_mau`), and the stickiness ratio — a
+    * standard product health metric over the events table. day/month
+    * keys are integer
     * microsecond truncations (no calendar parity risk); stickiness is
     * ONE exactly rounded IEEE division of two exact counts.
     * Scale: two distinct-count aggregates (day- and month-keyed) with

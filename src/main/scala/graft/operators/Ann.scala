@@ -837,9 +837,13 @@ object Ann {
        |sgk AS (SELECT ca, k - 1 AS k, u FROM strided WHERE k <= (SELECT c2 FROM params)),
        |gotn AS (SELECT ca, count(*) AS gn FROM sgk GROUP BY ca),
        |subseed AS (  -- padded per-cell sub-seed table (kernel's got ++ fill(got0));
-       |              -- range(0,64) + filter because range() rejects subquery bounds
+       |              -- constant + filter because range() rejects subquery bounds.
+       |              -- 4096 bounds the SLOT count c2 = ceil(sqrt(nlist)) — NOT the
+       |              -- dim-64 pin used by the position ranges — and holds through
+       |              -- n <= 4096⁴/16 ≈ 1.7e13 vectors (c2 <= 2·n^(1/4)); the Spark
+       |              -- builder has no such bound, so the gate SFs sit far inside it
        |  SELECT co.ci AS ca, kk.range AS si, coalesce(sk.u, s0.u, co.cu) AS su
-       |  FROM coarse co CROSS JOIN range(0, 64) kk
+       |  FROM coarse co CROSS JOIN range(0, 4096) kk
        |  LEFT JOIN gotn g ON g.ca = co.ci
        |  LEFT JOIN sgk sk ON sk.ca = co.ci AND sk.k = kk.range
        |  LEFT JOIN sgk s0 ON s0.ca = co.ci AND s0.k = 0

@@ -205,14 +205,33 @@ class RelationalSpec extends SparkSpec {
     // without the barrier the plan held TWO independent lineitem
     // revenue shuffles (AQE's stage cache never matched the re-aliased
     // second reference — two distinct ShuffleQueryStage ids); staged,
-    // the query's own plan derives revenue zero times
-    val plan = df.queryExecution.executedPlan.toString
-    val lineitemShuffles = "Exchange hashpartitioning\\(l_suppkey".r
-      .findAllIn(plan).size
-    assert(lineitemShuffles == 0,
-      s"revenue re-derived ${lineitemShuffles}x in-plan:\n$plan")
-    assert(!plan.contains("FileScan parquet") || !plan.contains("lineitem.parquet"),
-      s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
+    // the query's own plan derives revenue zero times. Asserted
+    // STRUCTURALLY (the q21 discipline): walk the executed plan for
+    // shuffles keyed on l_suppkey and for lineitem file scans, instead
+    // of regexing the plan string (which breaks on AQE wording changes).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val root = df.queryExecution.executedPlan
+    val inner = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val suppkeyShuffles = inner.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s.outputPartitioning
+    }.collect {
+      case h: HashPartitioning
+          if h.expressions.exists(_.references.exists(_.name == "l_suppkey")) => h
+    }
+    assert(suppkeyShuffles.isEmpty,
+      s"revenue re-derived ${suppkeyShuffles.size}x in-plan:\n$inner")
+    val lineitemScans = inner.collectWithSubqueries {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(lineitemScans.isEmpty,
+      s"lineitem scanned inside the query plan — barrier not in effect:\n$inner")
   }
 
   test("barrier bypass keeps plan-only tooling lazy and result-identical") {
