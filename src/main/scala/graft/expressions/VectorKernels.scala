@@ -172,15 +172,24 @@ object VectorKernels {
     * encoding objective (minimizing ‖v_m − c‖ bounds the ADC dot error
     * by ‖q_m‖·‖v_m − c‖). Ties → lowest index. One compiled call per row;
     * the codebook rides in as a reference object, so generated-code size
-    * is independent of M and ks. */
-  def pqCodes(v: ArrayData, cents: Array[Array[Array[Double]]], dsub: Int): ArrayData = {
-    // normalize internally: the codebook quantizes UNIT vectors (ADC
-    // approximates the cosine dot); zero-norm vectors encode as zeros
+    * is independent of M and ks.
+    *
+    * `normalize = true` (plain PQ): the codebook quantizes UNIT vectors
+    * (ADC approximates the cosine dot), so the input is scaled by
+    * 1/sqrt(ss) inside the distance loop; zero-norm vectors encode as
+    * zeros. `normalize = false` (residual PQ): the input IS the quantity
+    * being coded (a cell residual u − c(cell), already scale-fixed by
+    * the unit normalization upstream), so it is used raw. */
+  def pqCodes(v: ArrayData, cents: Array[Array[Array[Double]]], dsub: Int,
+      normalize: Boolean): ArrayData = {
     val nv = v.numElements()
-    var ss = 0.0
-    var k = 0
-    while (k < nv) { val x = v.getDouble(k); ss += x * x; k += 1 }
-    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    var inv = 1.0
+    if (normalize) {
+      var ss = 0.0
+      var k = 0
+      while (k < nv) { val x = v.getDouble(k); ss += x * x; k += 1 }
+      inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    }
     val m = cents.length
     val out = new Array[Int](m)
     var s = 0
@@ -194,12 +203,41 @@ object VectorKernels {
         val cent = cs(c)
         var d = 0.0
         var i = 0
-        while (i < dsub) { val t = v.getDouble(off + i) * inv - cent(i); d += t * t; i += 1 }
+        while (i < dsub) {
+          val x = v.getDouble(off + i)
+          val t = (if (normalize) x * inv else x) - cent(i)
+          d += t * t; i += 1
+        }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
       out(s) = best
       s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cell residual r = u − c(cell) of one vector against its assigned
+    * IVF cell's unit centroid (the broadcast flat-cell table): u is the
+    * DIVISION-normalized vector (the `unit` helper / the mirror's
+    * `un.u`), zero-norm vectors pass through raw exactly like the
+    * declarative CASE. Residual PQ (FAISS IVFx,PQy) codes THIS quantity
+    * instead of u itself — residual magnitudes shrink with nlist, so the
+    * same 4-bit budget spends its resolution near the cell centroid
+    * where the cell's vectors actually live. */
+  def cellResidual(v: ArrayData, cell: Int, flat: Array[Array[Double]]): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); ss += x * x; i += 1 }
+    val c = flat(cell)
+    val out = new Array[Double](n)
+    val nrm = math.sqrt(ss)
+    i = 0
+    while (i < n) {
+      val u = if (ss == 0.0) v.getDouble(i) else v.getDouble(i) / nrm
+      out(i) = u - (if (i < c.length) c(i) else 0.0)
+      i += 1
     }
     new GenericArrayData(out)
   }
@@ -322,19 +360,44 @@ case class VectorQuantError(child: Expression) extends UnaryExpression {
   * broadcast PQ codebook (see VectorKernels.pqCodes). array<int> of
   * length M — at 100 TB this column (M bytes of information per vector)
   * REPLACES the float vector in the candidate-generation scan. */
-case class PqCodes(child: Expression, cents: Array[Array[Array[Double]]], dsub: Int)
+case class PqCodes(child: Expression, cents: Array[Array[Array[Double]]], dsub: Int,
+                   normalize: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
   override def nullSafeEval(v: Any): Any =
-    VectorKernels.pqCodes(v.asInstanceOf[ArrayData], cents, dsub)
+    VectorKernels.pqCodes(v.asInstanceOf[ArrayData], cents, dsub, normalize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCents", cents, "double[][][]")
-    defineCodeGen(ctx, ev, v => s"graft.expressions.VectorKernels.pqCodes($v, $ref, $dsub)")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VectorKernels.pqCodes($v, $ref, $dsub, $normalize)")
   }
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
+}
+
+/** ivf_residual(v, cell): the unit-normalized vector minus its assigned
+  * cell's unit centroid (see VectorKernels.cellResidual) — the quantity
+  * residual PQ encodes. The flat centroid table is a reference object,
+  * so generated-code size is independent of nlist. */
+case class CellResidual(left: Expression, right: Expression,
+                        flat: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ivf_residual"
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    VectorKernels.cellResidual(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfFlatCents", flat, "double[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.expressions.VectorKernels.cellResidual($v, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CellResidual =
+    copy(left = newLeft, right = newRight)
 }
 
 /** pq_adc(codes, lut): ADC score of one candidate against one query's

@@ -500,6 +500,55 @@ object Ann {
     Some(PqBook(refined, dsub, m))
   }
 
+  /** The IVF index's flat-cell centroid table as a dense array indexed
+    * by cell = ci·maxSub + si (holes where a coarse cell has fewer than
+    * maxSub sub-cells stay empty — `celled` never assigns them). This is
+    * the broadcast state CellResidual subtracts against. */
+  private def flatCents(idx: IvfIndex): Array[Array[Double]] = {
+    val flat = Array.fill(idx.refinedSub.length * idx.maxSub)(Array.empty[Double])
+    for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
+      flat(ci * idx.maxSub + si) = idx.refinedSub(ci)(si)
+    flat
+  }
+
+  /** Build the residual PQ codebook over `res` (vec_id, r): strided RAW
+    * residual seeds (residuals are deliberately NOT unit-normalized —
+    * their magnitude IS the signal the codebook spends its 4 bits on),
+    * one Lloyd step in exact integer micro-units over the residual
+    * values. One codebook shared across cells, the FAISS IVFPQ shape.
+    * None when fewer than 2 seed vectors exist. */
+  private def buildPqCodebookRes(res: DataFrame, n: Long): Option[PqBook] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.PqCodes
+    val stride = math.max(1L, n / PqKs)
+    val seedRows = res.filter(col("vec_id") % stride === 0).orderBy(col("vec_id"))
+      .limit(PqKs).select(col("r")).collect()
+      .map(r => r.getSeq[Double](0).toArray)
+    if (seedRows.length < 2) return None
+    val dim = seedRows(0).length
+    val dsub = math.max(1, dim / PqM)
+    val m = dim / dsub
+    val seeds: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    val sums = res
+      .select(kcol(PqCodes(kexp(col("r")), seeds, dsub, normalize = false)).as("codes"),
+        posexplode(transform(col("r"), x => round(x * 1000000).cast("long")))
+          .as(Seq("pos", "x")))
+      .select(expr(s"CAST(pos DIV $dsub AS INT)").as("mi"),
+        expr(s"codes[CAST(pos DIV $dsub AS INT)]").as("code"),
+        expr(s"CAST(pos % $dsub AS INT)").as("j"), col("x"))
+      .groupBy(col("mi"), col("code"), col("j"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+      .collect()
+    val refined: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds(mi).map(_.clone()))
+    sums.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / (r.getLong(4) * 1000000.0)
+    }
+    Some(PqBook(refined, dsub, m))
+  }
+
   /** Per-query ADC lookup tables against a codebook (ascending-j fold,
     * matching the pqAdc kernel's loop). */
   private def pqLuts(qRows: Seq[(Long, Array[Double])], book: PqBook): Seq[(Long, Seq[Seq[Double]])] =
@@ -674,13 +723,63 @@ object Ann {
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
-  /** The composed IVF-PQ mirror: ivfIndexCtes prunes to probed cells,
-    * pqCodebookCtes scores them by ADC, exact cosine re-ranks — the
-    * same constants as the single-structure oracles, so the three
-    * mirrors share one index/codebook definition. */
+  /** The composed residual-IVF-PQ mirror: ivfIndexCtes prunes to probed
+    * cells; the pr_ CTE chain re-derives the RESIDUAL codebook (r =
+    * u − ru(cell), raw seeds, raw argmin-L2, integer-micro-unit Lloyd —
+    * the same float discipline as pqCodebookCtes but with no inv
+    * multiply anywhere, matching `normalize = false`); ADC is the
+    * decomposed qu·ru(cell) + Σ_m lut[m][code]; exact cosine re-ranks.
+    * Shares vecBase/ivfIndex constants with the other mirrors, so the
+    * oracles cannot drift on the index. */
   lazy val annIvfPqTopkSql: String =
     s"""WITH $ivfIndexCtes,
-       |$pqCodebookCtes,
+       |pr_res AS (  -- cell residual on unit vectors: the coded quantity
+       |  SELECT un.vec_id, c.cell,
+       |         [un.u[i] - f.ru[i] for i in range(1, len(un.u)+1)] AS r
+       |  FROM un JOIN celled c USING (vec_id) JOIN flatcells f USING (cell)),
+       |pr_seeds AS (  -- strided RAW residual seeds (no normalization)
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r AS sr
+       |  FROM pr_res WHERE vec_id % greatest(1, (SELECT n FROM nn) // $PqKs) = 0
+       |  ORDER BY vec_id LIMIT $PqKs),
+       |pr_cent0 AS (
+       |  SELECT m.range AS m, s.c, sr[m.range*8 + 1 : m.range*8 + 8] AS cent
+       |  FROM pr_seeds s, range(0, $PqM) m),
+       |pr_a0 AS (  -- seed assignment: argmin L2 on the raw residual subvector
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT rr0.vec_id, c0.m, c0.c,
+       |           row_number() OVER (PARTITION BY rr0.vec_id, c0.m ORDER BY
+       |             list_reduce([(rr0.r[c0.m*8 + j] - c0.cent[j])
+       |                          * (rr0.r[c0.m*8 + j] - c0.cent[j])
+       |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
+       |             c0.c ASC) AS rn
+       |    FROM pr_res rr0 CROSS JOIN pr_cent0 c0)
+       |  WHERE rn = 1),
+       |pr_lloyd AS (  -- exact integer micro-unit means over residual values
+       |  SELECT a0.m, a0.code, j.range AS j,
+       |         sum(CAST(round(rr0.r[a0.m*8 + j.range + 1] * 1000000) AS BIGINT)) AS sx,
+       |         count(*) AS cn
+       |  FROM pr_a0 a0 JOIN pr_res rr0 ON a0.vec_id = rr0.vec_id
+       |  CROSS JOIN range(0, 8) j
+       |  GROUP BY a0.m, a0.code, j.range),
+       |pr_cent1 AS (  -- refined residual codebook; empty cells keep their seed
+       |  SELECT c0.m, c0.c,
+       |         list_transform(list_sort(list(struct_pack(j := j.range,
+       |           val := coalesce(l.val, c0.cent[j.range + 1])))), x -> x.val) AS cent
+       |  FROM pr_cent0 c0 CROSS JOIN range(0, 8) j
+       |  LEFT JOIN (SELECT m, code, j, CAST(sx AS DOUBLE) / (cn * 1000000.0) AS val
+       |             FROM pr_lloyd) l
+       |    ON l.m = c0.m AND l.code = c0.c AND l.j = j.range
+       |  GROUP BY c0.m, c0.c),
+       |pr_codes AS (  -- re-encode residuals against the refined codebook
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT rr0.vec_id, c1.m, c1.c,
+       |           row_number() OVER (PARTITION BY rr0.vec_id, c1.m ORDER BY
+       |             list_reduce([(rr0.r[c1.m*8 + j] - c1.cent[j])
+       |                          * (rr0.r[c1.m*8 + j] - c1.cent[j])
+       |                          for j in range(1, 9)], (x, y) -> x + y) ASC,
+       |             c1.c ASC) AS rn
+       |    FROM pr_res rr0 CROSS JOIN pr_cent1 c1)
+       |  WHERE rn = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv, u AS qu FROM un WHERE vec_id < $NQueries),
        |probes AS (  -- exhaustive driver probe ranking (annIvfTopk's contract)
        |  SELECT q_id, cell FROM (
@@ -690,24 +789,30 @@ object Ann {
        |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
        |    FROM q CROSS JOIN flatcells f)
        |  WHERE pr <= $IvfProbe),
-       |lut AS (
+       |lut AS (  -- per-(query, m, c) partial dot vs the RESIDUAL codebook
        |  SELECT q.q_id, c1.m, c1.c,
        |         list_reduce([q.qu[c1.m*8 + j] * c1.cent[j] for j in range(1, 9)],
        |                     (x, y) -> x + y) AS lv
-       |  FROM q CROSS JOIN pq_cent1 c1),
+       |  FROM q CROSS JOIN pr_cent1 c1),
+       |cdot AS (  -- the decomposition's cell term qu·ru, per (query, probed cell)
+       |  SELECT p.q_id, p.cell,
+       |         list_reduce([q.qu[i] * f.ru[i] for i in range(1, len(q.qu)+1)],
+       |                     (x, y) -> x + y) AS cd
+       |  FROM probes p JOIN q USING (q_id) JOIN flatcells f USING (cell)),
        |probed AS (  -- only the probed cells' rows reach ADC scoring
-       |  SELECT p.q_id, c.vec_id
+       |  SELECT p.q_id, c.cell, c.vec_id
        |  FROM probes p JOIN celled c USING (cell)
        |  WHERE p.q_id <> c.vec_id),
        |adc AS (
        |  SELECT pr.vec_id, pr.q_id,
-       |         list_reduce(list_transform(
+       |         cd.cd + list_reduce(list_transform(
        |           list_sort(list(struct_pack(m := a1.m, lv := l.lv))), x -> x.lv),
        |           (x, y) -> x + y) AS adc
        |  FROM probed pr
-       |  JOIN pq_codes a1 ON a1.vec_id = pr.vec_id
+       |  JOIN cdot cd ON cd.q_id = pr.q_id AND cd.cell = pr.cell
+       |  JOIN pr_codes a1 ON a1.vec_id = pr.vec_id
        |  JOIN lut l ON a1.m = l.m AND a1.code = l.c AND l.q_id = pr.q_id
-       |  GROUP BY pr.vec_id, pr.q_id),
+       |  GROUP BY pr.vec_id, pr.q_id, cd.cd),
        |cand AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
@@ -744,30 +849,77 @@ object Ann {
     * pqCodebookCtes constants the single-structure mirrors use, so the
     * three oracles cannot drift on shared state. Degenerate corpora
     * fall back to brute force. */
-  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqTopkImpl(spark, emb(spark, dir), residual = true)
+
+  /** The non-residual composed variant, kept ONLY as AnnSpec's recall
+    * yardstick for the residual upgrade: same index, same 4-bit byte
+    * budget, codes on u instead of u − c(cell). Not registered. */
+  private[graft] def annIvfPqTopkNoRes(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqTopkImpl(spark, emb(spark, dir), residual = false)
+
+  /** Spec entry point: either composed variant over an arbitrary
+    * (vec_id, v) corpus frame (queries = vec_id < NQueries). */
+  private[graft] def annIvfPqTopkOn(spark: SparkSession, e: DataFrame,
+      residual: Boolean): DataFrame = annIvfPqTopkImpl(spark, e, residual)
+
+  private def annIvfPqTopkImpl(spark: SparkSession, e: DataFrame,
+      residual: Boolean): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.{PqAdc, PqCodes}
+    import graft.expressions.{CellResidual, PqAdc, PqCodes}
     import spark.implicits._
-    val e = emb(spark, dir)
     val n = e.count()
     val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .filter(col("q_id") < NQueries)
-    (buildIvfIndex(e, n), buildPqCodebook(e, n)) match {
-      case (Some(idx), Some(book)) =>
-        // celled + PQ-coded corpus: (vec_id, cell, 8 code ints) — the
-        // only columns between the probe join and the re-rank
-        val encoded = idx.celled.select(col("vec_id"), col("cell"),
-          kcol(PqCodes(kexp(col("v")), book.cents, book.dsub)).as("codes"))
-        val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
-          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-        val luts = pqLuts(qRows.map { case (q, v) => (q, v.toArray) }, book).toMap
-        val probes = driverProbes(idx, qRows)
-          .map { case (qid, _, cell) => (qid, cell, luts(qid)) }
-          .toDF("q_id", "cell", "lut")
+    val idxOpt = buildIvfIndex(e, n)
+    if (idxOpt.isEmpty) return bruteTopkFrom(e, q0)
+    val idx = idxOpt.get
+    val flat = flatCents(idx)
+    val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // (PQ-coded corpus, probes carrying the per-(q, cell) base term +
+    // the per-q LUT). In residual mode the codes live on r = u − c(cell)
+    // and ADC decomposes as qu·(c + r̂) = qu·c(cell) + Σ_m lut[m][code]:
+    // the cell term is ONE scalar per (query, probed cell), computed on
+    // the driver next to the probe ranking itself — so one shared
+    // codebook still serves every cell, the FAISS IVFPQ shape.
+    val built: Option[(DataFrame, DataFrame)] =
+      if (residual) {
+        val res = idx.celled.select(col("vec_id"), col("cell"),
+          kcol(CellResidual(kexp(col("v")), kexp(col("cell")), flat)).as("r"))
+        buildPqCodebookRes(res, n).map { book =>
+          val encoded = res.select(col("vec_id"), col("cell"),
+            kcol(PqCodes(kexp(col("r")), book.cents, book.dsub, normalize = false)).as("codes"))
+          val luts = pqLuts(qRows.map { case (q, v) => (q, v.toArray) }, book).toMap
+          val probes = driverProbes(idx, qRows).map { case (qid, qv, cell) =>
+            val qu = unit(qv.toArray)
+            val ru = flat(cell)
+            var s = 0.0; var i = 0
+            val m = math.min(qu.length, ru.length)
+            while (i < m) { s += qu(i) * ru(i); i += 1 }
+            (qid, cell, s, luts(qid))
+          }.toDF("q_id", "cell", "cd", "lut")
+          (encoded, probes)
+        }
+      } else {
+        buildPqCodebook(e, n).map { book =>
+          val encoded = idx.celled.select(col("vec_id"), col("cell"),
+            kcol(PqCodes(kexp(col("v")), book.cents, book.dsub)).as("codes"))
+          val luts = pqLuts(qRows.map { case (q, v) => (q, v.toArray) }, book).toMap
+          val probes = driverProbes(idx, qRows)
+            .map { case (qid, _, cell) => (qid, cell, 0.0, luts(qid)) }
+            .toDF("q_id", "cell", "cd", "lut")
+          (encoded, probes)
+        }
+      }
+    built match {
+      case None => bruteTopkFrom(e, q0)
+      case Some((encoded, probes)) =>
         val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
         val cand = broadcast(probes).join(encoded, Seq("cell"))
           .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("adc", kcol(PqAdc(kexp(col("codes")), kexp(col("lut")))))
+          .withColumn("adc", col("cd") + kcol(PqAdc(kexp(col("codes")), kexp(col("lut")))))
           .withColumn("crank", row_number().over(wAdc))
           .filter(col("crank") <= IvfPqRerank)
           .select(col("q_id"), col("vec_id"))
@@ -780,7 +932,6 @@ object Ann {
           .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
             (round(col("cos"), 4) + 0.0).as("cos_sim"))
           .orderBy(col("q_id"), col("rank"))
-      case _ => bruteTopkFrom(e, q0)
     }
   }
 

@@ -115,24 +115,71 @@ class AnnSpec extends SparkSpec {
       s"no shard-level ADC window:\n$plan")
   }
 
-  test("ann_ivfpq_topk: composed index recall >= 0.5, deterministic") {
-    def neighbors(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .groupBy(_.getLong(0))
+  test("ann_ivfpq_topk: composed residual index recall >= 0.5, deterministic") {
+    def neighborsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      neighborsOf(SparkEntry.queries(name)(spark, sf))
     val truth = neighbors("ann_brute_topk")
     val got = neighbors("ann_ivfpq_topk")
     assert(truth.nonEmpty)
-    val recalls = truth.map { case (q, t) =>
-      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    def avgRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
     }
-    val avg = recalls.sum / recalls.size
+    val avg = avgRecall(got)
     assert(avg >= 0.5, s"avg recall@10 $avg")
     val again = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
       .repartition(3).collect().map(_.toSeq).toSet
     val first = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
       .collect().map(_.toSeq).toSet
     assert(first == again)
+  }
+
+  test("residual coding beats plain PQ on a clustered corpus (the case it exists for)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tight clusters: residuals are jitter-sized (<< 1), so the shared
+    // 4-bit codebook's resolution concentrates where the cell's vectors
+    // actually live — the FAISS IVFx,PQy argument. On the loose gate
+    // corpus (intra-cell cosine ~0.3, residual norm > 1) the advantage
+    // inverts, which is why THIS spec owns the claim, not the gate.
+    val corpus = (0 until 2000).map { i =>
+      val c = i % 25
+      (i.toLong, Array.tabulate(64) { d =>
+        math.sin(c * 3.1 + d * 0.73) + 0.05 * math.sin(i * 1.37 + d * 2.11)
+      }.toSeq)
+    }.toDF("vec_id", "v")
+    def neighborsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighborsOf(
+      corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(corpus).filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.Vectors.cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id")))
+    def avgRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    val res = avgRecall(neighborsOf(
+      graft.operators.Ann.annIvfPqTopkOn(spark, corpus, residual = true)))
+    val plain = avgRecall(neighborsOf(
+      graft.operators.Ann.annIvfPqTopkOn(spark, corpus, residual = false)))
+    assert(res >= plain,
+      s"residual recall $res must be >= plain-PQ recall $plain on tight clusters")
+    assert(res >= 0.8, s"residual recall on tight clusters should be high: $res")
   }
 
   test("brute-force top-k is ranked descending with k rows per query") {
