@@ -213,4 +213,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got.size >= 3, s"scramble should spread buckets: $got")
   }
+
+  test("lateAuditStream deltas sum to the batch lateness report across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scrambled arrivals fed as 4 micro-batches; arrival sequence = event_id
+    val n = 12000
+    val rows = (0 until n).map { i =>
+      val ts = (i.toLong * 7919 % n) * 1000000L
+      (i.toLong, ts)
+    }
+    val stream = MemoryStream[(Long, Long)]
+    val q = EventStreams.lateAuditStream(stream.toDS())
+      .writeStream.format("memory").queryName("lateaudit")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3000).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("lateaudit")
+        .groupBy("bucket").agg(sum("n").as("n"), max("max_late_us").as("max_late_us"))
+        .orderBy("bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = EventStreams.lateAuditFrom(rows.toDF("event_id", "ts_us"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want && got.size >= 3, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
+  test("stream_late_audit_jitter spreads lateness across buckets (CASE edges live)") {
+    val rows = SparkEntry.queries("stream_late_audit_jitter")(spark, sf).collect()
+    assert(rows.length >= 4, s"jitter should populate >=4 buckets: ${rows.mkString(", ")}")
+    val total = rows.map(_.getLong(1)).sum
+    val plain = SparkEntry.queries("stream_late_audit")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(total == plain, s"jitter reorders, never drops: $total vs $plain")
+  }
 }
