@@ -201,9 +201,26 @@ object Dedup {
     * repartition inside — one md5 kernel pass; the r7 first cut ran the
     * kernel for the probe AND posting sides and then re-derived both
     * raw shingle sets per candidate from text, 3 full md5 sweeps =
-    * 5.1 s at sf0.1, the registry's slowest query); candidates score by
-    * exact md5-set intersection on the staged arrays — candidate-
-    * bounded work, no text re-scan. */
+    * 5.1 s at sf0.1, the registry's slowest query).
+    *
+    * r8 upgrades, both class-level:
+    *  - EXACT-DUP PRE-COLLAPSE: docs with an identical shingle array
+    *    form one class (key = md5 of the concatenated array — one
+    *    scalar through the shuffle, never the array); probing, the
+    *    inverted index, and the md5-set intersections all run on class
+    *    REPRESENTATIVES, so a c-copy byte-identical cluster costs ONE
+    *    probe and ONE score instead of c² (the r7 Scaladoc's warned
+    *    worst case). The pair-list output re-expands classes at the
+    *    end — output-size cost is inherent to the pair contract
+    *    (dedup_embedding's argument; `dedup_clusters` is the scale
+    *    path for cluster-shaped output).
+    *  - BOTTOM-3 PROBE: each class probes its three smallest distinct
+    *    shingle hashes, not just the minimum. A ≥0.8-contained doc's
+    *    min-hash probe hits only with ~containment probability (~20%
+    *    miss at the threshold); three near-independent probes bound
+    *    the miss at ~0.2³ ≈ 1%. Full containments are still found by
+    *    construction (every probe lies in the superset). Probe cost:
+    *    3 scalars per class. */
   def containmentFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val sh = GraftColumnBridge.stageBarrier(
@@ -211,20 +228,46 @@ object Dedup {
           array_distinct(Text.shingleHashes(col("text"), 3)).as("shl"))
         .filter(size(col("shl")) > 0)
         .repartition(col("doc_id")))
-    val probe = sh.select(col("doc_id").as("id_a"), array_min(col("shl")).as("m"))
-    val post = sh.select(col("doc_id").as("id_b"), explode(col("shl")).as("m"))
+    // identical-shingle-array classes; the grouping key is one md5
+    // scalar (the key never reaches output, so the oracle may group by
+    // the list itself — same partition of docs either way)
+    val cls = sh.groupBy(md5(to_binary(concat_ws("", col("shl")), lit("utf-8"))).as("ck"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        first(col("shl")).as("shl"))
+    val probe = cls.select(col("rep").as("id_a"),
+      explode(slice(array_sort(col("shl")), 1, 3)).as("m"))
+    val post = cls.select(col("rep").as("id_b"), explode(col("shl")).as("m"))
     val cands = probe.join(post, Seq("m"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    cands
-      .join(sh.select(col("doc_id").as("id_a"), col("shl").as("sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shl").as("sb")), Seq("id_b"))
-      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+      .select(col("id_a"), col("id_b")).distinct()
+    val scored = cands
+      .join(cls.select(col("rep").as("id_a"), col("shl").as("sa"),
+        col("members").as("ma")), Seq("id_a"))
+      .join(cls.select(col("rep").as("id_b"), col("shl").as("sb"),
+        col("members").as("mb")), Seq("id_b"))
+      .select(col("ma"), col("mb"),
         size(array_intersect(col("sa"), col("sb"))).as("n_shared"),
         size(col("sa")).as("n_contained"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
           .as("containment"))
       .filter(col("containment") >= 0.8)
+    // cross-class expansion: every member pair inherits the class score
+    val crossPairs = scored
+      .select(explode(col("ma")).as("contained_id"), col("mb"),
+        col("n_shared"), col("n_contained"), col("containment"))
+      .select(col("contained_id"), explode(col("mb")).as("container_id"),
+        col("n_shared"), col("n_contained"), col("containment"))
+    // within-class pairs: identical sets, containment exactly 1.0
+    val within = cls.filter(size(col("members")) >= 2)
+      .select(col("members"), size(col("shl")).as("n"))
+      .select(explode(col("members")).as("contained_id"), col("members"), col("n"))
+      .select(col("contained_id"), explode(col("members")).as("container_id"), col("n"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select(col("contained_id"), col("container_id"),
+        col("n").as("n_shared"), col("n").as("n_contained"),
+        lit(1.0).as("containment"))
+    crossPairs.unionByName(within)
       .orderBy(col("contained_id"), col("container_id"))
   }
 
@@ -236,19 +279,31 @@ object Dedup {
       |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
       |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
       |  FROM w WHERE len(words) >= 3),
-      |probe AS (SELECT doc_id AS id_a, list_min(sh) AS m FROM s),
-      |post AS (SELECT doc_id AS id_b, unnest(sh) AS m FROM s),
+      |cls AS (SELECT sh, min(doc_id) AS rep, list(doc_id) AS members
+      |        FROM s GROUP BY sh),
+      |probe AS (SELECT rep AS id_a, unnest(list_sort(sh)[1:3]) AS m FROM cls),
+      |post AS (SELECT rep AS id_b, unnest(sh) AS m FROM cls),
       |cand AS (
-      |  SELECT p.id_a, q.id_b FROM probe p JOIN post q ON p.m = q.m
+      |  SELECT DISTINCT p.id_a, q.id_b FROM probe p JOIN post q ON p.m = q.m
       |  WHERE p.id_a <> q.id_b),
-      |o AS (
-      |  SELECT c.id_a, c.id_b,
+      |sc AS (
+      |  SELECT c.id_a, c.id_b, sa.members AS ma, sb.members AS mb,
       |         len(list_intersect(sa.sh, sb.sh)) AS n_shared,
       |         len(sa.sh) AS n_contained
-      |  FROM cand c JOIN s sa ON c.id_a = sa.doc_id JOIN s sb ON c.id_b = sb.doc_id)
-      |SELECT id_a AS contained_id, id_b AS container_id, n_shared, n_contained,
-      |       CAST(n_shared AS DOUBLE) / n_contained AS containment
-      |FROM o WHERE CAST(n_shared AS DOUBLE) / n_contained >= 0.8
+      |  FROM cand c JOIN cls sa ON c.id_a = sa.rep JOIN cls sb ON c.id_b = sb.rep
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) >= 0.8),
+      |cross_pairs AS (
+      |  SELECT ta.a AS contained_id, tb.b AS container_id, n_shared, n_contained,
+      |         CAST(n_shared AS DOUBLE) / n_contained AS containment
+      |  FROM sc, unnest(ma) AS ta(a), unnest(mb) AS tb(b)),
+      |within AS (
+      |  SELECT ta.a AS contained_id, tb.b AS container_id,
+      |         len(sh) AS n_shared, len(sh) AS n_contained,
+      |         CAST(1.0 AS DOUBLE) AS containment
+      |  FROM cls, unnest(members) AS ta(a), unnest(members) AS tb(b)
+      |  WHERE ta.a <> tb.b)
+      |SELECT * FROM cross_pairs
+      |UNION ALL SELECT * FROM within
       |ORDER BY contained_id, container_id""".stripMargin
 
   val ngramDupsCtes: String =

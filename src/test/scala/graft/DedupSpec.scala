@@ -210,6 +210,29 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (a, b, c) => assert(c >= 0.8 && c <= 1.0, s"($a,$b,$c)") }
   }
 
+  test("containment: exact-dup classes collapse and re-expand; <3 unique shingles => found surely") {
+    import spark.implicits._
+    // a 5-copy byte-identical clique + a 28/30-contained partial doc
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val partial = ((0 until 30).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val docs = ((1L to 5L).map(id => (id, base)) :+ (9L, partial))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    // all 20 ordered within-clique pairs re-expand at containment 1.0
+    val clique = got.filter(t => t._1 <= 5 && t._2 <= 5)
+    assert(clique.length == 20 && clique.forall(_._3 == 1.0), s"clique: ${got.toSeq}")
+    // the partial doc has only 2 non-shared shingles, so at least one of
+    // its bottom-3 probes MUST land in the shared region: all 5
+    // (partial, copy) pairs are found deterministically, each expanded
+    // from the single class-level score 28/30
+    val part = got.filter(_._1 == 9L)
+    assert(part.length == 5 && part.forall(t => math.abs(t._3 - 28.0 / 30) < 1e-12),
+      s"partial: ${got.toSeq}")
+    // reverse direction is 28/38 < 0.8: excluded
+    assert(got.length == 25, s"extra pairs: ${got.toSeq}")
+  }
+
   test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
     val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
