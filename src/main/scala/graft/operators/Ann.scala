@@ -324,6 +324,23 @@ object Ann {
     Some(IvfIndex(celled, coarse, refinedSub, maxSub))
   }
 
+  /** The celled embeddings corpus (vec_id, v, cell) for operators that
+    * reuse the IVF clustering as their blocking structure (SemDeDup's
+    * k-means stand-in). Degenerate corpora (<2 coarse seeds ⇒ a handful
+    * of rows) collapse to one cell — quadratic there is O(tiny²). */
+  private[operators] def celledEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    celledEmbeddingsOf(emb(spark, dir))
+
+  private[graft] def celledEmbeddingsOf(e: DataFrame): DataFrame =
+    buildIvfIndex(e, e.count()) match {
+      case Some(idx) => idx.celled
+      case None => e.select(col("vec_id"), col("v"), lit(0).as("cell"))
+    }
+
+  /** The index-construction CTE chain, shared with dedup_semantic's
+    * oracle so cluster assignments cannot drift between mirrors. */
+  private[operators] def ivfCtes: String = ivfIndexCtes
+
   /** Driver-side probe ranking for a collected query set: the nprobe
     * best flat cells by centroid dot (ties → lower cell), exhaustive
     * over the flat table — nlist dots × |queries|, bounded. The

@@ -233,6 +233,32 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 25, s"extra pairs: ${got.toSeq}")
   }
 
+  test("dedup_semantic: planted exact replicas all drop; loose same-center pairs survive") {
+    import spark.implicits._
+    // 2000 clustered vectors + 100 exact replicas of distinct bases
+    // (cos = 1.0). Jitter is seeded-Gaussian at σ = 1.0 — same-center
+    // cosines sit at ~0.33 ± 0.12, so an ACCIDENTAL ≥0.99 pair is a
+    // >5σ event (a deterministic sine-phase jitter aliases: i and
+    // i+1275 read as replicas — the r8 first cut of this spec); only
+    // the planted replicas can drop. Identical vectors land in
+    // identical argmax-dot cells deterministically, so every replica
+    // drops: the report's n_dropped must sum to exactly 100.
+    val base = (0 until 2000).map { i =>
+      val c = i % 25
+      val r = new java.util.Random(i * 7919L + 13)
+      (i.toLong, Array.tabulate(64) { d =>
+        math.sin(c * 3.1 + d * 0.73) + r.nextGaussian()
+      }.toSeq)
+    }
+    val replicas = (0 until 100).map(j => (2000L + j, base(j * 20)._2))
+    val corpus = (base ++ replicas).toDF("vec_id", "v")
+    val rep = graft.operators.Dedup.semanticFrom(
+      graft.operators.Ann.celledEmbeddingsOf(corpus)).collect()
+    val dropped = rep.map(_.getLong(3)).sum
+    assert(dropped == 100, s"expected exactly 100 replica drops, got $dropped")
+    assert(rep.exists(_.getDouble(4) == 1.0), "replica cells should show max_cos 1.0")
+  }
+
   test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
     val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
