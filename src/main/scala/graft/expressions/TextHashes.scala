@@ -173,6 +173,46 @@ object TextHashes {
     * list_intersect formula every dedup oracle spells (md5 is
     * injective on shingles at corpus scale). Runs per CANDIDATE pair,
     * so no corpus-wide shingle materialization exists anywhere. */
+  /** One compiled pass for text_entropy: split on " " (keeping trailing
+    * empties — the split(" ", -1) convention above), sort the words
+    * (UTF8String binary order == sort_array's StringType ordering),
+    * close equal-word runs in ascending order accumulating
+    * s += (c/n)·ln(c/n) — the IDENTICAL left-fold order, division, and
+    * StrictMath.log (Catalyst's Log) as the declarative
+    * aggregate(sort_array(ws), …) it replaces, so results are
+    * bit-equal, not just round-6-equal. Returns (n_words, n_distinct,
+    * s); the caller negates/rounds declaratively. The struct-
+    * accumulator aggregate ran interpreted (higher-order functions are
+    * excluded from whole-stage codegen) and allocated two structs per
+    * word — ~5.7 s at sf0.1 for ~270k words of actual work. */
+  def entropyStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    val n = words.length
+    java.util.Arrays.sort(words.asInstanceOf[Array[AnyRef]])
+    var s = 0.0
+    var distinct = 0
+    var c = 0
+    var i = 0
+    var cur: UTF8String = null
+    while (i < n) {
+      val w = words(i)
+      if (cur != null && w.equals(cur)) c += 1
+      else {
+        if (c > 0) {
+          val p = c.toDouble / n
+          s += p * java.lang.StrictMath.log(p)
+        }
+        cur = w; c = 1; distinct += 1
+      }
+      i += 1
+    }
+    if (c > 0) {
+      val p = c.toDouble / n
+      s += p * java.lang.StrictMath.log(p)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n, distinct, s))
+  }
+
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
@@ -329,6 +369,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** entropy_stats(text): struct(n_words, n_distinct, s) with s the raw
+  * ascending-run Σ (c/n)·ln(c/n) fold (see TextHashes.entropyStats —
+  * bit-equal to the interpreted aggregate(sort_array(…)) it replaces). */
+case class EntropyStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+  override def prettyName: String = "entropy_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.entropyStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.entropyStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): EntropyStats =
+    copy(child = newChild)
 }
 
 /** repetition_stats(text): struct of word/bigram duplication counts. */

@@ -242,45 +242,30 @@ object TextAnalysis {
 
   /** Core over any (doc_id, text) frame — spec entry point.
     *
-    * One pass over the SORTED word array: equal words are adjacent, so a
-    * (word, run_len, running_sum) accumulator closes each run when the
-    * next distinct word begins — O(n log n) sort + O(n) fold per doc.
-    * (The previous shape re-scanned the whole array per distinct word:
-    * O(n_distinct × n) per doc, which explodes on exactly the long
-    * documents an entropy filter targets — it was the r7 bench max.)
-    * Runs close in ascending word order, i.e. the IDENTICAL summation
-    * order and per-term arithmetic ((c/n)·ln(c/n), one exact division,
-    * left-fold from 0.0) as the sorted-distinct transform it replaces —
-    * oracle hashes are unchanged. Sentinel " " can never be a token
-    * (words = split on " "), so the c>0 guard alone marks the empty
-    * initial run; an empty-string token (empty text) is still counted. */
+    * One COMPILED pass per doc (the EntropyStats kernel): split, sort
+    * (UTF8String binary order == sort_array's), close equal-word runs
+    * ascending accumulating s += (c/n)·ln(c/n) with StrictMath.log —
+    * the identical fold order, division, and log implementation as the
+    * declarative aggregate(sort_array(ws), …) it replaces, so results
+    * are bit-equal (TextSpec pins this against the naive formula). The
+    * aggregate ran INTERPRETED — struct-accumulator higher-order
+    * functions are excluded from whole-stage codegen and allocate two
+    * structs per word — which kept this query at ~5.7 s at sf0.1 for
+    * ~270k words of actual work; the kernel is milliseconds of CPU.
+    * (r7's shape was worse still: a per-distinct-word array re-scan,
+    * O(n_distinct × n) per doc.) */
   def entropyOf(docs: DataFrame): DataFrame = {
-    val ws = Text.words(col("text"))
-    val n = size(ws)
-    def term(c: Column): Column = {
-      val p = c.cast("double") / n
-      p * log(p)
-    }
-    val folded = aggregate(
-      sort_array(ws),
-      struct(lit(" ").as("w"), lit(0).as("c"), lit(0.0).as("s")),
-      (acc, x) => {
-        val (w, c, s) = (acc.getField("w"), acc.getField("c"), acc.getField("s"))
-        when(x === w, struct(w.as("w"), (c + 1).as("c"), s.as("s")))
-          .otherwise(struct(x.as("w"), lit(1).as("c"),
-            when(c > 0, s + term(c)).otherwise(s).as("s")))
-      },
-      acc => {
-        val (c, s) = (acc.getField("c"), acc.getField("s"))
-        when(c > 0, s + term(c)).otherwise(s)
-      })
-    val ent = -folded
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.EntropyStats
     docs
-      .select(col("doc_id"), n.as("n_words"),
-        size(array_distinct(ws)).as("n_distinct"),
-        (round(ent, 6) + 0.0).as("entropy"),
+      .select(col("doc_id"), kcol(EntropyStats(kexp(col("text")))).as("st"))
+      .select(col("doc_id"),
+        col("st.n_words").as("n_words"),
+        col("st.n_distinct").as("n_distinct"),
+        (round(-col("st.s"), 6) + 0.0).as("entropy"),
         (round(
-          when(size(array_distinct(ws)) > 1, ent / log(size(array_distinct(ws)).cast("double")))
+          when(col("st.n_distinct") > 1,
+            -col("st.s") / log(col("st.n_distinct").cast("double")))
             .otherwise(lit(0.0)), 6) + 0.0).as("uniformity"))
       .orderBy(col("doc_id"))
   }
