@@ -217,6 +217,88 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Spark round(x, 4) exactly (BigDecimal HALF_UP — away from zero on
+    * halves, like DuckDB's round), NaN/Inf pass-through. */
+  private def sparkRound4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+    i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); na += x * x; i += 1 }
+    i = 0
+    while (i < b.numElements()) { val x = b.getDouble(i); nb += x * x; i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Greedy MMR (maximal marginal relevance, Carbonell & Goldstein '98)
+    * over one query's candidate array: k rounds of
+    * argmax λ·rel(i) − μ·max_{j∈S} sim(i, j), ties → lowest id, with
+    * sim the 4-decimal-rounded cosine between candidate vectors and
+    * max∅ = 0.0. λ and μ arrive as SEPARATE literals (1−0.7 in doubles
+    * is 0.30000000000000004 — the oracle writes 0.3, so the kernel must
+    * too). Candidates are scanned in ascending-id order so the strict->
+    * argmax reproduces the oracle's (mmr DESC, n_id) row_number; the
+    * per-candidate running max is updated incrementally (== MAX over
+    * the selected set, since max is associative). O(k·C·dim) per query
+    * row, one compiled call. Returns array<struct<n_id, mmr>> in pick
+    * order. */
+  def mmrSelect(arr: ArrayData, k: Int, lam: Double, mu: Double): ArrayData = {
+    val n = arr.numElements()
+    val idx = Array.range(0, n)
+    val ids = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0); rel(i) = row.getDouble(1); vecs(i) = row.getArray(2)
+      i += 1
+    }
+    // ascending-id scan order makes strict-> pick the lowest id on ties
+    val order = idx.sortBy(ids(_))
+    val used = new Array[Boolean](n)
+    // true MAX over the selected set (negative cosines included — the
+    // oracle's inner-join MAX sees them), -Inf until first update;
+    // step 0 uses the literal 0.0 of the empty set on both engines
+    val maxsim = Array.fill(n)(Double.NegativeInfinity)
+    val picks = math.min(k, n)
+    val out = new Array[Any](picks)
+    var step = 0
+    while (step < picks) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var oi = 0
+      while (oi < n) {
+        val c = order(oi)
+        if (!used(c)) {
+          val score =
+            if (step == 0) lam * rel(c) - mu * 0.0
+            else lam * rel(c) - mu * maxsim(c)
+          if (score > bestScore) { bestScore = score; best = c }
+        }
+        oi += 1
+      }
+      used(best) = true
+      out(step) = new GenericInternalRow(Array[Any](ids(best), bestScore))
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val s = sparkRound4(cosine(vecs(j), vecs(best))) + 0.0
+          if (s > maxsim(j)) maxsim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cell residual r = u − c(cell) of one vector against its assigned
     * IVF cell's unit centroid (the broadcast flat-cell table): u is the
     * DIVISION-normalized vector (the `unit` helper / the mirror's
@@ -398,6 +480,26 @@ case class CellResidual(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CellResidual =
     copy(left = newLeft, right = newRight)
+}
+
+/** mmr_select(candidates): greedy MMR pick list for one query's
+  * candidate array (see VectorKernels.mmrSelect). array<struct<n_id,
+  * mmr>> in pick order; k/λ/μ are constructor literals. */
+case class MmrSelect(child: Expression, k: Int, lam: Double, mu: Double)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("n_id", LongType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "mmr_select"
+  override def nullSafeEval(arr: Any): Any =
+    VectorKernels.mmrSelect(arr.asInstanceOf[ArrayData], k, lam, mu)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorKernels.mmrSelect($a, $k, $lam, $mu)")
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
 }
 
 /** pq_adc(codes, lut): ADC score of one candidate against one query's

@@ -1132,6 +1132,102 @@ object Ann {
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ ann_mmr_topk
+  private val MmrC = 30 // candidate pool per query (relevance top-C)
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3 // NOT 1-λ in code: 1-0.7 is 0.30000000000000004
+
+  /** MMR diversity re-rank (maximal marginal relevance, Carbonell &
+    * Goldstein, SIGIR'98): take each query's top-C candidates by
+    * cosine, then greedily pick k of them by
+    * argmax λ·rel(i) − μ·max_{j∈selected} sim(i, j) — relevance traded
+    * against redundancy with what is already picked, the standard
+    * diversity selection for retrieval results and for training-data
+    * example selection. Greedy selection is inherently sequential in k,
+    * so it runs as ONE compiled kernel call per query row over the
+    * collected candidate array (O(k·C·dim), bounded by construction) —
+    * the per-query candidate generation above it is the same
+    * shard-then-final two-level top-C as ann_pq_topk, so no window ever
+    * holds the corpus in one partition.
+    *
+    * FULLY oracled: the mirror unrolls the k greedy steps as CTE pairs
+    * (max-sim-to-selected → argmax pick → accumulate), with identical
+    * float discipline — rel and pairwise sims 4-decimal-rounded before
+    * any arithmetic, λ/μ as literals on both engines, ties → lowest
+    * n_id. AnnSpec pins the diversity property itself. */
+  def annMmrTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.MmrSelect
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    val wShard = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(32L)))
+      .orderBy(col("rel").desc, col("n_id"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cand = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (round(Vectors.cosine(col("qv"), col("v")), 4) + 0.0).as("rel"), col("v"))
+      .withColumn("cs", row_number().over(wShard)).filter(col("cs") <= MmrC)
+      .withColumn("cr", row_number().over(wq)).filter(col("cr") <= MmrC)
+    cand.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("n_id"), col("rel"), col("v"))).as("cands"))
+      .select(col("q_id"),
+        posexplode(kcol(MmrSelect(kexp(col("cands")), K, MmrLambda, MmrMu)))
+          .as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.n_id").as("n_id"), (round(col("p.mmr"), 6) + 0.0).as("mmr"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The greedy unrolled: sel1 is the pure-relevance argmax (max over
+    * the empty set is the literal 0.0 on both engines); each further
+    * step joins the not-yet-selected candidates to their MAX sim over
+    * the accumulated picks, scores λ·rel − μ·maxsim, and picks the
+    * (mmr DESC, n_id) row_number 1. */
+  lazy val annMmrTopkSql: String = {
+    val simFold =
+      """list_reduce([c1.v[i]*c2.v[i] for i in range(1, len(c1.v)+1)], (x, y) -> x + y)
+        |      / (sqrt(list_reduce([c1.v[i]*c1.v[i] for i in range(1, len(c1.v)+1)], (x, y) -> x + y))
+        |       * sqrt(list_reduce([c2.v[i]*c2.v[i] for i in range(1, len(c2.v)+1)], (x, y) -> x + y)))""".stripMargin
+    val steps = (2 to K).map { i =>
+      s"""mx$i AS (SELECT s.q_id, s.a AS n_id, max(s.s) AS m
+         |  FROM sim s JOIN sel${i - 1} t ON s.q_id = t.q_id AND s.b = t.n_id
+         |  GROUP BY s.q_id, s.a),
+         |sc$i AS (SELECT c.q_id, c.n_id, $MmrLambda*c.rel - $MmrMu*mx.m AS mmr
+         |  FROM cand c JOIN mx$i mx ON c.q_id = mx.q_id AND c.n_id = mx.n_id
+         |  LEFT JOIN sel${i - 1} t ON t.q_id = c.q_id AND t.n_id = c.n_id
+         |  WHERE t.n_id IS NULL),
+         |pk$i AS (SELECT q_id, n_id, mmr, $i AS rank FROM (
+         |    SELECT q_id, n_id, mmr,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT q_id, n_id, mmr, rank FROM sel${i - 1}
+         |          UNION ALL SELECT q_id, n_id, mmr, rank FROM pk$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id, rel, v FROM (
+       |    SELECT q_id, n_id, rel, v,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS cr
+       |    FROM (SELECT q.q_id, e.vec_id AS n_id, e.v,
+       |                 CAST(round($cosFoldSql, 4) AS DOUBLE) + 0.0 AS rel
+       |          FROM q JOIN e ON e.vec_id <> q.q_id))
+       |  WHERE cr <= $MmrC),
+       |sim AS MATERIALIZED (
+       |  SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
+       |         CAST(round($simFold, 4) AS DOUBLE) + 0.0 AS s
+       |  FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.n_id <> c2.n_id),
+       |sel1 AS (SELECT q_id, n_id, mmr, 1 AS rank FROM (
+       |    SELECT q_id, n_id, mmr,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id) AS rn
+       |    FROM (SELECT c.q_id, c.n_id, $MmrLambda*c.rel - $MmrMu*0.0 AS mmr FROM cand c))
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT q_id, rank, n_id, CAST(round(mmr, 6) AS DOUBLE) + 0.0 AS mmr
+       |FROM sel$K ORDER BY q_id, rank""".stripMargin
+  }
+
   def vecStats(spark: SparkSession, dir: String): DataFrame = {
     val vi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val sq = aggregate(vi, lit(0L), (acc, x) => acc + x * x)
@@ -1188,6 +1284,7 @@ object Ann {
     "ann_ivf_batch" -> (annIvfBatch _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_mmr_topk" -> (annMmrTopk _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -1198,6 +1295,7 @@ object Ann {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "ann_mmr_topk" -> annMmrTopkSql,
     "vec_stats" -> vecStatsSql
   )
 }

@@ -182,6 +182,31 @@ class AnnSpec extends SparkSpec {
     assert(res >= 0.8, s"residual recall on tight clusters should be high: $res")
   }
 
+  test("ann_mmr_topk: first pick is pure relevance, scores non-increasing, picks from top-C") {
+    val mmr = SparkEntry.queries("ann_mmr_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 10))
+    val bruteTop1 = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // step 1 maximizes λ·rel alone — the relevance argmax
+      assert(sorted.head._3 == bruteTop1(q), s"q$q first pick not relevance top-1")
+      // the available max never rises once penalties only grow: each
+      // step's winning score is <= the previous step's
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$q scores not non-increasing: ${scores.mkString(",")}")
+    }
+    // diversity actually bites somewhere: at least one query's pick set
+    // differs from its pure top-10
+    val top10 = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    assert(byQ.exists { case (q, rows) => rows.map(_._3).toSet != top10(q) },
+      "MMR never diverged from pure top-k — λ penalty inert")
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
