@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
@@ -148,6 +148,58 @@ object TrainPrep {
       |  CAST(round(list_max(err), 6) AS DOUBLE) + 0.0 AS max_abs_err,
       |  CAST(round(list_reduce(err, (a, x) -> a + x) / n, 6) AS DOUBLE) + 0.0 AS mean_abs_err
       |FROM r ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------- embed_matryoshka
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS'22 — MRL):
+    * how much of each vector's norm survives truncation to its first
+    * 8/16/32 dims? retention_m = √(‖v[..m]‖²/‖v‖²) is exactly the
+    * cosine between the full vector and its zero-padded m-prefix — the
+    * number that decides whether short-vector serving (cheaper ANN
+    * scans) is safe for this embedding table. Per (label, m): count,
+    * average retention (summed in exact integer micro-units so
+    * distributed order can't perturb a bit), min and max.
+    *
+    * Scale: map-only scan + one 3×-exploded map-side-combined
+    * aggregate on (label, m) — no joins, no windows; the squared-norm
+    * folds are ascending 0.0-seeded, mirrored by list_reduce. */
+  def embedMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Seq(8, 16, 32)
+    val ss = aggregate(col("v"), lit(0.0), (a, x) => a + x * x)
+    def ret(m: Int): Column = {
+      val ssm = aggregate(slice(col("v"), 1, m), lit(0.0), (a, x) => a + x * x)
+      when(col("ss") === 0.0, lit(0.0)).otherwise(sqrt(ssm / col("ss")))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ss", ss)
+      .select(col("label"), explode(array(ms.map(m =>
+        struct(lit(m).as("m"), ret(m).as("ret"))): _*)).as("x"))
+      .select(col("label"), col("x.m").as("m"), col("x.ret").as("ret"))
+      .groupBy(col("label"), col("m"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("ret") * 1000000).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 1000000.0)).as("avg_ret"),
+        (round(min(col("ret")), 6) + 0.0).as("min_ret"),
+        (round(max(col("ret")), 6) + 0.0).as("max_ret"))
+      .orderBy(col("label"), col("m"))
+  }
+
+  val embedMatryoshkaSql: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT label, v,
+      |        list_reduce([v[i]*v[i] for i in range(1, len(v)+1)], (x, y) -> x + y) AS ss
+      |      FROM e),
+      |r AS (SELECT label, mm.m,
+      |        CASE WHEN ss = 0 THEN 0.0
+      |             ELSE sqrt(list_reduce([v[i]*v[i] for i in range(1, mm.m+1)],
+      |                                   (x, y) -> x + y) / ss) END AS ret
+      |      FROM b, (VALUES (8), (16), (32)) mm(m))
+      |SELECT label, m, count(*) AS n,
+      |  CAST(sum(CAST(round(ret*1000000) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_ret,
+      |  CAST(round(min(ret), 6) AS DOUBLE) + 0.0 AS min_ret,
+      |  CAST(round(max(ret), 6) AS DOUBLE) + 0.0 AS max_ret
+      |FROM r GROUP BY label, m ORDER BY label, m""".stripMargin
 
   // ---------------------------------------------------------- corpus_curate
   /** The curation composite: quality gate (length + lexical diversity) ∧
@@ -473,7 +525,8 @@ object TrainPrep {
     "text_pack_tokens" -> (textPackTokens _),
     "text_ngram_freq" -> (textNgramFreq _),
     "text_pii_scrub" -> (textPiiScrub _),
-    "embed_quantize" -> (embedQuantize _)
+    "embed_quantize" -> (embedQuantize _),
+    "embed_matryoshka" -> (embedMatryoshka _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -488,6 +541,7 @@ object TrainPrep {
     "text_pack_tokens" -> textPackTokensSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii_scrub" -> textPiiScrubSql,
-    "embed_quantize" -> embedQuantizeSql
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_matryoshka" -> embedMatryoshkaSql
   )
 }
