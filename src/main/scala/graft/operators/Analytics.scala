@@ -795,7 +795,116 @@ object Analytics {
       |FROM agg CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------------ orders_cohort_ltv
+  /** First-purchase cohort LTV: customers grouped by the month of their
+    * first order, revenue tracked by month offset since that cohort
+    * month, with the cumulative (LTV) running sum — the standard
+    * customer-lifetime report every subscription/commerce warehouse
+    * ships. Month index = year·12 + month (exact integers), revenue in
+    * exact integer cents.
+    *
+    * Scale: one shuffle to derive each customer's cohort (min month
+    * per o_custkey, map-side combined), broadcast-free join back on
+    * o_custkey (AQE picks the side), then ONE aggregate on
+    * (cohort, offset) — months² result rows, so the cumulative window
+    * (partitioned by cohort over ≤ #months offsets) is post-aggregate
+    * tiny, never a data-scaled sort. */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("midx")).as("cohort_idx"))
+    val agg = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cohort_idx"), (col("midx") - col("cohort_idx")).as("offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val sz = cohort.groupBy(col("cohort_idx")).agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_idx")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    agg.join(sz, Seq("cohort_idx"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_idx"), col("offset"), col("cohort_size"),
+        col("n_active"), dollars(col("rev_cents")).as("revenue"),
+        dollars(col("cum_rev_cents")).as("cum_revenue"),
+        (col("cum_rev_cents").cast("double")
+          / (col("cohort_size").cast("double") * 100.0)).as("ltv_per_customer"))
+      .orderBy(col("cohort_idx"), col("offset"))
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         year(o_orderdate)*12 + month(o_orderdate) AS midx
+      |  FROM orders),
+      |c AS (SELECT o_custkey, min(midx) AS cohort_idx FROM o GROUP BY o_custkey),
+      |sz AS (SELECT cohort_idx, count(*) AS cohort_size FROM c GROUP BY cohort_idx),
+      |a AS (
+      |  SELECT c.cohort_idx, o.midx - c.cohort_idx AS "offset",
+      |         count(DISTINCT o.o_custkey) AS n_active,
+      |         sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS rev_cents
+      |  FROM o JOIN c ON o.o_custkey = c.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, sum(rev_cents) OVER (PARTITION BY cohort_idx ORDER BY "offset"
+      |              ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+      |  FROM a)
+      |SELECT cum.cohort_idx, "offset", cohort_size, n_active,
+      |  CAST(rev_cents AS DOUBLE)/100.0 AS revenue,
+      |  CAST(cum_rev_cents AS DOUBLE)/100.0 AS cum_revenue,
+      |  CAST(cum_rev_cents AS DOUBLE)/(CAST(cohort_size AS DOUBLE)*100.0) AS ltv_per_customer
+      |FROM cum JOIN sz ON cum.cohort_idx = sz.cohort_idx
+      |ORDER BY cum.cohort_idx, "offset"""".stripMargin
+
+  // --------------------------------------------------------- part_affinity
+  /** Market-basket affinity over order lines: part pairs co-ordered in
+    * the same order, with support counts and lift =
+    * P(a,b)/(P(a)·P(b)) = pair_n·N/(n_a·n_b) — all-integer inputs under
+    * 2^53, so the one double division is bit-identical cross-engine.
+    * Top 25 by (pair_n, lift) with full tie-breaks; min support 2 (TPC-H part keys are near-uniform, so co-occurrence is sparse by construction — the threshold is the sparse-basket floor and the LIMIT bounds the output).
+    *
+    * Scale: the pair generator is a self-join ON l_orderkey — ONE
+    * shuffle of (orderkey, partkey) scalars, and the quadratic is
+    * per-ORDER (bounded by order width ~7 lines, i.e. ≤ width² pairs
+    * per order — never corpus-quadratic); per-part order counts and
+    * the pair counts both map-side combine. */
+  def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = Tables.orders(spark, dir).count()
+    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+    pairs
+      .join(perPart.select(col("pk").as("pa"), col("n_part").as("n_a")), Seq("pa"))
+      .join(perPart.select(col("pk").as("pb"), col("n_part").as("n_b")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("pair_n"), col("n_a"), col("n_b"),
+        ((col("pair_n") * nOrders).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("pair_n").desc, col("lift").desc, col("pa"), col("pb"))
+      .limit(25)
+  }
+
+  val partAffinitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |pp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY pk),
+      |pr AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS pair_n
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pa, pb, pair_n, n_a, n_b,
+      |  CAST(pair_n * (SELECT n_orders FROM n) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) AS lift
+      |FROM (SELECT pr.*, pa_.n_part AS n_a, pb_.n_part AS n_b
+      |      FROM pr JOIN pp pa_ ON pr.pa = pa_.pk JOIN pp pb_ ON pr.pb = pb_.pk)
+      |ORDER BY pair_n DESC, lift DESC, pa, pb LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
+    "part_affinity" -> (partAffinity _),
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
     "rank_stats_scalable" -> (rankStatsScalable _),
@@ -815,6 +924,8 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
+    "part_affinity" -> partAffinitySql,
     "cube_agg" -> cubeAggSql,
     "rank_stats" -> rankStatsSql,
     // exact by construction → the oracle is literally rank_stats' SQL:
