@@ -903,8 +903,13 @@ object Ann {
     // codebook still serves every cell, the FAISS IVFPQ shape.
     val built: Option[(DataFrame, DataFrame)] =
       if (residual) {
-        val res = idx.celled.select(col("vec_id"), col("cell"),
-          kcol(CellResidual(kexp(col("v")), kexp(col("cell")), flat)).as("r"))
+        // staged: the codebook build (seed collect + Lloyd) and the
+        // final encode are three actions over this frame — one shuffle
+        // materializes the cell assignment + residual once (factStaged)
+        val res = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+          idx.celled.select(col("vec_id"), col("cell"),
+            kcol(CellResidual(kexp(col("v")), kexp(col("cell")), flat)).as("r"))
+          .repartition(col("vec_id")))
         buildPqCodebookRes(res, n).map { book =>
           val encoded = res.select(col("vec_id"), col("cell"),
             kcol(PqCodes(kexp(col("r")), book.cents, book.dsub, normalize = false)).as("codes"))
