@@ -347,7 +347,8 @@ object Ann {
     * distributed twin for query TABLES is the TopCells kernel
     * (ann_ivf_batch). */
   private def driverProbes(idx: IvfIndex,
-      qRows: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double], Int)] = {
+      qRows: Seq[(Long, Seq[Double])],
+      nprobe: Int = IvfProbe): Seq[(Long, Seq[Double], Int)] = {
     val flat = for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
       yield (ci * idx.maxSub + si, idx.refinedSub(ci)(si))
     qRows.flatMap { case (qid, qv) =>
@@ -356,7 +357,7 @@ object Ann {
         val m = math.min(qv.length, c.length)
         while (d < m) { s += qv(d) * c(d); d += 1 }
         (cell, s)
-      }.sortBy { case (cell, s) => (-s, cell) }.take(IvfProbe)
+      }.sortBy { case (cell, s) => (-s, cell) }.take(nprobe)
         .map { case (cell, _) => (qid, qv, cell) }
     }
   }
@@ -1137,6 +1138,93 @@ object Ann {
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // -------------------------------------------------------- ann_filtered_topk
+  /** Probe inflation for filtered search: with a ~1/|labels| selective
+    * predicate, a probed cell contributes ~selectivity of its rows, so
+    * nprobe scales by the inverse selectivity to keep the candidate
+    * pool k-sized. */
+  private val FilteredProbe = IvfProbe * 4
+
+  /** Metadata-FILTERED vector search — the production shape vector DBs
+    * call filtered ANN: each query retrieves its top-k only among
+    * vectors satisfying a predicate (here: the query's own label, a
+    * ~10%-selective filter). The IVF index prunes cells exactly as in
+    * ann_ivf_topk; the label predicate applies AFTER the cell join but
+    * BEFORE any distance work (predicate pushdown into the candidate
+    * scan — only same-label rows reach the cosine), and nprobe inflates
+    * by the inverse selectivity (FilteredProbe = 4×) so the filtered
+    * candidate pool still covers k — the standard post-filter recall
+    * fix. Queries that land in label-sparse cells return fewer than k
+    * rows honestly (no fallback scan), which the oracle reproduces.
+    *
+    * Scale: same broadcast-probe + cell-keyed join as ann_ivf_topk —
+    * the filter is one scan-fused predicate; nothing new shuffles. */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val e = e0.select(col("vec_id"), col("v"))
+    val n = e.count()
+    val q0 = e0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    buildIvfIndex(e, n) match {
+      case None =>
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        broadcast(q0).join(e0, col("q_id") =!= col("vec_id") &&
+            col("q_label") === col("label"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      case Some(idx) =>
+        val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val session = spark
+        import session.implicits._
+        val probes = driverProbes(idx, qRows, FilteredProbe).toDF("q_id", "qv", "cell")
+        val labeled = idx.celled.join(e0.select(col("vec_id"), col("label")), Seq("vec_id"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        broadcast(probes).join(labeled, Seq("cell"))
+          .join(broadcast(q0.select(col("q_id"), col("q_label"))), Seq("q_id"))
+          .filter(col("q_id") =!= col("vec_id") && col("label") === col("q_label"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  lazy val annFilteredTopkSql: String =
+    s"""WITH $ivfIndexCtes,
+       |el AS (SELECT vec_id, label FROM embeddings),
+       |q AS (SELECT e.vec_id AS q_id, el.label AS q_label, e.v AS qv
+       |      FROM e JOIN el ON e.vec_id = el.vec_id WHERE e.vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM q CROSS JOIN flatcells f)
+       |  WHERE pr <= $FilteredProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN el ON c.vec_id = el.vec_id
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN q qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id AND el.label = qv0.q_label),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------ ann_mmr_topk
   private val MmrC = 30 // candidate pool per query (relevance top-C)
   private val MmrLambda = 0.7
@@ -1290,6 +1378,7 @@ object Ann {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_mmr_topk" -> (annMmrTopk _),
+    "ann_filtered_topk" -> (annFilteredTopk _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -1301,6 +1390,7 @@ object Ann {
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_mmr_topk" -> annMmrTopkSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
     "vec_stats" -> vecStatsSql
   )
 }

@@ -207,6 +207,36 @@ class AnnSpec extends SparkSpec {
       "MMR never diverged from pure top-k — λ penalty inert")
   }
 
+  test("ann_filtered_topk: every hit shares the query's label, recall >= 0.5 vs filtered brute") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("ann_filtered_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert(labels(n) == labels(q), s"hit $n label ${labels(n)} != query $q label ${labels(q)}")
+    }
+    // filtered ground truth: brute top-10 within the query's label
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("ql"), col("v").as("qv"))
+    val truth = q.join(emb, col("q_id") =!= col("vec_id") && col("ql") === col("label"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Vectors.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val recalls = truth.map { case (k, t) =>
+      gotByQ.getOrElse(k, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"filtered recall@10 $avg")
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
