@@ -855,6 +855,42 @@ object Analytics {
       |FROM cum JOIN sz ON cum.cohort_idx = sz.cohort_idx
       |ORDER BY cum.cohort_idx, "offset"""".stripMargin
 
+  // -------------------------------------------------------- events_top_paths
+  /** Path/flow analysis: the top 20 most common onboarding paths, where
+    * a user's path is their first 5 events' types joined in time order
+    * — the product-analytics "what do users actually do first" report.
+    *
+    * Scale: the per-user window partitions on the FINE user_id key (no
+    * low-cardinality partition), keeps only rn ≤ 5 — the collect_list
+    * is bounded at 5 structs per user by construction, never a power
+    * user's full history; path counting map-side combines and the
+    * top-20 is a TakeOrdered. Determinism: the (ts, event_id) order key
+    * is unique, and the path string assembles from a sort_array over
+    * (rn, type) structs. */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val eventsTopPathsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                 ORDER BY ts_us, event_id) AS rn FROM e),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
   // --------------------------------------------------------- part_affinity
   /** Market-basket affinity over order lines: part pairs co-ordered in
     * the same order, with support counts and lift =
@@ -904,6 +940,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_cohort_ltv" -> (ordersCohortLtv _),
+    "events_top_paths" -> (eventsTopPaths _),
     "part_affinity" -> (partAffinity _),
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
@@ -925,6 +962,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "orders_cohort_ltv" -> ordersCohortLtvSql,
+    "events_top_paths" -> eventsTopPathsSql,
     "part_affinity" -> partAffinitySql,
     "cube_agg" -> cubeAggSql,
     "rank_stats" -> rankStatsSql,
