@@ -59,6 +59,57 @@ object TrainPrep {
       |       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id
       |FROM c ORDER BY shard, doc_id""".stripMargin
 
+  /** One packed doc: its shard, assigned bin, and the bin's FINAL fill. */
+  case class PackedDoc(shard: Long, doc_id: Long, n_tokens: Long,
+                       pack_id: Int, pack_fill: Long)
+
+  // -------------------------------------------------------- text_pack_ffd
+  /** CAP-RESPECTING sequence packing: first-fit-decreasing bins of 2048
+    * tokens per shard — text_pack_tokens's running-sum packs are
+    * contiguous but overflow the capacity at every boundary doc; FFD
+    * never overflows (a doc longer than the cap gets a singleton bin)
+    * and stays within 11/9·OPT + 6/9 bins (Johnson '73), the quality a
+    * training loader actually wants.
+    *
+    * Bin packing is inherently sequential, so it runs per SHARD as one
+    * typed flatMapGroups fold — the Dataset API's sanctioned imperative
+    * island (the sessionizeStream precedent), NOT a driver loop: shards
+    * are the parallel unit, the per-shard doc count is bounded by
+    * construction (packShards grows with the corpus), and per-shard
+    * state is one fill array of O(bins) longs.
+    *
+    * No SQL oracle — FFD's loop has no windowed equivalent (rows-only
+    * at the driver); TrainPrepSpec pins the cap invariant, exactly-once
+    * assignment, the first-fit bound vs the ceil(total/cap) lower
+    * bound, and partitioning-independence. */
+  def textPackFfd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    val docs = Tables.documents(spark, dir)
+    val shards = packShards(docs.count())
+    val base = docs
+      .select((col("doc_id") % shards).as("shard"), col("doc_id"),
+        Text.nBpeTokens(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val ds = it.toArray.sortBy(t => (-t._3, t._2)) // tokens desc, doc_id
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val assign = ds.map { case (_, doc, n) =>
+          var b = 0
+          while (b < fills.length && fills(b) + n > cap) b += 1
+          if (b == fills.length) fills += 0L
+          fills(b) += n
+          (doc, n, b)
+        }
+        assign.iterator.map { case (doc, n, b) =>
+          PackedDoc(shard, doc, n, b, fills(b))
+        }
+      }
+      .toDF()
+      .orderBy(col("shard"), col("pack_id"), col("doc_id"))
+  }
+
   // ------------------------------------------------------- text_ngram_freq
   /** Corpus-level bigram frequencies, top 50. Scale: explode + partial
     * aggregation (map-side combine) → the shuffle carries per-partition
@@ -523,6 +574,7 @@ object TrainPrep {
     "corpus_mix" -> (corpusMix _),
     "corpus_train_split" -> (corpusTrainSplit _),
     "text_pack_tokens" -> (textPackTokens _),
+    "text_pack_ffd" -> (textPackFfd _),
     "text_ngram_freq" -> (textNgramFreq _),
     "text_pii_scrub" -> (textPiiScrub _),
     "embed_quantize" -> (embedQuantize _),

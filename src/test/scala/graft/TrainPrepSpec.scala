@@ -184,6 +184,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < docs.length)
   }
 
+  test("text_pack_ffd: caps respected, exactly-once, first-fit bound, deterministic") {
+    val cap = 2048L
+    def run() = SparkEntry.queries("text_pack_ffd")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    // exactly-once assignment
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // per-(shard, bin): pack_fill is the exact token sum, and no bin
+    // overflows the cap unless it is a singleton over-cap doc
+    rows.groupBy(t => (t._1, t._4)).foreach { case ((s, b), ds) =>
+      val total = ds.map(_._3).sum
+      assert(ds.map(_._5).distinct.length == 1 && ds.head._5 == total,
+        s"bin ($s,$b) fill mismatch")
+      assert(total <= cap || ds.length == 1, s"bin ($s,$b) overflows: $total")
+    }
+    // first-fit quality: bins <= 2*ceil(total/cap)+1 per shard
+    // (first-fit <= 2*OPT, OPT >= the fractional lower bound)
+    rows.groupBy(_._1).foreach { case (s, ds) =>
+      val bins = ds.map(_._4).distinct.length
+      val lower = (ds.map(_._3).sum + cap - 1) / cap
+      assert(bins <= 2 * lower + 1, s"shard $s: $bins bins vs lower bound $lower")
+    }
+    // group-iterator order must not matter (the fold sorts internally)
+    assert(run().toSet == rows.toSet)
+  }
+
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
     val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
