@@ -443,6 +443,55 @@ object TrainPrep {
       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_ngram_coverage
+  /** The MEASUREMENT companion to corpus_decontaminate: per eval doc
+    * (doc_id % 20 == 0, the same benchmark stand-in), what fraction of
+    * its distinct word-5-grams appears anywhere in the train corpus —
+    * the contamination-rate report read before deciding whether
+    * decontamination (or eval replacement) is needed at all. coverage =
+    * n_matched/n_grams is one exact integer division.
+    *
+    * Scale: mirrored from decontaminate's join direction — the tiny
+    * eval gram set BROADCASTS into the exploded train scan (the corpus
+    * never shuffles for the probe); only MATCHING (doc_id, gram) scalar
+    * pairs reach the distinct+count shuffle. Eval docs under 5 words
+    * have no grams and are absent, matching the oracle's empty
+    * comprehension. */
+  def corpusNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 20 === 0
+    val sh = explode(array_distinct(Text.shingleHashes(col("text"), 5))).as("shingle")
+    val evalGrams = docs.filter(isEval).select(col("doc_id"), sh)
+    val totals = evalGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = docs.filter(!isEval).select(sh)
+      .join(broadcast(evalGrams), Seq("shingle"))
+      .select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double")
+          / col("n_grams").cast("double")).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusNgramCoverageSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' ||
+      |         words[i+4] || ' ' || words[i+5]
+      |         for i in range(0, len(words)-4)]) AS sh
+      |      FROM w),
+      |ev AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 20 = 0),
+      |tr AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 20 <> 0),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+      |hit AS (SELECT ev.doc_id, count(*) AS n_matched
+      |        FROM ev JOIN tr USING (shingle) GROUP BY ev.doc_id)
+      |SELECT tot.doc_id, n_grams, coalesce(n_matched, 0) AS n_matched,
+      |       CAST(coalesce(n_matched, 0) AS DOUBLE)/CAST(n_grams AS DOUBLE) AS coverage
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   // ---------------------------------------------------------- corpus_mix
   /** Deterministic domain re-weighting toward a target mixture — the
     * step that turns a raw crawl into a training mix (downweight
@@ -568,6 +617,7 @@ object TrainPrep {
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
+    "corpus_ngram_coverage" -> (corpusNgramCoverage _),
     "corpus_sample_stratified" -> (corpusSampleStratified _),
     "corpus_sample_fixed" -> (corpusSampleFixed _),
     "corpus_sample_per_group" -> (corpusSamplePerGroup _),
@@ -585,6 +635,7 @@ object TrainPrep {
     "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_ngram_coverage" -> corpusNgramCoverageSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "corpus_sample_fixed" -> corpusSampleFixedSql,
     "corpus_sample_per_group" -> corpusSamplePerGroupSql,
