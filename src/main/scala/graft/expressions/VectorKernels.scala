@@ -247,30 +247,43 @@ object VectorKernels {
     * per-candidate running max is updated incrementally (== MAX over
     * the selected set, since max is associative). O(k·C·dim) per query
     * row, one compiled call. Returns array<struct<n_id, mmr>> in pick
-    * order. */
+    * order.
+    *
+    * NaN guard: a zero-norm candidate vector has NaN rel (0/0 cosine)
+    * and NaN never compares greater, so such candidates could never win
+    * a pick yet still shrink the pool — worse, if ALL remaining
+    * candidates were NaN, best would stay -1 and index out of bounds.
+    * They are excluded from the pool up front (the registered operator
+    * feeds only finite cosines — the upstream top-C ranks them — so
+    * this is robustness, not a behavior change at the gate), and the
+    * pick loop breaks early if the pool empties, emitting fewer than k
+    * picks honestly. */
   def mmrSelect(arr: ArrayData, k: Int, lam: Double, mu: Double): ArrayData = {
     val n = arr.numElements()
     val idx = Array.range(0, n)
     val ids = new Array[Long](n)
     val rel = new Array[Double](n)
     val vecs = new Array[ArrayData](n)
+    val used = new Array[Boolean](n)
+    var live = 0
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 3)
       ids(i) = row.getLong(0); rel(i) = row.getDouble(1); vecs(i) = row.getArray(2)
+      if (java.lang.Double.isNaN(rel(i))) used(i) = true else live += 1
       i += 1
     }
     // ascending-id scan order makes strict-> pick the lowest id on ties
     val order = idx.sortBy(ids(_))
-    val used = new Array[Boolean](n)
     // true MAX over the selected set (negative cosines included — the
     // oracle's inner-join MAX sees them), -Inf until first update;
     // step 0 uses the literal 0.0 of the empty set on both engines
     val maxsim = Array.fill(n)(Double.NegativeInfinity)
-    val picks = math.min(k, n)
+    val picks = math.min(k, live)
     val out = new Array[Any](picks)
     var step = 0
-    while (step < picks) {
+    var done = false
+    while (step < picks && !done) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var oi = 0
@@ -284,19 +297,23 @@ object VectorKernels {
         }
         oi += 1
       }
-      used(best) = true
-      out(step) = new GenericInternalRow(Array[Any](ids(best), bestScore))
-      var j = 0
-      while (j < n) {
-        if (!used(j)) {
-          val s = sparkRound4(cosine(vecs(j), vecs(best))) + 0.0
-          if (s > maxsim(j)) maxsim(j) = s
+      if (best < 0) done = true // defensive: pool exhausted (e.g. NaN maxsim)
+      else {
+        used(best) = true
+        out(step) = new GenericInternalRow(Array[Any](ids(best), bestScore))
+        var j = 0
+        while (j < n) {
+          if (!used(j)) {
+            val s = sparkRound4(cosine(vecs(j), vecs(best))) + 0.0
+            if (s > maxsim(j)) maxsim(j) = s
+          }
+          j += 1
         }
-        j += 1
+        step += 1
       }
-      step += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (step == picks) out else java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], step).asInstanceOf[Array[Any]])
   }
 
   /** Cell residual r = u − c(cell) of one vector against its assigned

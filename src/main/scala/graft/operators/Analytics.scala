@@ -620,6 +620,70 @@ object Analytics {
       |FROM dau JOIN mau USING (period_us)
       |ORDER BY day_us""".stripMargin
 
+  // ------------------------------------------------------ events_rolling_mau
+  /** Trailing-30-day ROLLING MAU per observed day — the standard form of
+    * the MAU metric (events_dau_mau's fixed tumbling periods are the
+    * cheap approximation): for each day with events, the distinct users
+    * active in the 30 days ending that day, plus DAU and the rolling
+    * stickiness ratio.
+    *
+    * Scale: the naive forms die at 100× — a 30-way explode shuffles 30×
+    * the user-day pairs, and a count-distinct range window doesn't
+    * exist. Instead the count is decomposed into INTERVAL DELTAS: a
+    * user contributes to MAU(d) iff some active day lies in [d−29d, d],
+    * i.e. iff d ∈ [day, min(day+30d, next active day)) for the user's
+    * LAST active day ≤ d — consecutive per-user intervals never
+    * overlap, so MAU(d) = Σ(+1 at interval start) + Σ(−1 at interval
+    * end) over boundaries ≤ d. One user_id shuffle (lead window), TWO
+    * scalar delta rows per user-day, a day-keyed aggregate (≤2·|days|
+    * rows), and the prefix sum runs over that post-aggregate
+    * calendar-bounded frame — never a data-scaled global window.
+    * The distinct user-day frame is staged once (it feeds both the DAU
+    * aggregate and the delta derivation). Exact integers end-to-end;
+    * stickiness is one rounded IEEE division. */
+  def eventsRollingMau(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val ud = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.eventsUs(spark, dir)
+        .select(col("user_id"),
+          (col("ts_us") - pmod(col("ts_us"), lit(dayUs))).as("day_us"))
+        .distinct())
+    val dau = ud.groupBy(col("day_us")).agg(count(lit(1)).as("dau"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day_us"))
+    val deltas = ud
+      .withColumn("end_excl",
+        least(col("day_us") + lit(30L * dayUs),
+          coalesce(lead(col("day_us"), 1).over(wU), col("day_us") + lit(30L * dayUs))))
+      .select(explode(array(
+        struct(col("day_us").as("b_us"), lit(1L).as("dlt")),
+        struct(col("end_excl").as("b_us"), lit(-1L).as("dlt")))).as("x"))
+      .select(col("x.b_us").as("b_us"), col("x.dlt").as("dlt"))
+      .groupBy(col("b_us")).agg(sum(col("dlt")).as("d"))
+    val wPrefix = Window.orderBy(col("b_us")).rowsBetween(Window.unboundedPreceding, 0)
+    val mau = deltas
+      .withColumn("mau30", sum(col("d")).over(wPrefix))
+      .select(col("b_us").as("day_us"), col("mau30"))
+    dau.join(mau, Seq("day_us"))
+      .select(col("day_us"), col("dau"), col("mau30"),
+        (round(col("dau").cast("double") / col("mau30"), 6) + 0.0).as("stickiness"))
+      .orderBy(col("day_us"))
+  }
+
+  val eventsRollingMauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+      |  FROM events),
+      |dau AS (SELECT day_us, count(*) AS dau FROM ud GROUP BY day_us),
+      |m AS (SELECT d.day_us, count(DISTINCT u.user_id) AS mau30
+      |      FROM dau d JOIN ud u
+      |        ON u.day_us BETWEEN d.day_us - 29 * 86400000000 AND d.day_us
+      |      GROUP BY d.day_us)
+      |SELECT dau.day_us, dau.dau, m.mau30,
+      |       round(CAST(dau.dau AS DOUBLE) / m.mau30, 6) + 0.0 AS stickiness
+      |FROM dau JOIN m USING (day_us)
+      |ORDER BY day_us""".stripMargin
+
   // ------------------------------------------------- exact distributed ntile
   /** Equi-width bucket index (0..B-1) of `v` within [mn, mx] — a
     * NON-DECREASING function of v, so bucketing preserves any total
@@ -804,16 +868,20 @@ object Analytics {
     * exact integer cents.
     *
     * Scale: one shuffle to derive each customer's cohort (min month
-    * per o_custkey, map-side combined), broadcast-free join back on
-    * o_custkey (AQE picks the side), then ONE aggregate on
-    * (cohort, offset) — months² result rows, so the cumulative window
-    * (partitioned by cohort over ≤ #months offsets) is post-aggregate
-    * tiny, never a data-scaled sort. */
+    * per o_custkey, map-side combined) — the cohort aggregate is
+    * STAGED once (stageBarrier: it feeds BOTH the join-back and the
+    * cohort-size rollup, and an unstaged double consumer re-runs the
+    * orders scan + shuffle per leg, the r6 derivation-staging lesson)
+    * — broadcast-free join back on o_custkey (AQE picks the side),
+    * then ONE aggregate on (cohort, offset) — months² result rows, so
+    * the cumulative window (partitioned by cohort over ≤ #months
+    * offsets) is post-aggregate tiny, never a data-scaled sort. */
   def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"))
-    val cohort = o.groupBy(col("o_custkey")).agg(min(col("midx")).as("cohort_idx"))
+    val cohort = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      o.groupBy(col("o_custkey")).agg(min(col("midx")).as("cohort_idx")))
     val agg = o.join(cohort, Seq("o_custkey"))
       .groupBy(col("cohort_idx"), (col("midx") - col("cohort_idx")).as("offset"))
       .agg(countDistinct(col("o_custkey")).as("n_active"),
@@ -902,11 +970,21 @@ object Analytics {
     * shuffle of (orderkey, partkey) scalars, and the quadratic is
     * per-ORDER (bounded by order width ~7 lines, i.e. ≤ width² pairs
     * per order — never corpus-quadratic); per-part order counts and
-    * the pair counts both map-side combine. */
+    * the pair counts both map-side combine. The distinct() aggregate
+    * over lineitem is STAGED once (stageBarrier — the aliased sides of
+    * the self-join defeat ReuseExchange, the r6 dedup lesson) so the
+    * plan has ONE fact scan + ONE distinct exchange feeding perPart
+    * and both join sides; n_orders is a broadcast 1-row aggregate
+    * crossed in, not a separate driver count() action. Lift factors
+    * are each cast to double BEFORE multiplying (three correctly
+    * rounded IEEE ops, identical in both engines) — the former
+    * pair_n·N BIGINT product would silently wrap past 2^63 where
+    * DuckDB raises. */
   def partAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = Tables.orders(spark, dir).count()
+    val li = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
     val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
     val pairs = li.select(col("ok"), col("pk").as("pa"))
       .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
@@ -916,9 +994,10 @@ object Analytics {
     pairs
       .join(perPart.select(col("pk").as("pa"), col("n_part").as("n_a")), Seq("pa"))
       .join(perPart.select(col("pk").as("pb"), col("n_part").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("pair_n"), col("n_a"), col("n_b"),
-        ((col("pair_n") * nOrders).cast("double")
-          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        (col("pair_n").cast("double") * col("n_orders").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
       .orderBy(col("pair_n").desc, col("lift").desc, col("pa"), col("pb"))
       .limit(25)
   }
@@ -932,8 +1011,8 @@ object Analytics {
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT pa, pb, pair_n, n_a, n_b,
-      |  CAST(pair_n * (SELECT n_orders FROM n) AS DOUBLE)
-      |    / CAST(n_a * n_b AS DOUBLE) AS lift
+      |  CAST(pair_n AS DOUBLE) * CAST((SELECT n_orders FROM n) AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
       |FROM (SELECT pr.*, pa_.n_part AS n_a, pb_.n_part AS n_b
       |      FROM pr JOIN pp pa_ ON pr.pa = pa_.pk JOIN pp pb_ ON pr.pb = pb_.pk)
       |ORDER BY pair_n DESC, lift DESC, pa, pb LIMIT 25""".stripMargin
@@ -956,6 +1035,7 @@ object Analytics {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
+    "events_rolling_mau" -> (eventsRollingMau _),
     "orders_rfm" -> (ordersRfm _),
     "orders_pareto" -> (ordersPareto _)
   )
@@ -980,6 +1060,7 @@ object Analytics {
     "skew_salted_agg" -> skewSaltedAggSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,
+    "events_rolling_mau" -> eventsRollingMauSql,
     "orders_rfm" -> ordersRfmSql,
     "orders_pareto" -> ordersParetoSql
   )

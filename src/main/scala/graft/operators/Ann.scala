@@ -470,6 +470,22 @@ object Ann {
     * argmin ties → lowest code, ADC ties → lowest vec_id. Corpora with
     * <2 seed vectors fall back to the exact brute scan.
     *
+    * Why plain PQ stays NON-residual (the r8-verdict follow-up,
+    * resolved by algebra rather than code): residual coding needs a
+    * coarse quantizer to subtract, and the only one available to
+    * cell-less PQ is the single global centroid g. But subtracting one
+    * CONSTANT vector is a translation: k-means on {u−g} with seeds
+    * {u_i−g} yields exactly the translated centroids {c−g} and the
+    * SAME assignments (‖(u−g)−(c−g)‖ = ‖u−c‖), and the decomposed ADC
+    * cancels term-for-term — qu·g + Σ_m qu_m·(c_m−g_m) = Σ_m qu_m·c_m,
+    * the raw score. Identical codes, identical ranking; a "residual
+    * upgrade" here is a no-op up to last-ulp rounding of the shifted
+    * micro-unit sums. Residual gains exist exactly when the subtracted
+    * centroid VARIES per row (many cells shrink residual norms) —
+    * that is ann_ivfpq_topk, where the upgrade is implemented,
+    * registered, and spec-measured (recall ≥ the non-residual
+    * yardstick on tight clusters).
+    *
     * Engine-seeded codebook → rows-only at the driver; AnnSpec bounds
     * recall@10 vs ann_brute_topk, pins determinism and the code shape. */
   /** The PQ codebook state: refined sub-centroids per subspace. */
@@ -503,6 +519,10 @@ object Ann {
       .select(col("codes"),
         posexplode(transform(col("u"), x => round(x * 1000000).cast("long")))
           .as(Seq("pos", "x")))
+      // drop tail positions the encoder truncates when dim % PqM != 0
+      // (codes[pos DIV dsub] would be null there and the driver-side
+      // getInt would throw; safe no-op while dim=64/PqM=8 divide evenly)
+      .filter(col("pos") < lit(m * dsub))
       .select(expr(s"CAST(pos DIV $dsub AS INT)").as("mi"),
         expr(s"codes[CAST(pos DIV $dsub AS INT)]").as("code"),
         expr(s"CAST(pos % $dsub AS INT)").as("j"), col("x"))
@@ -552,6 +572,10 @@ object Ann {
       .select(kcol(PqCodes(kexp(col("r")), seeds, dsub, normalize = false)).as("codes"),
         posexplode(transform(col("r"), x => round(x * 1000000).cast("long")))
           .as(Seq("pos", "x")))
+      // drop tail positions the encoder truncates when dim % PqM != 0
+      // (codes[pos DIV dsub] would be null there and the driver-side
+      // getInt would throw; safe no-op while dim=64/PqM=8 divide evenly)
+      .filter(col("pos") < lit(m * dsub))
       .select(expr(s"CAST(pos DIV $dsub AS INT)").as("mi"),
         expr(s"codes[CAST(pos DIV $dsub AS INT)]").as("code"),
         expr(s"CAST(pos % $dsub AS INT)").as("j"), col("x"))
@@ -1225,6 +1249,102 @@ object Ann {
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------ ann_filtered_batch
+  /** Metadata-filtered vector search for a query TABLE — ann_ivf_batch's
+    * distributed TopCells probe descent composed with ann_filtered_topk's
+    * scan-fused label predicate: the batch retrieval shape a production
+    * pipeline actually runs (label-scoped top-k for every row of a query
+    * table, no driver-held query list). Each query row ranks its own
+    * probe cells map-side (C1 + probeCoarse·C2 ≈ O(√nlist) dots, one
+    * kernel call); nprobe inflates by the inverse selectivity
+    * (FilteredProbe = 4×, the post-filter recall fix); the label
+    * predicate applies after the cell join and BEFORE any distance work;
+    * label-sparse cells return fewer than k rows honestly.
+    *
+    * Scale: identical to ann_ivf_batch — the probed (q_id, cell) frame
+    * joins the celled corpus on the cell key (AQE broadcasts while it
+    * fits, cell-keyed shuffle beyond), the corpus shuffles at most ONCE
+    * on cell, and the label join adds only (vec_id, label) scalars.
+    * Query table = every 37th vector with its own label (~10%
+    * selective). FULLY oracled through the shared ivfIndexCtes + the
+    * TopCells two-step descent mirror. */
+  def annFilteredBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val e = e0.select(col("vec_id"), col("v"))
+    val n = e.count()
+    val q = e0.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    buildIvfIndex(e, n) match {
+      case None => // degenerate corpus (<2 seeds ⇒ tiny): exact filtered scan
+        broadcast(q).join(e0, col("q_id") =!= col("vec_id") &&
+            col("q_label") === col("label"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      case Some(idx) =>
+        def topCellsCol(v: Column): Column = kcol(graft.expressions.TopCells(
+          kexp(v), idx.coarse, idx.refinedSub, idx.maxSub, BatchProbeCoarse,
+          FilteredProbe))
+        val probed = q.select(col("q_id"), col("q_label"), col("qv"),
+          explode(topCellsCol(col("qv"))).as("cell"))
+        val labeled = idx.celled
+          .join(e0.select(col("vec_id"), col("label")), Seq("vec_id"))
+        probed.join(labeled, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id") && col("label") === col("q_label"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Vectors.cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            (round(col("cos"), 4) + 0.0).as("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** ann_filtered_batch's mirror: ivfIndexCtes + the TopCells two-step
+    * descent (annIvfBatchSql's pcq/probes shape, at FilteredProbe depth)
+    * + the label equality inside the candidate join. */
+  lazy val annFilteredBatchSql: String =
+    s"""WITH $ivfIndexCtes,
+       |el AS (SELECT vec_id, label FROM embeddings),
+       |qb AS (SELECT e.vec_id AS q_id, el.label AS q_label, e.v AS qv
+       |       FROM e JOIN el ON e.vec_id = el.vec_id WHERE e.vec_id % 37 = 0),
+       |pcq AS (  -- kernel step 1: the probeCoarse best coarse cells
+       |  SELECT q_id, ci FROM (
+       |    SELECT qb.q_id, co.ci,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * co.cu[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, co.ci ASC) AS rn
+       |    FROM qb CROSS JOIN coarse co)
+       |  WHERE rn <= $BatchProbeCoarse),
+       |probes AS (  -- kernel step 2: nprobe best flat cells among their subcells
+       |  SELECT q_id, cell FROM (
+       |    SELECT qb.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * f.ru[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM qb JOIN pcq USING (q_id) JOIN flatcells f ON f.ca = pcq.ci)
+       |  WHERE pr <= $FilteredProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN el ON c.vec_id = el.vec_id
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN qb qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id AND el.label = qv0.q_label),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------ ann_mmr_topk
   private val MmrC = 30 // candidate pool per query (relevance top-C)
   private val MmrLambda = 0.7
@@ -1379,6 +1499,7 @@ object Ann {
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_mmr_topk" -> (annMmrTopk _),
     "ann_filtered_topk" -> (annFilteredTopk _),
+    "ann_filtered_batch" -> (annFilteredBatch _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -1391,6 +1512,7 @@ object Ann {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_mmr_topk" -> annMmrTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
+    "ann_filtered_batch" -> annFilteredBatchSql,
     "vec_stats" -> vecStatsSql
   )
 }

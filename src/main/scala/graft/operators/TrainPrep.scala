@@ -76,7 +76,11 @@ object TrainPrep {
     * island (the sessionizeStream precedent), NOT a driver loop: shards
     * are the parallel unit, the per-shard doc count is bounded by
     * construction (packShards grows with the corpus), and per-shard
-    * state is one fill array of O(bins) longs.
+    * state is one fill array of O(bins) longs. The first-fit scan is
+    * O(bins) per doc — O(n·bins) per shard worst-case — which shard
+    * sizing caps at ~64k·(64k/cap) probe steps; if shard capacity is
+    * ever raised, swap the linear scan for a size-indexed best-fit
+    * tree (O(n log n)) before raising it.
     *
     * No SQL oracle — FFD's loop has no windowed equivalent (rows-only
     * at the driver); TrainPrepSpec pins the cap invariant, exactly-once
@@ -242,7 +246,8 @@ object TrainPrep {
       |      FROM e),
       |r AS (SELECT label, mm.m,
       |        CASE WHEN ss = 0 THEN 0.0
-      |             ELSE sqrt(list_reduce([v[i]*v[i] for i in range(1, mm.m+1)],
+      |             ELSE sqrt(list_reduce([v[i]*v[i]
+      |                                    for i in range(1, least(mm.m, len(v))+1)],
       |                                   (x, y) -> x + y) / ss) END AS ret
       |      FROM b, (VALUES (8), (16), (32)) mm(m))
       |SELECT label, m, count(*) AS n,
@@ -404,25 +409,42 @@ object TrainPrep {
     * stands in for the benchmark corpus) — the standard n-gram-overlap
     * test-set leakage filter run before pretraining.
     *
-    * Scale: the eval side of a decontamination pass is always tiny
-    * relative to the corpus (benchmarks, not web crawl), so its distinct
-    * shingle set is BROADCAST and the contamination probe is a map-only
-    * broadcast semi-join over the exploded train shingles — the 100 TB
-    * corpus never shuffles. The contaminated-id set (smaller still) is
-    * broadcast back for the anti join. Shingles probe as md5 hashes so
-    * the broadcast rows are fixed-width instead of raw 5-gram text. */
+    * Scale + BOUNDED-EVAL CONTRACT: in production the eval side of a
+    * decontamination pass is a fixed small benchmark suite — its size
+    * does not grow with the corpus — so its distinct shingle set is
+    * BROADCAST and the contamination probe is a map-only broadcast
+    * semi-join over the exploded train shingles: the 100 TB corpus
+    * never shuffles. The registered fixture's eval set (doc_id%20) is
+    * corpus-PROPORTIONAL, so the hint is size-GATED rather than
+    * unconditional: eval docs are counted first (a map-only pushdown
+    * count of one column) and the broadcast hints apply only under
+    * `MaxEvalDocs` (10k docs × ~10² shingle hashes × 8 B ≈ tens of MB
+    * — comfortable executor headroom); past the bound both joins go
+    * unhinted and AQE adjudicates broadcast vs shuffle from runtime
+    * sizes, so an adversarially scaled eval degrades to a shuffle
+    * instead of an executor OOM. The contaminated-id set rides the
+    * same gate (it is output-bounded by the hit-doc count in practice;
+    * when the eval side is big enough to unhint, its hits may be too).
+    * Shingles probe as hashes so broadcast rows are fixed-width. */
   def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame =
     corpusDecontaminateFrom(Tables.documents(spark, dir))
 
+  /** Broadcast-hint ceiling for eval-derived frames (see the
+    * bounded-eval contract in corpusDecontaminate's Scaladoc). */
+  private[graft] val MaxEvalDocs = 10000L
+
   private[graft] def corpusDecontaminateFrom(docs: DataFrame): DataFrame = {
     val isEval = col("doc_id") % 20 === 0
+    val evalBounded =
+      docs.filter(isEval).select(col("doc_id")).count() <= MaxEvalDocs
+    def gated(df: DataFrame) = if (evalBounded) broadcast(df) else df
     val sh = explode(Text.shingleHashes(col("text"), 5)).as("shingle")
     val evalShingles = docs.filter(isEval).select(sh).distinct()
     val train = docs.filter(!isEval)
     val contaminated = train.select(col("doc_id"), sh)
-      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .join(gated(evalShingles), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
-    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    train.join(gated(contaminated), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -451,20 +473,25 @@ object TrainPrep {
     * decontamination (or eval replacement) is needed at all. coverage =
     * n_matched/n_grams is one exact integer division.
     *
-    * Scale: mirrored from decontaminate's join direction — the tiny
-    * eval gram set BROADCASTS into the exploded train scan (the corpus
+    * Scale: mirrored from decontaminate's join direction — the eval
+    * gram set BROADCASTS into the exploded train scan (the corpus
     * never shuffles for the probe); only MATCHING (doc_id, gram) scalar
-    * pairs reach the distinct+count shuffle. Eval docs under 5 words
-    * have no grams and are absent, matching the oracle's empty
-    * comprehension. */
+    * pairs reach the distinct+count shuffle. The hint rides the same
+    * bounded-eval contract + MaxEvalDocs size gate as
+    * corpus_decontaminate (see its Scaladoc) — a corpus-proportional
+    * eval fixture unhints and leaves the decision to AQE. Eval docs
+    * under 5 words have no grams and are absent, matching the oracle's
+    * empty comprehension. */
   def corpusNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isEval = col("doc_id") % 20 === 0
+    val evalBounded =
+      docs.filter(isEval).select(col("doc_id")).count() <= MaxEvalDocs
     val sh = explode(array_distinct(Text.shingleHashes(col("text"), 5))).as("shingle")
     val evalGrams = docs.filter(isEval).select(col("doc_id"), sh)
     val totals = evalGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hits = docs.filter(!isEval).select(sh)
-      .join(broadcast(evalGrams), Seq("shingle"))
+      .join(if (evalBounded) broadcast(evalGrams) else evalGrams, Seq("shingle"))
       .select(col("doc_id"), col("shingle")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
     totals.join(hits, Seq("doc_id"), "left")

@@ -196,4 +196,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(attributedCents == purchaseCents,
       s"attributed $attributedCents cents != purchased $purchaseCents cents")
   }
+
+  test("part_affinity: lineitem distinct staged once (no in-plan re-derivation)") {
+    // the staged li frame feeds perPart AND both aliased self-join sides;
+    // without the barrier the plan re-runs the full scan+distinct 4x (the
+    // r6 aliased-self-join ReuseExchange miss, r8-verdict-confirmed)
+    val plan = Analytics.partAffinity(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"),
+      s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
+  }
+
+  test("orders_cohort_ltv: cohort aggregate staged once (single in-plan orders scan)") {
+    // the cohort min-month aggregate feeds the join-back AND the size
+    // rollup; staged, only the join-back fact leg still scans orders
+    val plan = Analytics.ordersCohortLtv(spark, sf).queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("orders.parquet"))
+    assert(scans == 1, s"expected 1 in-plan orders scan, got $scans:\n$plan")
+  }
+
+  test("events_rolling_mau equals the naive 30-day-window count distinct") {
+    import org.apache.spark.sql.functions._
+    val dayUs = 86400L * 1000 * 1000
+    val ud = graft.sources.Tables.eventsUs(spark, sf)
+      .select(col("user_id"),
+        (col("ts_us") - pmod(col("ts_us"), lit(dayUs))).as("day_us"))
+      .distinct()
+    val days = ud.select(col("day_us").as("d_us")).distinct()
+    val naive = days
+      .join(ud, ud("day_us") >= days("d_us") - lit(29L * dayUs) &&
+        ud("day_us") <= days("d_us"))
+      .groupBy(col("d_us")).agg(countDistinct(col("user_id")).as("mau30"))
+      .orderBy(col("d_us")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fast = Analytics.eventsRollingMau(spark, sf)
+      .select(col("day_us"), col("mau30"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.length == fast.length)
+    assert(naive.toSeq == fast.toSeq)
+    // rolling ≥ daily: the window contains at least its own day's users
+    val dau = Analytics.eventsRollingMau(spark, sf)
+      .collect().map(r => (r.getAs[Long]("dau"), r.getAs[Long]("mau30")))
+    dau.foreach { case (d, m) => assert(m >= d && d >= 1) }
+  }
 }

@@ -237,6 +237,35 @@ class AnnSpec extends SparkSpec {
     assert(avg >= 0.5, s"filtered recall@10 $avg")
   }
 
+  test("ann_filtered_batch: label purity + recall >= 0.5 vs filtered brute on the query table") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SparkEntry.queries("ann_filtered_batch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert(labels(n) == labels(q), s"hit $n label ${labels(n)} != query $q label ${labels(q)}")
+    }
+    val q = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("ql"), col("v").as("qv"))
+    val truth = q.join(emb, col("q_id") =!= col("vec_id") && col("ql") === col("label"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Vectors.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val gotByQ = got.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val recalls = truth.map { case (k, t) =>
+      gotByQ.getOrElse(k, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"filtered batch recall@10 $avg")
+  }
+
   test("brute-force top-k is ranked descending with k rows per query") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
@@ -245,6 +274,29 @@ class AnnSpec extends SparkSpec {
       val sims = byRank.map(_.getDouble(3)).toSeq
       assert(sims == sims.sorted.reverse)
     }
+  }
+
+  test("mmrSelect: zero-norm (NaN-rel) candidates are excluded, never crash") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def cand(id: Long, rel: Double, v: Array[Double]) =
+      new GenericInternalRow(Array[Any](id, rel, new GenericArrayData(v)))
+    // a zero-norm vector's cosine rel is NaN — formerly it could never win
+    // a pick (NaN never compares greater) yet still occupied the pool, and
+    // an all-NaN tail left best = -1 → ArrayIndexOutOfBounds
+    val mixed = new GenericArrayData(Array[Any](
+      cand(1L, Double.NaN, Array(0.0, 0.0)),
+      cand(2L, 0.9, Array(1.0, 0.0)),
+      cand(3L, 0.8, Array(0.0, 1.0))))
+    val out = graft.expressions.VectorKernels.mmrSelect(mixed, 3, 0.7, 0.3)
+    assert(out.numElements() == 2, "NaN candidate must not count toward k")
+    assert(out.getStruct(0, 2).getLong(0) == 2L)
+    assert(out.getStruct(1, 2).getLong(0) == 3L)
+    // all-NaN pool: zero picks, no throw
+    val allNaN = new GenericArrayData(Array[Any](
+      cand(7L, Double.NaN, Array(0.0, 0.0))))
+    assert(graft.expressions.VectorKernels.mmrSelect(allNaN, 2, 0.7, 0.3)
+      .numElements() == 0)
   }
 
   test("vec_stats: centroid norm bounded by RMS norm (Jensen)") {

@@ -242,6 +242,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cohortDeltaStream deltas reconstruct orders_cohort_ltv exactly on scrambled arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CohortStream
+    import graft.streaming.CohortStream.OrderEvt
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => OrderEvt(r.getLong(0), r.getInt(1), r.getLong(2)))
+    // LATEST months arrive first: customers' cohorts re-assign repeatedly,
+    // exercising the negate-and-move path on nearly every batch
+    val scrambled = orders.sortBy(o => (-o.midx, o.custkey))
+    val stream = MemoryStream[OrderEvt]
+    val q = CohortStream.cohortDeltaStream(stream.toDS())
+      .writeStream.format("memory").queryName("cohortdeltas")
+      .outputMode("append").start()
+    try {
+      scrambled.grouped(math.max(1, scrambled.length / 4 + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val acc = spark.table("cohortdeltas")
+        .groupBy(col("cohortIdx").as("cohort_idx"), col("offset"))
+        .agg(sum("dActive").as("n_active"), sum("dRevCents").as("rev_cents"))
+        .filter(col("n_active") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_idx")).orderBy(col("offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val sz = acc.filter(col("offset") === 0)
+        .select(col("cohort_idx"), col("n_active").as("cohort_size"))
+      // reconstruct the FULL batch report from the folded deltas, with the
+      // batch query's own arithmetic (same casts, same division forms)
+      val got = acc.join(sz, Seq("cohort_idx"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .select(col("cohort_idx"), col("offset"), col("cohort_size"),
+          col("n_active"), (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          (col("cum_rev_cents").cast("double") / 100.0).as("cum_revenue"),
+          (col("cum_rev_cents").cast("double")
+            / (col("cohort_size").cast("double") * 100.0)).as("ltv_per_customer"))
+        .orderBy(col("cohort_idx"), col("offset")).collect()
+      val want = graft.operators.Analytics.ordersCohortLtv(spark, sf).collect()
+      assert(got.length == want.length, s"${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
   test("stream_late_audit_jitter spreads lateness across buckets (CASE edges live)") {
     val rows = SparkEntry.queries("stream_late_audit_jitter")(spark, sf).collect()
     assert(rows.length >= 4, s"jitter should populate >=4 buckets: ${rows.mkString(", ")}")
