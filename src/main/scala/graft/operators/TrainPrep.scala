@@ -640,7 +640,99 @@ object TrainPrep {
       |      lpad(lower(hex(least(58982, greatest(6554, n_chars * 65536 // 4000)))), 4, '0')
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ corpus_dup_spans
+  /** SPAN-level exact-substring dedup report (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22): a word-8-gram
+    * occurring in MORE THAN ONE document marks all 8 of its token
+    * positions duplicated; per document the report carries the
+    * interval-UNION of those spans (`covered_tokens`), the duplicated
+    * fraction, and a keep/trim/drop verdict (≥20 % / ≥80 % covered) —
+    * the position-aware measurement the doc-level dedup_* family cannot
+    * express (a quote or boilerplate block inside an otherwise unique
+    * doc shows up here as a partial span, not a whole-doc near-dup).
+    * Reference scope: beyond-reference LLM-pipeline op (no analogue in
+    * build_warehouse.py); the algorithmic idea (dup span = n-gram seen
+    * in ≥2 docs, report the union of hit intervals) is the hashed
+    * approximation of the paper's suffix-array ExactSubstr.
+    *
+    * Scale shape: the (doc_id, gram-hash array) frame is STAGED once
+    * (stageBarrier — the 8-gram md5 kernel is the expensive map work
+    * and feeds BOTH the cross-doc aggregate and the position probe);
+    * grams explode from the staged frame — linear in corpus tokens, the
+    * containment posting-list bound. Cross-doc-ness is min(doc)≠max(doc)
+    * per hash (no count-distinct expand); the dup-hash set is
+    * data-scaled so it JOINS (shuffle on the gram hash, never
+    * broadcast). The interval union is one lead() window per doc over
+    * DUP positions only (output-bounded — positions survive the
+    * semi-join, not the whole gram stream), then everything folds to one
+    * row per doc. Verdict thresholds are integer cross-multiplications
+    * (covered·5 ≥ n·4) — no float compares; `dup_frac` divides identical
+    * integers once at the output boundary. */
+  def corpusDupSpans(spark: SparkSession, dir: String): DataFrame =
+    corpusDupSpansFrom(Tables.documents(spark, dir))
+
+  private[graft] def corpusDupSpansFrom(docs: DataFrame): DataFrame = {
+    val hsFrame = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), Text.shingleHashes(col("text"), 8).as("hs"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens")))
+    val grams = hsFrame.select(col("doc_id"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("covered",
+        least(lit(8), coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(8))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("covered")).cast("long").as("covered_tokens"))
+    hsFrame.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - 7, lit(0L)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6) + lit(0.0))
+      .withColumn("verdict",
+        when(col("covered_tokens") * 5 >= col("n_tokens") * 4, "drop")
+          .when(col("covered_tokens") * 5 >= col("n_tokens"), "trim")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDupSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g0 AS (SELECT doc_id,
+      |         [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8])
+      |          for i in range(0, greatest(len(words)-7, 0))] AS hs
+      |       FROM w),
+      |g AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h FROM g0),
+      |d AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      |dp AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+      |cov AS (SELECT doc_id, pos,
+      |          least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS covered
+      |        FROM dp),
+      |percov AS (SELECT doc_id, count(*) AS n_dup_grams,
+      |                  CAST(sum(covered) AS BIGINT) AS covered_tokens
+      |           FROM cov GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents)
+      |SELECT b.doc_id, b.n_tokens, greatest(b.n_tokens - 7, 0) AS n_grams,
+      |       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+      |       coalesce(p.covered_tokens, 0) AS covered_tokens,
+      |       round(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / b.n_tokens, 6) + 0.0 AS dup_frac,
+      |       CASE WHEN coalesce(p.covered_tokens, 0) * 5 >= b.n_tokens * 4 THEN 'drop'
+      |            WHEN coalesce(p.covered_tokens, 0) * 5 >= b.n_tokens THEN 'trim'
+      |            ELSE 'keep' END AS verdict
+      |FROM base b LEFT JOIN percov p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dup_spans" -> (corpusDupSpans _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
@@ -659,6 +751,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,

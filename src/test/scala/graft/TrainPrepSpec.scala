@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
 
 /** Semantic checks for the training-prep operators. */
 class TrainPrepSpec extends SparkSpec {
@@ -209,6 +210,29 @@ class TrainPrepSpec extends SparkSpec {
     }
     // group-iterator order must not matter (the fold sorts internally)
     assert(run().toSet == rows.toSet)
+  }
+
+  test("dup_spans: interval union, partial-span trim, and exact-copy drop on planted fixtures") {
+    import spark.implicits._
+    val s = (1 to 10).map(i => s"s$i").mkString(" ") // shared 10-word block
+    val docs = Seq(
+      // doc 1: block at positions 5..14 of 20 → dup grams 5,6,7; union = 10 tokens → trim
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + s + " " + (1 to 5).map(i => s"b$i").mkString(" ")),
+      // doc 2: same block at positions 2..11 of 20 → dup grams 2,3,4; union = 10 → trim
+      (2L, "c1 c2 " + s + " " + (1 to 8).map(i => s"d$i").mkString(" ")),
+      // doc 3: unique throughout → keep
+      (3L, (1 to 12).map(i => s"e$i").mkString(" ")),
+      // docs 4/5: exact copies (10 words) → all 3 grams dup, union = 10/10 → drop
+      (4L, (1 to 10).map(i => s"f$i").mkString(" ")),
+      (5L, (1 to 10).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.corpusDupSpansFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getString(6))).toMap
+    assert(got(1L) == ((3L, 10L, "trim")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 10L, "trim")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, "keep")), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((3L, 10L, "drop")), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((3L, 10L, "drop")), s"doc5: ${got(5L)}")
   }
 
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
