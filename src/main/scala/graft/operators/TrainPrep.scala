@@ -731,8 +731,84 @@ object TrainPrep {
       |FROM base b LEFT JOIN percov p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- corpus_dsir_weights
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23): score every RAW
+    * document by how target-like its hashed unigram features are —
+    * logw(doc) = Σ_w [ln p̂_target(b(w)) − ln p̂_raw(b(w))] over the
+    * doc's word occurrences, where b(w) hashes words into 256 buckets
+    * (md5-prefix, engine-portable) and both distributions are
+    * Laplace-smoothed bucket frequencies. High logw = resample-up for
+    * target-matched pretraining; pairs with corpus_mix / corpus_domain_kl.
+    * The target split reuses the decontaminate stand-in (doc_id%20==0 =
+    * "target" suite, rest = raw pool).
+    *
+    * Scale shape: ONE fact-sized shuffle — the (bucket) count aggregate,
+    * map-side combined down to ≤256 groups — then the 256-row
+    * log-ratio table BROADCASTS back onto the exploded word stream
+    * (map-only probe; the bucket table is fixed-size by construction,
+    * NOT data-scaled — contrast the size-gated eval broadcasts above).
+    * The per-doc Σ is the sorted-fold discipline (collect (pos, lr)
+    * structs, sort, sequential fold ≙ DuckDB list_reduce) so the float
+    * sum is bit-identical cross-engine; ln() arguments are built from
+    * identical integer counts with identical division order. */
+  def corpusDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    corpusDsirWeightsFrom(Tables.documents(spark, dir))
+
+  private[graft] def corpusDsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val isTarget = col("doc_id") % 20 === 0
+    val ex = docs.select(col("doc_id"),
+        posexplode(Text.words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), substring(md5(col("w")), 1, 2).as("b"))
+    // bs feeds BOTH the totals row and the log-ratio projection — staged
+    // once (the shuffle-ending aggregate materializes a single time; the
+    // r6 derivation-staging discipline).
+    val bs = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      ex.groupBy(col("b")).agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr")))
+    val tot = bs.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
+    val lr = bs.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("t") + lit(256))) -
+          log((col("cr") + 1).cast("double") / (col("r") + lit(256)))).as("lr"))
+    ex.filter(!isTarget)
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("lr")))),
+          lit(0.0), (acc, x) => acc + x.getField("lr")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("s"), 4) + 0.0).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDsirWeightsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT doc_id, u.pos AS pos, substr(md5(u.w), 1, 2) AS b
+      |      FROM w, UNNEST(list_transform(range(1, len(ws)+1),
+      |           i -> {'pos': i, 'w': ws[i]})) AS t(u)),
+      |bs AS (SELECT b, sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS ct,
+      |              sum(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS cr
+      |       FROM e GROUP BY b),
+      |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM bs),
+      |lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (t + 256)) -
+      |                 ln(CAST(cr + 1 AS DOUBLE) / (r + 256)) AS lr
+      |       FROM bs CROSS JOIN tot),
+      |d AS (SELECT e.doc_id, e.pos, lr.lr FROM e JOIN lr USING (b)
+      |      WHERE e.doc_id % 20 <> 0),
+      |agg AS (SELECT doc_id, count(*) AS n_feats,
+      |               list_reduce(list_transform(
+      |                 list_sort(list(struct_pack(pos := pos, lr := lr))), x -> x.lr),
+      |                 (a, x) -> a + x) AS s
+      |        FROM d GROUP BY doc_id)
+      |SELECT doc_id, n_feats, CAST(round(s, 4) AS DOUBLE) + 0.0 AS logw
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dup_spans" -> (corpusDupSpans _),
+    "corpus_dsir_weights" -> (corpusDsirWeights _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
@@ -752,6 +828,7 @@ object TrainPrep {
 
   def oracles: Map[String, String] = Map(
     "corpus_dup_spans" -> corpusDupSpansSql,
+    "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,

@@ -235,6 +235,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(5L) == ((3L, 10L, "drop")), s"doc5: ${got(5L)}")
   }
 
+  test("dsir: target-vocabulary raw docs outscore off-target raw docs") {
+    import spark.implicits._
+    val tvoc = (1 to 8).map(i => s"t$i").mkString(" ")  // target vocabulary
+    val ovoc = (1 to 8).map(i => s"o$i").mkString(" ")  // off-target vocabulary
+    val docs = Seq(
+      (20L, tvoc), (40L, tvoc),            // target suite (doc_id % 20 == 0)
+      (1L, tvoc), (2L, tvoc),              // raw, target-like
+      (3L, ovoc), (4L, ovoc)               // raw, off-target
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.corpusDsirWeightsFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "weights only for raw docs")
+    assert(got(1L) == got(2L) && got(3L) == got(4L), "identical docs tie")
+    assert(got(1L) > got(3L),
+      s"target-like ${got(1L)} must outscore off-target ${got(3L)}")
+  }
+
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
     val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
