@@ -79,7 +79,11 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
-  val textLmScoreSql: String =
+  /** Shared CTE chain ending in `score(doc_id, n_bigrams, avg_neg_logp)`
+    * — the oracle-drift guard (SURVEY §4): text_lm_score and
+    * corpus_ccnet_buckets must agree on the LM-score derivation, so it
+    * is ONE constant (the Dedup.ngramDupsCtes precedent). */
+  private[graft] val lmScoreCtes: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
       |b AS (
       |  SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.bg AS bg
@@ -99,10 +103,14 @@ object TextStats {
       |         list_reduce(list_transform(
       |           list_sort(list(struct_pack(pos := pos, lp := lp))), x -> x.lp),
       |           (a, x) -> a + x) AS s
-      |  FROM lp GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams,
-      |       CAST(round(-s / n_bigrams, 4) AS DOUBLE) + 0.0 AS avg_neg_logp
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |  FROM lp GROUP BY doc_id),
+      |score AS (
+      |  SELECT doc_id, n_bigrams,
+      |         CAST(round(-s / n_bigrams, 4) AS DOUBLE) + 0.0 AS avg_neg_logp
+      |  FROM agg)""".stripMargin
+
+  val textLmScoreSql: String = lmScoreCtes +
+    "\nSELECT doc_id, n_bigrams, avg_neg_logp FROM score ORDER BY doc_id"
 
   // ------------------------------------------------------- corpus_domain_kl
   /** KL divergence of each source's unigram distribution from the
@@ -298,8 +306,77 @@ object TextStats {
       |SELECT doc_id, n_terms, score
       |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- corpus_ccnet_buckets
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): per
+    * LANGUAGE, split documents into head/middle/tail tertiles of the
+    * corpus-trained LM score (text_lm_score's avg_neg_logp) — the
+    * standard quality gate that keeps the head, down-samples the
+    * middle, drops the tail, computed per language so a hard language
+    * never lands wholesale in the tail.
+    *
+    * Scale: a per-LANGUAGE global rank is still a data-scaled window
+    * (|langs| is small, so each partition is ~corpus/|langs| — the
+    * single-reducer shape the registry bans). The tertile is therefore
+    * the bucketed two-pass exact ntile GENERALIZED to groups: per-lang
+    * score ranges (|langs|-row broadcast) → 64 equal-width buckets
+    * non-decreasing in the order key → (lang, bkt) histogram (≤
+    * |langs|·64 rows; offset windows run over the HISTOGRAM, never the
+    * data) → within-(lang, bkt) row_number + per-lang offset = exact
+    * per-lang rank → Spark's closed-form ntile arithmetic. Bit-identical
+    * to DuckDB's ntile(3) because (avg_neg_logp, doc_id) totally orders
+    * each language. The LM-score frame is staged once (it feeds the
+    * range probe and the scoring join); its derivation is the
+    * lmScoreCtes shared constant on the oracle side. */
+  def corpusCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      lmScoreOf(docs).join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val rng = scored.groupBy(col("lang")).agg(
+      min(col("avg_neg_logp")).as("mn"), max(col("avg_neg_logp")).as("mx"))
+    val B = 64
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      scored.join(broadcast(rng), Seq("lang"))
+        .withColumn("bkt", coalesce(greatest(lit(0L), least(lit(B - 1L),
+          floor((col("avg_neg_logp") - col("mn")) * B /
+            (col("mx") - col("mn") + lit(1e-6))))), lit(0L)))
+        .drop("mn", "mx"))
+    val hist = bucketed.groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("c_"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off_", coalesce(sum(col("c_")).over(wOff), lit(0L)))
+      .withColumn("n_", sum(col("c_")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("bkt"), col("off_"), col("n_"))
+    val wLoc = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("avg_neg_logp"), col("doc_id"))
+    val tiled = bucketed
+      .withColumn("rn_", row_number().over(wLoc))
+      .join(broadcast(offs), Seq("lang", "bkt"))
+      .withColumn("rk_", col("off_") + col("rn_"))
+      .withColumn("t_", expr(
+        """CAST(CASE WHEN rk_ <= (n_ % 3) * (n_ DIV 3 + 1)
+          |          THEN (rk_ - 1) DIV (n_ DIV 3 + 1) + 1
+          |          ELSE (n_ % 3) + (rk_ - 1 - (n_ % 3) * (n_ DIV 3 + 1)) DIV (n_ DIV 3) + 1
+          |     END AS INT)""".stripMargin))
+    tiled.select(col("doc_id"), col("lang"), col("avg_neg_logp"),
+        when(col("t_") === 1, "head").when(col("t_") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCcnetBucketsSql: String = lmScoreCtes + "\n" +
+    """SELECT s.doc_id, d.lang, s.avg_neg_logp,
+      |       CASE ntile(3) OVER (PARTITION BY d.lang
+      |                           ORDER BY s.avg_neg_logp, s.doc_id)
+      |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+      |       END AS ppl_bucket
+      |FROM score s JOIN documents d USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
     "text_lm_score" -> (textLmScore _),
     "corpus_domain_kl" -> (corpusDomainKl _),
     "text_tfidf_top" -> (textTfidfTop _),
@@ -307,6 +384,7 @@ object TextStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "text_lm_score" -> textLmScoreSql,
     "corpus_domain_kl" -> corpusDomainKlSql,
     "text_tfidf_top" -> textTfidfTopSql,

@@ -120,4 +120,28 @@ class TextStatsSpec extends SparkSpec {
     val again = df.collect().map(_.toSeq).toSeq
     assert(again == rows.map(_.toSeq).toSeq)
   }
+
+  test("ccnet buckets: bucketed two-pass tertile equals the global ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("corpus_ccnet_buckets")(spark, sf)
+    // reference: the per-lang global ntile window (single-reducer shape,
+    // fine at spec scale) over the same scored frame
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val scored = TextStats.lmScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_neg_logp"), col("doc_id"))
+    val ref = scored.select(col("doc_id"),
+      when(ntile(3).over(w) === 1, "head").when(ntile(3).over(w) === 2, "middle")
+        .otherwise("tail").as("ref_bucket"))
+    val joined = got.join(ref, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    val diff = joined.filter(r => r.getAs[String]("ppl_bucket") != r.getAs[String]("ref_bucket"))
+    assert(diff.isEmpty, s"${diff.length} tertile mismatches, e.g. ${diff.take(3).mkString("; ")}")
+    // per-lang tertile sizes differ by at most 1
+    got.groupBy(col("lang"), col("ppl_bucket")).count().collect()
+      .groupBy(_.getString(0)).foreach { case (lang, rs) =>
+        val counts = rs.map(_.getLong(2))
+        assert(counts.max - counts.min <= 1, s"$lang tertiles unbalanced: ${counts.toSeq}")
+      }
+  }
 }
