@@ -1489,8 +1489,77 @@ object Ann {
       |FROM g1 JOIN g2 ON g1.label = g2.label
       |ORDER BY g1.label""".stripMargin
 
+  // -------------------------------------------------------- ann_range_search
+  /** Cosine THRESHOLD (radius) search: every corpus vector with
+    * round(cos, 4) ≥ τ = 0.35 of each driver-held query — the "all
+    * matches above a similarity bar" retrieval shape (near-dup candidate
+    * pull, dedup-by-query, wiki-link mining), where top-k's fixed k is
+    * the wrong contract because the true match count varies per query
+    * (possibly zero — queries may legitimately return no rows).
+    *
+    * Scale: identical candidate shape to ann_ivf_topk — nprobe probed
+    * cells per query, candidates bounded by probed-cell membership, NO
+    * per-query global sort (the threshold filter replaces the top-k
+    * window entirely, so this is WINDOW-FREE: scan-fused cosine + filter
+    * after the cell join). Output is bounded by the true ≥τ match count
+    * within probed cells. The threshold compares the ROUNDED cosine so
+    * both engines gate on identical doubles. Fully oracled through the
+    * shared ivfIndexCtes (probe ranking mirrored like ann_ivf_topk);
+    * AnnSpec bounds recall and pins zero false positives vs the brute
+    * ≥τ pair set. */
+  private val RangeTau = 0.35
+
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val out = buildIvfIndex(e, n) match {
+      case None => // degenerate corpus: exact scan, same output contract
+        val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .filter(col("q_id") < NQueries)
+        broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            (round(Vectors.cosine(col("qv"), col("v")), 4) + 0.0).as("cos_sim"))
+      case Some(idx) =>
+        val qRows = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val session = spark
+        import session.implicits._
+        val probes = driverProbes(idx, qRows).toDF("q_id", "qv", "cell")
+        broadcast(probes).join(idx.celled, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            (round(Vectors.cosine(col("qv"), col("v")), 4) + 0.0).as("cos_sim"))
+    }
+    out.filter(col("cos_sim") >= RangeTau)
+      .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
+  }
+
+  lazy val annRangeSearchSql: String =
+    s"""WITH $ivfIndexCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (  -- exhaustive probe ranking, the ann_ivf_topk mirror
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM q CROSS JOIN flatcells f)
+       |  WHERE pr <= $IvfProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |         CAST(round($cosFoldSql, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN q qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id)
+       |SELECT q_id, n_id, cos_sim
+       |FROM rr WHERE cos_sim >= $RangeTau
+       |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range_search" -> (annRangeSearch _),
     "ann_brute_topk" -> (annBruteTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -1504,6 +1573,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_range_search" -> annRangeSearchSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_pq_topk" -> annPqTopkSql,

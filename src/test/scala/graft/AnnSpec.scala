@@ -309,4 +309,25 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Long]("n") > 0)
     }
   }
+
+  test("ann_range_search: no false positives vs brute >=tau set, recall >= 0.6") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < 20)
+    val brute = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (round(Vectors.cosine(col("qv"), col("v")), 4) + 0.0).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain >=tau pairs")
+    val fps = got -- brute
+    assert(fps.isEmpty, s"range search returned sub-threshold pairs: ${fps.take(3)}")
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"range recall $recall (${got.size}/${brute.size})")
+  }
 }
