@@ -594,6 +594,58 @@ object Warehouse {
        |WINDOW w AS (PARTITION BY department, gl_code ORDER BY year, month)
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  // ------------------------------------------------------ fin_common_size
+  /** Common-size income statement: every warehouse line as a percent of
+    * its department-month Revenue total — the textbook vertical analysis
+    * read next to the raw statement (reporting over the same upserted
+    * fact as the fin_trend_mom family; completes the reference's
+    * trend→forecast→audit reporting promise with the ratio view). Lines
+    * in months with zero or absent revenue carry NULL pct.
+    *
+    * Scale: one fact shuffle (the monthly (dept, GL, category) rollup,
+    * map-side combined; staged once for its two consumers); the revenue
+    * denominator is an aggregate OVER that aggregate, joined back per
+    * (department, year, month) — AQE broadcasts it while it fits. pct
+    * is ONE IEEE division of exact integer cents (numerator pre-scaled
+    * ×100 in integer space), rounded past the wobble — cross-engine
+    * deterministic. */
+  def finCommonSize(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      upserted(spark, dir)
+        .groupBy(col("department"), col("gl_code"), col("category"),
+          col("year"), col("month"))
+        .agg(sum(cents(col("amount"))).as("tc")))
+    val rev = monthly.filter(col("category") === "Revenue")
+      .groupBy(col("department"), col("year"), col("month"))
+      .agg(sum(col("tc")).as("rev_tc"))
+    monthly.join(rev, Seq("department", "year", "month"), "left")
+      .select(col("department"), col("gl_code"), col("category"),
+        col("year"), col("month"), dollars(col("tc")).as("amount"),
+        when(col("rev_tc").isNull || col("rev_tc") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("tc") * 100).cast("double") / col("rev_tc"), 4) + 0.0)
+          .as("pct_of_revenue"))
+      .orderBy(col("department"), col("year"), col("month"),
+        col("gl_code"), col("category"))
+  }
+
+  val finCommonSizeSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, category, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, category, year, month),
+       |rev AS (SELECT department, year, month, sum(tc) AS rev_tc
+       |        FROM fin_monthly WHERE category = 'Revenue'
+       |        GROUP BY department, year, month)
+       |SELECT m.department, m.gl_code, m.category, m.year, m.month,
+       |       CAST(m.tc AS DOUBLE)/100.0 AS amount,
+       |       CASE WHEN rev.rev_tc IS NULL OR rev.rev_tc = 0 THEN NULL
+       |            ELSE round(CAST(m.tc * 100 AS DOUBLE) / rev.rev_tc, 4) + 0.0
+       |       END AS pct_of_revenue
+       |FROM fin_monthly m LEFT JOIN rev USING (department, year, month)
+       |ORDER BY department, year, month, gl_code, category""".stripMargin
+
   /** fin_yoy_trend: year-over-year movement per (department, GL, month) —
     * the seasonally-aligned twin of fin_trend_mom (compare each month to
     * the SAME month one year back, not the previous month), the other
@@ -1268,6 +1320,7 @@ object Warehouse {
     "fin_load_diff" -> (finLoadDiff _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
+    "fin_common_size" -> (finCommonSize _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_yoy_trend" -> (finYoyTrend _),
     "fin_forecast_linear" -> (finForecastLinear _),
@@ -1296,6 +1349,7 @@ object Warehouse {
     "fin_load_diff" -> finLoadDiffSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
+    "fin_common_size" -> finCommonSizeSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_yoy_trend" -> finYoyTrendSql,
     "fin_forecast_linear" -> finForecastLinearSql,

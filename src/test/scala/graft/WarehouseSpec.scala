@@ -281,4 +281,30 @@ class WarehouseSpec extends SparkSpec {
       }
     }
   }
+
+  test("fin_common_size: revenue lines sum to ~100% per department-month") {
+    val rows = SparkEntry.queries("fin_common_size")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.groupBy(r => (r.getString(0), r.getInt(3), r.getInt(4)))
+    assert(byMonth.nonEmpty)
+    var monthsWithRev = 0
+    byMonth.foreach { case (key, rs) =>
+      val rev = rs.filter(_.getString(2) == "Revenue")
+      if (rev.nonEmpty && !rev.head.isNullAt(6)) {
+        monthsWithRev += 1
+        val pctSum = rev.map(_.getDouble(6)).sum
+        assert(math.abs(pctSum - 100.0) < 0.01 * rev.length,
+          s"$key: revenue pct sums to $pctSum over ${rev.length} lines")
+        // expense pct shares the same denominator: amount ratio reproduces it
+        rs.filter(r => r.getString(2) == "Expenses" && !r.isNullAt(6)).take(3)
+          .foreach { r =>
+            val revTotal = rev.map(_.getDouble(5)).sum
+            val expect = r.getDouble(5) * 100.0 / revTotal
+            assert(math.abs(r.getDouble(6) - expect) < 0.01,
+              s"$key gl ${r.getString(1)}: pct ${r.getDouble(6)} vs $expect")
+          }
+      }
+    }
+    assert(monthsWithRev > 0, "fixture must contain months with revenue")
+  }
 }
