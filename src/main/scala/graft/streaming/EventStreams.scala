@@ -378,7 +378,47 @@ object EventStreams {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, start_us""".stripMargin
 
+  // -------------------------------------------------------- stream_topk_trend
+  /** Top-k ranking over a windowed count frame — shared by the batch
+    * stream_topk_trend query and the streaming sink-side view (Spark
+    * disallows rank-over-aggregate INSIDE a streaming query, so a
+    * trending dashboard ranks the maintained counts at read time; the
+    * spec pins that sink-side ranking of the streamed counts row-equals
+    * this batch query). The rank window runs over the POST-AGGREGATE
+    * frame: partitions are hour windows, each holding ≤ |event_type|
+    * rows — bounded, never data-scaled. */
+  def topkOf(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("window_start_us"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("window_start_us"), col("rank"), col("event_type"), col("n"))
+      .orderBy(col("window_start_us"), col("rank"))
+  }
+
+  /** stream_topk_trend: the trending-items report — per tumbling hour,
+    * the 3 most frequent event types (ties → type asc). One
+    * map-side-combined fact shuffle into (hour, type) counts, then the
+    * bounded post-aggregate rank above. */
+  def streamTopkTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    topkOf(Tables.eventsUs(spark, dir)
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(hourUs))).as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  val streamTopkTrendSql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+      |                                   ORDER BY n DESC, event_type) AS rank FROM c)
+      |SELECT window_start_us, rank, event_type, n
+      |FROM r WHERE rank <= 3 ORDER BY window_start_us, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_trend" -> (streamTopkTrend _),
     "stream_tumbling_agg" -> (streamTumblingAgg _),
     "stream_hopping_agg" -> (streamHoppingAgg _),
     "stream_session_agg" -> (streamSessionAgg _),
@@ -387,6 +427,7 @@ object EventStreams {
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
+    "stream_topk_trend" -> streamTopkTrendSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_hopping_agg" -> streamHoppingAggSql,
     "stream_session_agg" -> streamSessionAggSql,

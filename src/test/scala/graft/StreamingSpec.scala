@@ -297,4 +297,25 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sum
     assert(total == plain, s"jitter reorders, never drops: $total vs $plain")
   }
+
+  test("sink-side top-k over streamed window counts matches batch stream_topk_trend") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[EventStreams.Event]
+    val withTs = stream.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.tumblingAgg(withTs)
+      .writeStream.format("memory").queryName("trend_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val counts = spark.table("trend_counts")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"))
+      val got = EventStreams.topkOf(counts).collect()
+      val want = SparkEntry.queries("stream_topk_trend")(spark, sf).collect()
+      assert(got.nonEmpty && got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
 }
