@@ -154,13 +154,67 @@ object Multimodal {
       |       CAST((cum_bytes - byte_len) // 65536 AS BIGINT) AS pack_id
       |FROM c ORDER BY shard, doc_id""".stripMargin
 
+  /** mm_frame_sample: video frame SAMPLING plumbing — treat each video
+    * payload as a sequence of fixed 256-byte pseudo-frames (standing in
+    * for container-reported frames; a real pipeline reads the frame
+    * count from metadata the same way) and sample an evenly-strided ≤8
+    * of them per video, emitting each sampled frame's offset and an
+    * 8-byte fingerprint. This is the decode-free half of frame
+    * extraction a training pipeline runs BEFORE the expensive decoder
+    * (pick frames → then decode only those); the stride arithmetic,
+    * explode shape and byte-slicing are the real distributed work.
+    *
+    * Scale: map-only — sequence+explode emits ≤8 rows per video and
+    * only (doc_id, idx, 16-hex-char fingerprint) scalars leave the
+    * scan; payload bytes never shuffle. Fully oracled: the fingerprint
+    * is hex(bytes) so DuckDB can slice the hex string (hex pairs =
+    * bytes) without blob substring support — byte-exact regardless of
+    * text encoding. Videos shorter than one frame emit no rows. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    mmFrameSampleFrom(mediaTable(spark, dir))
+
+  private[graft] def mmFrameSampleFrom(media: DataFrame): DataFrame = {
+    val frameBytes = 256
+    val maxFrames = 8
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"), col("payload"),
+        expr(s"CAST(octet_length(payload) DIV $frameBytes AS BIGINT)").as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("stride", greatest(lit(1L),
+        ceil(col("n_frames").cast("double") / maxFrames).cast("long")))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_off"),
+        hex(col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(8))).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, strlen(text) // 256 AS n_frames
+      |  FROM documents
+      |  WHERE CAST(doc_id % 3 AS INT) = 2 AND strlen(text) >= 256),
+      |s AS (SELECT doc_id, n_frames, text,
+      |        greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS stride
+      |      FROM v),
+      |f AS (SELECT doc_id, n_frames, text,
+      |        unnest(range(0, n_frames, stride)) AS frame_idx FROM s)
+      |SELECT doc_id, n_frames, frame_idx, frame_idx * 256 AS frame_off,
+      |       substring(hex(encode(text)), CAST(frame_idx * 512 + 1 AS BIGINT), 16) AS frame_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> (mmFrameSample _),
     "mm_metadata" -> (mmMetadata _),
     "mm_features" -> (mmFeatures _),
     "mm_dedup" -> (mmDedup _),
     "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
+    "mm_frame_sample" -> mmFrameSampleSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_dedup" -> mmDedupSql,
     "mm_shard_pack" -> mmShardPackSql)

@@ -42,4 +42,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(direct == shuffled)
   }
+
+  test("mm_frame_sample: stride caps samples at 8, fingerprints match payload bytes") {
+    import spark.implicits._
+    // 19 frames (4864+192 bytes) -> stride ceil(19/8)=3 -> frames 0,3,..,18 (7)
+    val longPayload = Array.tabulate[Byte](19 * 256 + 192)(i => (i % 251).toByte)
+    val shortPayload = Array.tabulate[Byte](100)(i => i.toByte) // < 1 frame
+    val media = Seq(
+      (2L, "video", longPayload),
+      (5L, "video", shortPayload),
+      (1L, "image", longPayload) // non-video: excluded
+    ).toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.mmFrameSampleFrom(media).collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq == Seq(2L), "only the long video samples")
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 3L, 6L, 9L, 12L, 15L, 18L))
+    rows.foreach { r =>
+      val off = r.getLong(3).toInt
+      assert(off == r.getLong(2).toInt * 256)
+      val expect = longPayload.slice(off, off + 8).map("%02X".format(_)).mkString
+      assert(r.getString(4) == expect, s"frame ${r.getLong(2)} fingerprint")
+    }
+    assert(rows.length <= 8)
+  }
 }
