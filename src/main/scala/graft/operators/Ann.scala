@@ -1557,8 +1557,67 @@ object Ann {
        |FROM rr WHERE cos_sim >= $RangeTau
        |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 
+  // ----------------------------------------------------- embed_cluster_stats
+  /** IVF cluster OBSERVABILITY report: per flat cell, the member count,
+    * lowest member id, and mean member→centroid raw·unit dot (the
+    * affinity the assignment argmax maximizes) — the health check run
+    * after (re)building a vector index: skewed cell sizes mean hot
+    * probes, low affinity means the one Lloyd step under-fit that
+    * region (pairs with dedup_semantic, which trusts these same cells).
+    *
+    * Scale: one shuffle of (cell, vec_id, dot-scalar) — the dot is
+    * computed scan-side against the broadcast centroid table (nlist
+    * rows, O(√n·dim) — the same bounded index state every ANN query
+    * ships); output is nlist rows. Affinity sums follow the vec_stats
+    * integer-micro-unit discipline (per-row round to BIGINT, then an
+    * order-independent integer sum), so no sorted fold is needed.
+    * Degenerate corpora (<2 coarse seeds — sub-spec scale only) report
+    * a single cell with NULL affinity; the oracle's CTE chain, like the
+    * builder, assumes a real index. */
+  def embedClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    buildIvfIndex(e, n) match {
+      case None =>
+        e.groupBy(lit(0L).as("cell"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+          .withColumn("avg_dot", lit(null).cast("double"))
+      case Some(idx) =>
+        val session = spark
+        import session.implicits._
+        val cents = (for {
+          ci <- idx.refinedSub.indices
+          si <- idx.refinedSub(ci).indices
+        } yield ((ci * idx.maxSub + si).toLong, idx.refinedSub(ci)(si).toSeq))
+          .toDF("cell", "ru")
+        idx.celled.join(broadcast(cents), Seq("cell"))
+          .select(col("cell"), col("vec_id"),
+            round(Vectors.dot(col("v"), col("ru")) * 1000000).cast("long").as("dot_micro"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"),
+            sum(col("dot_micro")).as("sdm"))
+          .select(col("cell").cast("long").as("cell"), col("n_members"), col("min_member"),
+            (round(col("sdm").cast("double") / (col("n_members") * 1000000.0), 4) + 0.0)
+              .as("avg_dot"))
+          .orderBy(col("cell"))
+    }
+  }
+
+  lazy val embedClusterStatsSql: String =
+    s"""WITH $ivfIndexCtes,
+       |dm AS (
+       |  SELECT c.cell, c.vec_id,
+       |         CAST(round(list_reduce([e.v[i] * f.ru[i] for i in range(1, len(e.v)+1)],
+       |                                (x, y) -> x + y) * 1000000) AS BIGINT) AS dot_micro
+       |  FROM celled c JOIN e USING (vec_id) JOIN flatcells f ON f.cell = c.cell)
+       |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_members,
+       |       min(vec_id) AS min_member,
+       |       round(CAST(sum(dot_micro) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0 AS avg_dot
+       |FROM dm GROUP BY cell ORDER BY cell""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_cluster_stats" -> (embedClusterStats _),
     "ann_range_search" -> (annRangeSearch _),
     "ann_brute_topk" -> (annBruteTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -1573,6 +1632,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "embed_cluster_stats" -> embedClusterStatsSql,
     "ann_range_search" -> annRangeSearchSql,
     "ann_brute_topk" -> annBruteTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,

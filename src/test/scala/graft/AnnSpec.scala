@@ -310,6 +310,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("embed_cluster_stats: membership conserved, affinity finite, deterministic") {
+    val rows = SparkEntry.queries("embed_cluster_stats")(spark, sf).collect()
+    assert(rows.length >= 2, "gate corpus must build a real multi-cell index")
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total == corpus, s"members $total != corpus $corpus")
+    rows.foreach { r =>
+      assert(!r.isNullAt(3) && !r.getDouble(3).isNaN, s"cell ${r.getLong(0)} affinity")
+      assert(r.getLong(1) > 0)
+    }
+    val again = SparkEntry.queries("embed_cluster_stats")(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("ann_range_search: no false positives vs brute >=tau set, recall >= 0.6") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
