@@ -609,9 +609,19 @@ object Warehouse {
     * is ONE IEEE division of exact integer cents (numerator pre-scaled
     * ×100 in integer space), rounded past the wobble — cross-engine
     * deterministic. */
-  def finCommonSize(spark: SparkSession, dir: String): DataFrame = {
+  def finCommonSize(spark: SparkSession, dir: String): DataFrame =
+    finCommonSizeFrom(upserted(spark, dir))
+
+  /** fin_common_size_staged: same report off the staged warehouse table
+    * (the fin_trend_mom_staged convention — production amortizes the
+    * statements derivation once, the in-query twin is the honest
+    * cold-start floor). */
+  def finCommonSizeStaged(spark: SparkSession, dir: String): DataFrame =
+    finCommonSizeFrom(stagedUpserted(spark, dir))
+
+  private def finCommonSizeFrom(up: DataFrame): DataFrame = {
     val monthly = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
-      upserted(spark, dir)
+      up
         .groupBy(col("department"), col("gl_code"), col("category"),
           col("year"), col("month"))
         .agg(sum(cents(col("amount"))).as("tc")))
@@ -1321,6 +1331,7 @@ object Warehouse {
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_common_size" -> (finCommonSize _),
+    "fin_common_size_staged" -> (finCommonSizeStaged _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_yoy_trend" -> (finYoyTrend _),
     "fin_forecast_linear" -> (finForecastLinear _),
@@ -1350,6 +1361,7 @@ object Warehouse {
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_common_size" -> finCommonSizeSql,
+    "fin_common_size_staged" -> finCommonSizeSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_yoy_trend" -> finYoyTrendSql,
     "fin_forecast_linear" -> finForecastLinearSql,
