@@ -1615,8 +1615,60 @@ object Ann {
        |       round(CAST(sum(dot_micro) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0 AS avg_dot
        |FROM dm GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ----------------------------------------------------------- ann_rrf_fusion
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ANN
+    * rankers over the same query set: the IVF cell ranker and the
+    * PQ/ADC ranker each produce a per-query top-K list; the fused score
+    * is Σ_legs 1/(60 + rank) — the standard ensemble merge for
+    * retrievers whose raw scores are incomparable, and exactly the
+    * lexical+dense hybrid shape (swap either leg for a BM25 list and
+    * the fusion arithmetic is unchanged).
+    *
+    * Scale: both legs are the registered bounded pipelines; the fusion
+    * itself is a full-outer join of two ≤|Q|·K scalar frames plus a
+    * window over ≤2K candidates per query — negligible next to the
+    * legs. Determinism: ranks are exact integers, 1/(60+r) is one IEEE
+    * division per leg, and the two terms sum in fixed leg order (no
+    * fold needed); ties break on n_id. The mirror embeds the two
+    * registered oracle queries VERBATIM as subqueries — shared-constant
+    * drift-proofing taken to its limit. */
+  def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val a = annIvfTopk(spark, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_ivf"))
+    val b = annPqTopk(spark, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_pq"))
+    val fused = a.join(b, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_ivf")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_pq")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("rrf"), 6) + 0.0).as("rrf_score"),
+        col("rank_ivf"), col("rank_pq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  lazy val annRrfFusionSql: String =
+    s"""WITH ivf AS (SELECT * FROM ($annIvfTopkSql) ivf_t),
+       |pq AS (SELECT * FROM ($annPqTopkSql) pq_t),
+       |f AS (
+       |  SELECT coalesce(ivf.q_id, pq.q_id) AS q_id,
+       |         coalesce(ivf.n_id, pq.n_id) AS n_id,
+       |         ivf.rank AS rank_ivf, pq.rank AS rank_pq,
+       |         coalesce(CAST(1 AS DOUBLE) / (60 + ivf.rank), 0.0) +
+       |           coalesce(CAST(1 AS DOUBLE) / (60 + pq.rank), 0.0) AS rrf
+       |  FROM ivf FULL OUTER JOIN pq
+       |    ON ivf.q_id = pq.q_id AND ivf.n_id = pq.n_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY rrf DESC, n_id) AS rank FROM f)
+       |SELECT q_id, rank, n_id, CAST(round(rrf, 6) AS DOUBLE) + 0.0 AS rrf_score,
+       |       rank_ivf, rank_pq
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rrf_fusion" -> (annRrfFusion _),
     "embed_cluster_stats" -> (embedClusterStats _),
     "ann_range_search" -> (annRangeSearch _),
     "ann_brute_topk" -> (annBruteTopk _),
@@ -1632,6 +1684,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_rrf_fusion" -> annRrfFusionSql,
     "embed_cluster_stats" -> embedClusterStatsSql,
     "ann_range_search" -> annRangeSearchSql,
     "ann_brute_topk" -> annBruteTopkSql,

@@ -310,6 +310,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_rrf_fusion: K rows per query, double-agreement dominates, legs traceable") {
+    val rows = SparkEntry.queries("ann_rrf_fusion")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q: ${rs.length} rows")
+      // every fused row must come from at least one leg
+      rs.foreach(r => assert(!r.isNullAt(4) || !r.isNullAt(5), s"orphan row at $q"))
+      // a doc ranked 1 by BOTH legs must win the fusion
+      rs.find(r => !r.isNullAt(4) && r.getInt(4) == 1 &&
+          !r.isNullAt(5) && r.getInt(5) == 1)
+        .foreach(r => assert(r.getInt(1) == 1, s"double-#1 not fused #1 at $q"))
+      // scores non-increasing down the fused ranking
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("embed_cluster_stats: membership conserved, affinity finite, deterministic") {
     val rows = SparkEntry.queries("embed_cluster_stats")(spark, sf).collect()
     assert(rows.length >= 2, "gate corpus must build a real multi-cell index")
