@@ -1017,7 +1017,73 @@ object Analytics {
       |      FROM pr JOIN pp pa_ ON pr.pa = pa_.pk JOIN pp pb_ ON pr.pb = pb_.pk)
       |ORDER BY pair_n DESC, lift DESC, pa, pb LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------- events_value_anomaly
+  /** Per-event z-score outliers (|z| > 3 against the event's type
+    * distribution) — the event-level twin of fin_anomaly_zscore, and the
+    * metric-quality monitor a pipeline runs over raw telemetry before
+    * trusting aggregates. Entirely EXACT integer arithmetic: the |z|>3
+    * test is cross-multiplied into cents-integer space —
+    * (n−1)·(n·x−s)² > 9·n·(n·q−s²) over DECIMAL(38,0)/HUGEINT
+    * accumulators (the vec_stats overflow discipline; dev² reaches
+    * ~10²⁵ at sf1) — so no float ever decides membership and both
+    * engines flag the identical event set. Output doubles (value, type
+    * mean) divide exact integers once at the boundary.
+    *
+    * Scale: one map-side-combined aggregate to |event_type| stat rows,
+    * broadcast back onto the scan — the fact side never shuffles (the
+    * fin_anomaly plan shape); output is the true outlier count.
+    * EventStreams.anomalyStatsStream maintains the same (n, s, q)
+    * integer state incrementally; StreamingSpec pins that re-deriving
+    * this report from streamed state matches row-for-row. */
+  def eventsValueAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    anomaliesFromStats(ev, eventStats(ev))
+  }
+
+  /** The (n, s, q) exact-integer stats per event_type — shared with the
+    * streaming state twin so both derive anomalies identically. */
+  private[graft] def eventStats(ev: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      sum(col("vc")).as("s"), sum(d(col("vc")) * d(col("vc"))).as("q"))
+  }
+
+  /** Flag |z|>3 events given a stats frame — the exact cross-multiplied
+    * test + boundary-division projection, shared batch/streaming. */
+  private[graft] def anomaliesFromStats(ev: DataFrame, stats: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val (n, x, s, q) = (d(col("n")), d(col("vc")), d(col("s")), d(col("q")))
+    val dev = n * x - s
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter((n - lit(1)) * dev * dev > lit(9) * n * (n * q - s * s))
+      .select(col("event_id"), col("event_type"),
+        (col("vc").cast("double") / 100.0).as("value"),
+        (col("s").cast("double") / (lit(100.0) * col("n"))).as("type_mean"),
+        col("n").cast("long").as("n_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsValueAnomalySql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |              CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |st AS (SELECT event_type, count(*) AS n, sum(vc) AS s,
+      |              sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS q
+      |       FROM ev GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, CAST(e.vc AS DOUBLE)/100.0 AS value,
+      |       CAST(t.s AS DOUBLE)/(100.0 * t.n) AS type_mean,
+      |       CAST(t.n AS BIGINT) AS n_events
+      |FROM ev e JOIN st t USING (event_type)
+      |WHERE (CAST(t.n AS HUGEINT) - 1)
+      |        * (CAST(t.n AS HUGEINT) * e.vc - t.s)
+      |        * (CAST(t.n AS HUGEINT) * e.vc - t.s)
+      |      > 9 * CAST(t.n AS HUGEINT)
+      |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_anomaly" -> (eventsValueAnomaly _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "events_top_paths" -> (eventsTopPaths _),
     "part_affinity" -> (partAffinity _),
@@ -1041,6 +1107,7 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_value_anomaly" -> eventsValueAnomalySql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "events_top_paths" -> eventsTopPathsSql,
     "part_affinity" -> partAffinitySql,

@@ -277,6 +277,36 @@ object EventStreams {
       }
   }
 
+  /** Exact-integer anomaly state: (n, Σcents, Σcents²) per event type.
+    * q rides as a decimal STRING so the state stays exact at any scale
+    * (Σvc² outgrows LONG past ~10⁹ high-value events and Spark's
+    * product-encoder DECIMAL(38,18) sheds integer digits; a BigInt
+    * formatted per micro-batch costs one parse per key-batch). */
+  case class AnomState(n: Long, s: Long, qStr: String)
+
+  /** Streaming twin of events_value_anomaly's stats build: per
+    * event_type, maintain the EXACT (n, s, q) integer accumulators
+    * incrementally — emitting the updated triple each micro-batch.
+    * Anomaly membership derives from these outside the stream (the
+    * |z|>3 test needs the FINAL distribution, so per-event verdicts are
+    * a sink-side join — Analytics.anomaliesFromStats, the shared
+    * kernel); StreamingSpec pins that state streamed in arbitrary
+    * chunks reconstructs the registered batch report row-for-row.
+    * State per key is three scalars — bounded by |event_type|. */
+  def anomalyStatsStream(events: Dataset[(String, Long)]): Dataset[(String, Long, Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, (String, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(0L, 0L, "0"))
+          var n = st.n; var s = st.s; var q = BigInt(st.qStr)
+          for ((_, vc) <- it) { n += 1; s += vc; q += BigInt(vc) * BigInt(vc) }
+          state.update(AnomState(n, s, q.toString))
+          Iterator.single((key, n, s, q.toString))
+      }
+  }
+
   /** Streaming exact dedup bounded by watermark: duplicates arriving
     * within the watermark horizon are dropped, state is evicted beyond
     * it — the streaming face of dedup_exact (unbounded-state dedup is

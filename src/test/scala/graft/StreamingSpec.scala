@@ -298,6 +298,36 @@ class StreamingSpec extends SparkSpec {
     assert(total == plain, s"jitter reorders, never drops: $total vs $plain")
   }
 
+  test("anomaly stats streamed in chunks reconstruct the batch outlier report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val rows = ev.select(col("event_type"), col("vc")).as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.anomalyStatsStream(stream.toDS())
+      .toDF("event_type", "n", "s", "qStr")
+      .writeStream.format("memory").queryName("anomstats")
+      .outputMode("append").start()
+    try {
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // n grows monotonically per key, so the max struct is the final state
+      val finalStats = spark.table("anomstats")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n"), col("s"), col("qStr"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n"), col("m.s").as("s"),
+          expr("CAST(m.qStr AS DECIMAL(38,0))").as("q"))
+      val got = graft.operators.Analytics.anomaliesFromStats(ev, finalStats).collect()
+      val want = SparkEntry.queries("events_value_anomaly")(spark, sf).collect()
+      assert(got.nonEmpty && got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("sink-side top-k over streamed window counts matches batch stream_topk_trend") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
