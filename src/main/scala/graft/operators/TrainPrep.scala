@@ -731,6 +731,67 @@ object TrainPrep {
       |FROM base b LEFT JOIN percov p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- corpus_dup_trim
+  /** The ACTION companion to corpus_dup_spans: emit each document with
+    * its duplicated spans REMOVED — kept token count + md5 of the
+    * trimmed text, the manifest a span-level dedup pass writes before
+    * re-tokenizing (Lee et al. drop the duplicated substring occurrences,
+    * not whole docs). Clean docs pass through (n_kept = n_tokens,
+    * trimmed hash = hash of the full word join); fully-duplicated docs
+    * trim to the empty string.
+    *
+    * Scale: shares corpus_dup_spans' candidate shape (gram aggregate +
+    * position semi-join — linear, never pairwise); the covered-position
+    * set expands dup grams ×8 then dedups (output-bounded), and the
+    * per-doc mask is one filter lambda over the doc's own words —
+    * O(len·|cov|) per doc, bounded by document length like every
+    * per-doc kernel here. */
+  def corpusDupTrim(spark: SparkSession, dir: String): DataFrame =
+    corpusDupTrimFrom(Tables.documents(spark, dir))
+
+  private[graft] def corpusDupTrimFrom(docs: DataFrame): DataFrame = {
+    val ws = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), Text.words(col("text")).as("ws"),
+        Text.shingleHashes(col("text"), 8).as("hs")))
+    val grams = ws.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("h"))
+    val covArr = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tp"))).as("cov"))
+    ws.join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        expr("filter(ws, (w, i) -> cov IS NULL OR NOT array_contains(cov, i))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("trimmed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDupTrimSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g0 AS (SELECT doc_id,
+      |         [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8])
+      |          for i in range(0, greatest(len(words)-7, 0))] AS hs
+      |       FROM w),
+      |g AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h FROM g0),
+      |d AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      |dp AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+      |cov AS (SELECT DISTINCT doc_id, pos + i AS tp FROM dp, range(0, 8) t(i)),
+      |covl AS (SELECT doc_id, list_sort(list(tp)) AS cov FROM cov GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+      |        [w.words[i+1] for i in range(0, len(w.words))
+      |         if covl.cov IS NULL OR NOT list_contains(covl.cov, i)] AS kept
+      |      FROM w LEFT JOIN covl USING (doc_id))
+      |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+      |       md5(coalesce(array_to_string(kept, ' '), '')) AS trimmed_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- corpus_dsir_weights
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23): score every RAW
@@ -808,6 +869,7 @@ object TrainPrep {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dup_spans" -> (corpusDupSpans _),
+    "corpus_dup_trim" -> (corpusDupTrim _),
     "corpus_dsir_weights" -> (corpusDsirWeights _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
@@ -828,6 +890,7 @@ object TrainPrep {
 
   def oracles: Map[String, String] = Map(
     "corpus_dup_spans" -> corpusDupSpansSql,
+    "corpus_dup_trim" -> corpusDupTrimSql,
     "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,

@@ -235,6 +235,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(5L) == ((3L, 10L, "drop")), s"doc5: ${got(5L)}")
   }
 
+  test("dup_trim: trimmed text drops exactly the covered spans, clean docs pass through") {
+    import spark.implicits._
+    val s = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d1words = (1 to 5).map(i => s"a$i") ++ (1 to 10).map(i => s"s$i") ++ (1 to 5).map(i => s"b$i")
+    val docs = Seq(
+      (1L, d1words.mkString(" ")),                    // block at 5..14 -> trimmed out
+      (2L, "c1 c2 " + s + " " + (1 to 8).map(i => s"d$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"e$i").mkString(" ")), // clean
+      (4L, (1 to 10).map(i => s"f$i").mkString(" ")), // exact copies -> empty trim
+      (5L, (1 to 10).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.corpusDupTrimFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(sq: Seq[String]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sq.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((20L, 10L, m((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i")))))
+    assert(got(3L) == ((12L, 12L, m((1 to 12).map(i => s"e$i")))))
+    assert(got(4L) == ((10L, 0L, m(Seq()))), s"full dup trims to empty: ${got(4L)}")
+  }
+
   test("dsir: target-vocabulary raw docs outscore off-target raw docs") {
     import spark.implicits._
     val tvoc = (1 to 8).map(i => s"t$i").mkString(" ")  // target vocabulary
