@@ -1615,6 +1615,75 @@ object Ann {
        |       round(CAST(sum(dot_micro) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0 AS avg_dot
        |FROM dm GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------------------ embed_outliers
+  /** Embedding-space OUTLIERS: members whose centroid affinity sits
+    * |z| > 2 BELOW their cell's affinity distribution — the curation
+    * signal for mislabeled / off-manifold vectors (SemDeDup prunes
+    * near-duplicates; this prunes the opposite tail). Reuses the shared
+    * IVF cells and the events_value_anomaly discipline: affinity is the
+    * integer micro-unit dot (one broadcast centroid probe, scan-side),
+    * and membership is the cross-multiplied exact test
+    * 4·(n−1)·(n·x−s)² > 9·n·(n·q−s²) with x BELOW the mean (|z| > 1.5,
+    * fin_anomaly_zscore's report bar — within-cell affinity is tight by
+    * construction, so the 3σ event bar would be vacuous) —
+    * DECIMAL(38,0) accumulators, no float ever gates a row.
+    *
+    * Scale: one (cell) shuffle to build |cells| stat rows, broadcast
+    * back; output is the true outlier count. Degenerate corpora fall
+    * back like embed_cluster_stats (no real index → no outliers). */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    buildIvfIndex(e, n) match {
+      case None =>
+        e.select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("affinity"),
+          lit(0.0).as("cell_mean")).limit(0)
+      case Some(idx) =>
+        val session = spark
+        import session.implicits._
+        val cents = (for {
+          ci <- idx.refinedSub.indices
+          si <- idx.refinedSub(ci).indices
+        } yield ((ci * idx.maxSub + si).toLong, idx.refinedSub(ci)(si).toSeq))
+          .toDF("cell", "ru")
+        val dm = idx.celled.join(broadcast(cents), Seq("cell"))
+          .select(col("cell").cast("long").as("cell"), col("vec_id"),
+            round(Vectors.dot(col("v"), col("ru")) * 1000000).cast("long").as("dm"))
+        val d = (c: Column) => c.cast("decimal(38,0)")
+        val stats = dm.groupBy(col("cell")).agg(count(lit(1)).as("n"),
+          sum(col("dm")).as("s"), sum(d(col("dm")) * d(col("dm"))).as("q"))
+        val (nn, x, s, q) = (d(col("n")), d(col("dm")), d(col("s")), d(col("q")))
+        val dev = nn * x - s
+        dm.join(broadcast(stats), Seq("cell"))
+          .filter(dev < 0 && lit(4) * (nn - lit(1)) * dev * dev > lit(9) * nn * (nn * q - s * s))
+          .select(col("vec_id"), col("cell"),
+            (col("dm").cast("double") / 1000000.0).as("affinity"),
+            (col("s").cast("double") / (lit(1000000.0) * col("n"))).as("cell_mean"))
+          .orderBy(col("vec_id"))
+    }
+  }
+
+  lazy val embedOutliersSql: String =
+    s"""WITH $ivfIndexCtes,
+       |dm AS (
+       |  SELECT CAST(c.cell AS BIGINT) AS cell, c.vec_id,
+       |         CAST(round(list_reduce([e.v[i] * f.ru[i] for i in range(1, len(e.v)+1)],
+       |                                (x, y) -> x + y) * 1000000) AS BIGINT) AS dm
+       |  FROM celled c JOIN e USING (vec_id) JOIN flatcells f ON f.cell = c.cell),
+       |st AS (SELECT cell, count(*) AS n, sum(dm) AS s,
+       |              sum(CAST(dm AS HUGEINT) * CAST(dm AS HUGEINT)) AS q
+       |       FROM dm GROUP BY cell)
+       |SELECT m.vec_id, m.cell, CAST(m.dm AS DOUBLE)/1000000.0 AS affinity,
+       |       CAST(t.s AS DOUBLE)/(1000000.0 * t.n) AS cell_mean
+       |FROM dm m JOIN st t USING (cell)
+       |WHERE CAST(t.n AS HUGEINT) * m.dm - t.s < 0
+       |  AND 4 * (CAST(t.n AS HUGEINT) - 1)
+       |        * (CAST(t.n AS HUGEINT) * m.dm - t.s)
+       |        * (CAST(t.n AS HUGEINT) * m.dm - t.s)
+       |      > 9 * CAST(t.n AS HUGEINT)
+       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
+       |ORDER BY m.vec_id""".stripMargin
+
   // ----------------------------------------------------------- ann_rrf_fusion
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ANN
     * rankers over the same query set: the IVF cell ranker and the
@@ -1669,6 +1738,7 @@ object Ann {
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rrf_fusion" -> (annRrfFusion _),
+    "embed_outliers" -> (embedOutliers _),
     "embed_cluster_stats" -> (embedClusterStats _),
     "ann_range_search" -> (annRangeSearch _),
     "ann_brute_topk" -> (annBruteTopk _),
@@ -1685,6 +1755,7 @@ object Ann {
 
   def oracles: Map[String, String] = Map(
     "ann_rrf_fusion" -> annRrfFusionSql,
+    "embed_outliers" -> embedOutliersSql,
     "embed_cluster_stats" -> embedClusterStatsSql,
     "ann_range_search" -> annRangeSearchSql,
     "ann_brute_topk" -> annBruteTopkSql,

@@ -310,6 +310,18 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("embed_outliers: every outlier sits below its cell mean, cells are real") {
+    val outs = SparkEntry.queries("embed_outliers")(spark, sf).collect()
+    assert(outs.nonEmpty, "gate corpus should surface affinity outliers")
+    outs.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(3),
+        s"vec ${r.getLong(0)}: affinity ${r.getDouble(2)} not below mean ${r.getDouble(3)}")
+    }
+    val cells = SparkEntry.queries("embed_cluster_stats")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(outs.map(_.getLong(1)).toSet.subsetOf(cells), "outlier cells exist in the index")
+  }
+
   test("ann_rrf_fusion: K rows per query, double-agreement dominates, legs traceable") {
     val rows = SparkEntry.queries("ann_rrf_fusion")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
