@@ -656,6 +656,59 @@ object Warehouse {
        |FROM fin_monthly m LEFT JOIN rev USING (department, year, month)
        |ORDER BY department, year, month, gl_code, category""".stripMargin
 
+  // ---------------------------------------------------- fin_variance_walk
+  /** MoM variance WALK: which GL lines drive each department's
+    * month-over-month movement — per line the delta vs its previous
+    * reported month (fin_trend_mom's lag convention), the department's
+    * total delta for that month, and the line's share of it. The
+    * standard FP&A "variance bridge" read next to the trend report.
+    *
+    * Scale: one fact shuffle (the monthly rollup, staged once); the
+    * per-line lag runs over tiny per-(dept, GL) month series and the
+    * dept-total sum over per-(dept, month) partitions bounded by the GL
+    * chart — both windows sit ABOVE the aggregate. Integer-cents
+    * everywhere: the dept delta is an integer window sum
+    * (order-independent), the share one IEEE division of exact
+    * integers, NULL when the department's month nets to zero. */
+  def finVarianceWalk(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      upserted(spark, dir)
+        .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+        .agg(sum(cents(col("amount"))).as("tc")))
+    val wLag = Window.partitionBy(col("department"), col("gl_code"))
+      .orderBy(col("year"), col("month"))
+    val wMonth = Window.partitionBy(col("department"), col("year"), col("month"))
+    monthly
+      .withColumn("dc", col("tc") - lag(col("tc"), 1).over(wLag))
+      .withColumn("ddc", sum(col("dc")).over(wMonth))
+      .filter(col("dc").isNotNull)
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("dc")).as("mom_delta"), dollars(col("ddc")).as("dept_delta"),
+        when(col("ddc") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dc").cast("double") / col("ddc"), 4) + 0.0)
+          .as("delta_share"))
+      .orderBy(col("department"), col("year"), col("month"), col("gl_code"))
+  }
+
+  val finVarianceWalkSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |d AS (SELECT *, tc - lag(tc) OVER (PARTITION BY department, gl_code
+       |                                   ORDER BY year, month) AS dc
+       |      FROM fin_monthly),
+       |t AS (SELECT *, sum(dc) OVER (PARTITION BY department, year, month) AS ddc
+       |      FROM d)
+       |SELECT department, gl_code, year, month,
+       |       CAST(dc AS DOUBLE)/100.0 AS mom_delta,
+       |       CAST(ddc AS DOUBLE)/100.0 AS dept_delta,
+       |       CASE WHEN ddc = 0 THEN NULL
+       |            ELSE round(CAST(dc AS DOUBLE)/ddc, 4) + 0.0 END AS delta_share
+       |FROM t WHERE dc IS NOT NULL
+       |ORDER BY department, year, month, gl_code""".stripMargin
+
   /** fin_yoy_trend: year-over-year movement per (department, GL, month) —
     * the seasonally-aligned twin of fin_trend_mom (compare each month to
     * the SAME month one year back, not the previous month), the other
@@ -1331,6 +1384,7 @@ object Warehouse {
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_common_size" -> (finCommonSize _),
+    "fin_variance_walk" -> (finVarianceWalk _),
     "fin_common_size_staged" -> (finCommonSizeStaged _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_yoy_trend" -> (finYoyTrend _),
@@ -1361,6 +1415,7 @@ object Warehouse {
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_common_size" -> finCommonSizeSql,
+    "fin_variance_walk" -> finVarianceWalkSql,
     "fin_common_size_staged" -> finCommonSizeSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_yoy_trend" -> finYoyTrendSql,

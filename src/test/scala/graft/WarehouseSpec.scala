@@ -282,6 +282,22 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("fin_variance_walk: line deltas sum to the dept delta, shares sum to 1") {
+    val rows = SparkEntry.queries("fin_variance_walk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getInt(2), r.getInt(3))).foreach { case (key, rs) =>
+      val deptDelta = rs.head.getDouble(5)
+      assert(rs.forall(_.getDouble(5) == deptDelta), s"$key: dept_delta inconsistent")
+      val lineSum = rs.map(r => math.round(r.getDouble(4) * 100)).sum
+      assert(lineSum == math.round(deptDelta * 100), s"$key: lines $lineSum != dept")
+      if (math.round(deptDelta * 100) != 0L) {
+        val shareSum = rs.map(_.getDouble(6)).sum
+        assert(math.abs(shareSum - 1.0) < 0.0002 * rs.length,
+          s"$key: shares sum to $shareSum over ${rs.length} lines")
+      } else rs.foreach(r => assert(r.isNullAt(6), s"$key: zero-delta month must null shares"))
+    }
+  }
+
   test("fin_common_size: revenue lines sum to ~100% per department-month") {
     val rows = SparkEntry.queries("fin_common_size")(spark, sf).collect()
     assert(rows.nonEmpty)
