@@ -731,6 +731,65 @@ object TrainPrep {
       |FROM base b LEFT JOIN percov p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- corpus_token_budget
+  /** Token-BUDGET selection: fill a fixed training budget (10k tokens)
+    * with the highest-quality documents — "give me the best B tokens",
+    * the allocation step after scoring and before packing. Quality is
+    * an integer unique-word ratio (nuw·65536 DIV nw — no float ranks);
+    * selection keeps docs in (quality DESC, doc_id) order while the
+    * running token total stays within budget.
+    *
+    * Scale: a global prefix SUM over a data-scaled order is the same
+    * banned single-reducer shape as a global rank, so this is the
+    * rank_stats_scalable cascade applied to a WEIGHTED prefix: quality
+    * maps to 64 order-preserving buckets by STATIC integer arithmetic
+    * (q16's range is closed — no range-probe job), the per-bucket token
+    * totals make a 64-row histogram whose offset windows run above the
+    * aggregate, and the within-bucket cumulative sum + bucket offset is
+    * the exact global prefix. Docs sharing a q16 cannot straddle
+    * buckets, and (q16, doc_id) totally orders, so the cut is
+    * bit-identical to the oracle's global window. */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val base = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("CAST(size(array_distinct(split(text, ' '))) * CAST(65536 AS BIGINT)" +
+        " DIV size(split(text, ' ')) AS BIGINT)").as("q16"),
+      Text.nBpeTokens(col("text")).cast("long").as("n_tokens"))
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      base.withColumn("bkt",
+        expr("CAST((CAST(65536 AS BIGINT) - q16) * 64 DIV CAST(65537 AS BIGINT) AS BIGINT)")))
+    val hist = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wLoc = Window.partitionBy(col("bkt")).orderBy(col("q16").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("wc", sum(col("n_tokens")).over(wLoc))
+      .join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum_tokens", col("off") + col("wc"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("q16"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("q16").desc, col("doc_id"))
+  }
+
+  val corpusTokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_distinct(string_split(text, ' '))) * 65536
+      |              // len(string_split(text, ' ')) AS BIGINT) AS q16,
+      |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY q16 DESC, doc_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, q16, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 10000
+      |ORDER BY q16 DESC, doc_id""".stripMargin
+
   // ------------------------------------------------------- corpus_dup_trim
   /** The ACTION companion to corpus_dup_spans: emit each document with
     * its duplicated spans REMOVED — kept token count + md5 of the
@@ -870,6 +929,7 @@ object TrainPrep {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dup_spans" -> (corpusDupSpans _),
     "corpus_dup_trim" -> (corpusDupTrim _),
+    "corpus_token_budget" -> (corpusTokenBudget _),
     "corpus_dsir_weights" -> (corpusDsirWeights _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "corpus_curate" -> (corpusCurate _),
@@ -891,6 +951,7 @@ object TrainPrep {
   def oracles: Map[String, String] = Map(
     "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,
+    "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "corpus_sample_weighted" -> corpusSampleWeightedSql,
     "corpus_curate" -> corpusCurateSql,

@@ -235,6 +235,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(5L) == ((3L, 10L, "drop")), s"doc5: ${got(5L)}")
   }
 
+  test("token_budget: cascade prefix equals the global window, cut respects budget") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("corpus_token_budget")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // budget respected, prefix monotone along the selection order
+    assert(got.forall(_.getLong(3) <= 10000L))
+    val cums = got.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, "prefix monotone")
+    // bit-equality vs the naive global window (fine at spec scale)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val base = docs.select(col("doc_id"),
+      expr("CAST(size(array_distinct(split(text, ' '))) * CAST(65536 AS BIGINT)" +
+        " DIV size(split(text, ' ')) AS BIGINT)").as("q16"),
+      graft.functions.Text.nBpeTokens(col("text")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("q16").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 10000L)
+      .orderBy(col("q16").desc, col("doc_id")).collect()
+    assert(got.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
+  }
+
   test("dup_trim: trimmed text drops exactly the covered spans, clean docs pass through") {
     import spark.implicits._
     val s = (1 to 10).map(i => s"s$i").mkString(" ")
