@@ -374,7 +374,60 @@ object TpchExtra {
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
       |ORDER BY priority, status""".stripMargin
 
+  // -------------------------------------------------------- orders_backlog
+  /** Open-order BACKLOG time series: how many orders are open (placed
+    * but not yet fully shipped) at the end of each boundary day — the
+    * classic event-sourced level metric (ops dashboards, WIP tracking).
+    * An order opens at o_orderdate and closes after max(l_shipdate) of
+    * its lines; orders with no lines never close.
+    *
+    * Scale: the events_rolling_mau interval-delta decomposition — a
+    * day-windowed "currently open" count is NEVER computed by exploding
+    * per-open-day rows (that is days× amplification) nor by a
+    * data-scaled window: each order emits exactly 2 scalar deltas
+    * (+1 open, −1 close+1), the day-keyed aggregate map-side combines,
+    * and the prefix sum runs over the CALENDAR-BOUNDED boundary-day
+    * frame (≤ 2·|days|). One lineitem shuffle (the per-order max-ship
+    * rollup) + one orders join on the key. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val close = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("close_date"))
+    val deltas = o.join(close, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderdate"), col("close_date"))
+      .select(explode(filter(array(
+        struct(col("o_orderdate").as("day"), lit(1L).as("opened"), lit(0L).as("closed")),
+        when(col("close_date").isNotNull,
+          struct(date_add(col("close_date"), 1).as("day"), lit(0L).as("opened"),
+            lit(1L).as("closed")))), v => v.isNotNull)).as("x"))
+      .select(col("x.day"), col("x.opened"), col("x.closed"))
+      .groupBy(col("day"))
+      .agg(sum(col("opened")).as("n_opened"), sum(col("closed")).as("n_closed"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("backlog", sum(col("n_opened") - col("n_closed")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val ordersBacklogSql: String =
+    """WITH cl AS (SELECT l_orderkey, max(l_shipdate) AS close_date
+      |            FROM lineitem GROUP BY l_orderkey),
+      |dl AS (
+      |  SELECT o_orderdate AS day, 1 AS opened, 0 AS closed
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT cl.close_date + INTERVAL 1 DAY AS day, 0 AS opened, 1 AS closed
+      |  FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey),
+      |agg AS (SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+      |               CAST(sum(closed) AS BIGINT) AS n_closed
+      |        FROM dl GROUP BY day)
+      |SELECT day, n_opened, n_closed,
+      |       CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      |FROM agg ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backlog" -> (ordersBacklog _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "q6_filter_agg" -> (q6FilterAgg _),
     "q8_market_share" -> (q8MarketShare _),
@@ -387,6 +440,7 @@ object TpchExtra {
   )
 
   def oracles: Map[String, String] = Map(
+    "orders_backlog" -> ordersBacklogSql,
     "grouping_sets_agg" -> groupingSetsAggSql,
     "q6_filter_agg" -> q6FilterAggSql,
     "q8_market_share" -> q8MarketShareSql,

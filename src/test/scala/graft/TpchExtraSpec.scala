@@ -155,4 +155,17 @@ class TpchExtraSpec extends SparkSpec {
       r.getLong(2) * 5 > perPart(r.getLong(0))).map(_.getLong(1)).toSet
     assert(rows.map(_.getLong(0)).toSet == qualifying)
   }
+
+  test("orders_backlog: conservation (opened = orders), never negative, closes out") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("orders_backlog")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) >= 0L), "backlog never negative")
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "every order opens once")
+    val withLines = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == withLines, "every lined order closes once")
+    assert(rows.last.getLong(3) == nOrders - withLines, "final backlog = never-closed")
+  }
 }
