@@ -1735,8 +1735,53 @@ object Ann {
        |       rank_ivf, rank_pq
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------- ann_recall_report
+  /** Index QUALITY report: recall@K of each oracled ANN method against
+    * the brute-force truth on the driver query set — the evaluation a
+    * vector-index deployment publishes next to its build (pairs with
+    * embed_cluster_stats: that audits the index structure, this audits
+    * retrieval quality THROUGH it). Avg recall is hits/(|Q|·K) — exact
+    * integer counts, one boundary division — so the recall numbers
+    * themselves are oracle-pinned cross-engine, not just spec-bounded.
+    *
+    * Scale: each leg is its registered bounded pipeline; the comparison
+    * is a left-semi join of ≤|Q|·K scalar frames. The mirror embeds the
+    * brute + three method oracles verbatim as subqueries (the
+    * ann_rrf_fusion drift-proofing). */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteTopk(spark, dir).select(col("q_id"), col("n_id"))
+    val nPairs = lit(NQueries * K) // |Q|·K — both driver constants
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"),
+          (round(col("hits").cast("double") / nPairs, 4) + 0.0).as("recall"))
+    leg("ivf", annIvfTopk(spark, dir))
+      .unionAll(leg("ivfpq", annIvfPqTopk(spark, dir)))
+      .unionAll(leg("pq", annPqTopk(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  lazy val annRecallReportSql: String = {
+    def leg(name: String, sql: String): String =
+      s"""SELECT '$name' AS method, count(*) AS hits,
+         |       CAST(round(CAST(count(*) AS DOUBLE) / ${NQueries * K}, 4) AS DOUBLE) + 0.0 AS recall
+         |FROM (SELECT * FROM ($sql) ${name}_t) m
+         |WHERE EXISTS (SELECT 1 FROM truth t
+         |              WHERE t.q_id = m.q_id AND t.n_id = m.n_id)""".stripMargin
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($annBruteTopkSql) bt)
+       |${leg("ivf", annIvfTopkSql)}
+       |UNION ALL
+       |${leg("ivfpq", annIvfPqTopkSql)}
+       |UNION ALL
+       |${leg("pq", annPqTopkSql)}
+       |ORDER BY method""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> (annRecallReport _),
     "ann_rrf_fusion" -> (annRrfFusion _),
     "embed_outliers" -> (embedOutliers _),
     "embed_cluster_stats" -> (embedClusterStats _),
@@ -1754,6 +1799,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_recall_report" -> annRecallReportSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_cluster_stats" -> embedClusterStatsSql,
