@@ -1735,6 +1735,108 @@ object Ann {
        |       rank_ivf, rank_pq
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------- ann_hamming_topk
+  /** Binary (sign) quantization + Hamming candidate ranking: each vector
+    * compresses to ONE 64-bit signature — bit d set iff coordinate d is
+    * at or above its corpus mean — candidates are ranked by
+    * popcount(sig XOR qsig) and the top-C re-ranked by exact cosine.
+    * This is the binary-embedding retrieval path (Charikar STOC'02
+    * hyperplane-sketch specialized to axis planes through the corpus
+    * centroid): 8 bytes/vector vs 256-512 float bytes — a 32-64x
+    * memory cut — and the candidate scan is one XOR+POPCNT per vector,
+    * the cheapest distance a CPU can compute. At 100 TB the signature
+    * index fits where no float index can, and the scan is map-only:
+    * queries broadcast as 20 (id, long) pairs, no shuffle touches a
+    * vector until the <=|Q|*C re-rank join.
+    *
+    * Binarization is decided in exact integer space: bit d = (micro(x)*n
+    * >= S_d), with S_d the corpus sum of micro-units. Spark folds the
+    * constant n into an exact integer threshold ceil(S_d/n) on the
+    * driver (BigInteger ceil-division; x >= S/n <=> x >= ceil(S/n) for
+    * integer x), the oracle cross-multiplies in HUGEINT — identical
+    * bits, so candidate sets and the final report hash-match. The
+    * 64-row dim-sum collect is the bounded index-state discipline
+    * (Ann.scala:250-252); rerank depth C = pqRerank(n), mirrored inline
+    * from the nn CTE. */
+  def annHammingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    val dimRows = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x") * 1000000).cast("long").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    if (dimRows.isEmpty) return bruteTopkFrom(e, q0)
+    val n = dimRows.head.getLong(2)
+    val thr = new Array[Long](64)
+    dimRows.foreach { r =>
+      val s = r.getDecimal(1).toBigInteger
+      val qr = s.divideAndRemainder(java.math.BigInteger.valueOf(n))
+      val ceil = if (qr(1).signum > 0) qr(0).add(java.math.BigInteger.ONE) else qr(0)
+      thr(r.getInt(0)) = ceil.longValueExact
+    }
+    val sig = (0 until 64).map { d =>
+      val xm = round(element_at(col("v"), d + 1) * 1000000).cast("long")
+      when(xm >= lit(thr(d)), lit(if (d == 63) Long.MinValue else 1L << d))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = e.select(col("vec_id"), sig.as("sig"))
+    val qs = sigs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val c = pqRerank(n)
+    // exact two-level top-C over the Hamming ranking (the ann_pq_topk
+    // shard-then-final shape — a single q_id window would put the whole
+    // corpus in one task per query)
+    val wShard = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32L)))
+      .orderBy(col("ham"), col("vec_id"))
+    val wHam = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    val cand = broadcast(qs).join(sigs, col("q_id") =!= col("vec_id"))
+      .withColumn("ham", bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long"))
+      .withColumn("cs", row_number().over(wShard)).filter(col("cs") <= c)
+      .withColumn("crank", row_number().over(wHam)).filter(col("crank") <= c)
+      .select(col("q_id"), col("vec_id"), col("ham"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q0), Seq("q_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"), col("ham"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  lazy val annHammingTopkSql: String = {
+    val c = s"greatest(64, least(1024, (SELECT n FROM nn) // 32))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |d AS (SELECT i, sum(CAST(round(v[i]*1000000) AS HUGEINT)) AS s, count(*) AS n
+       |      FROM e, range(1, 65) t(i) GROUP BY i),
+       |sg AS (SELECT vec_id,
+       |         bit_or(CASE WHEN CAST(round(v[i]*1000000) AS HUGEINT) * n >= s
+       |                THEN (CASE WHEN i = 64 THEN (-9223372036854775807::BIGINT - 1)
+       |                           ELSE 1::BIGINT << (i-1) END)
+       |                ELSE 0::BIGINT END) AS sig
+       |       FROM e, range(1, 65) t(i) JOIN d USING (i)
+       |       GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, sig AS qsig FROM sg WHERE vec_id < $NQueries),
+       |cnd AS (SELECT q_id, vec_id, CAST(bit_count(xor(qsig, sig)) AS BIGINT) AS ham
+       |        FROM q JOIN sg ON vec_id <> q_id),
+       |ck AS (SELECT q_id, vec_id, ham FROM (
+       |         SELECT q_id, vec_id, ham,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS cr
+       |         FROM cnd) WHERE cr <= $c),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |rr AS (SELECT ck.q_id, ck.vec_id AS n_id, ck.ham,
+       |         $cosFoldSql AS cos
+       |       FROM ck JOIN e ON ck.vec_id = e.vec_id
+       |       JOIN qv ON qv.q_id = ck.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim, ham
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------- ann_recall_report
   /** Index QUALITY report: recall@K of each oracled ANN method against
     * the brute-force truth on the driver query set — the evaluation a
@@ -1781,6 +1883,7 @@ object Ann {
 
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_rrf_fusion" -> (annRrfFusion _),
     "embed_outliers" -> (embedOutliers _),
@@ -1799,6 +1902,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "embed_outliers" -> embedOutliersSql,

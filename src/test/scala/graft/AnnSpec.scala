@@ -19,6 +19,29 @@ class AnnSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg recall@10 $avg")
   }
 
+  test("ann_hamming_topk: recall@10 >= 0.5 vs brute, K rows/query, deterministic") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val ham = neighbors("ann_hamming_topk")
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (q, t) =>
+      ham.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 $avg")
+    // per-query result-set size == K (corpus >> K at spec scale)
+    ham.foreach { case (q, ns) => assert(ns.size == 10, s"query $q: ${ns.size} rows") }
+    // signatures + thresholds are deterministic -> identical re-runs
+    val a = SparkEntry.queries("ann_hamming_topk")(spark, sf)
+      .collect().map(_.toString).sorted
+    val b = SparkEntry.queries("ann_hamming_topk")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("ann_ivf_topk recall@10 >= 0.5 vs brute force, and deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
