@@ -206,7 +206,68 @@ object Multimodal {
       |       substring(hex(encode(text)), CAST(frame_idx * 512 + 1 AS BIGINT), 16) AS frame_hex
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** mm_near_dup: near-duplicate VIDEO detection by sampled-frame
+    * fingerprint overlap — the multimodal twin of dedup_containment:
+    * re-encoded/trimmed copies of a video keep most of their frame
+    * content even when the container bytes (and so mm_dedup's payload
+    * hash) differ, so two videos sharing ≥50% of their sampled frame
+    * fingerprints are flagged near-dups. Composes mm_frame_sample's
+    * fingerprints (a real pipeline swaps the byte-slice stand-in for a
+    * perceptual frame hash; everything downstream is unchanged).
+    *
+    * Scale: candidate generation joins on the FINGERPRINT key — work is
+    * O(shared-fingerprint pairs), never all-pairs — with a boilerplate
+    * cap (fingerprints in > 64 videos: intros/test patterns/black
+    * frames would contribute c² candidate pairs each) the dedup family
+    * established; denominators keep the UNCAPPED per-video set so the
+    * overlap fraction stays honest. The distinct fingerprint set and
+    * the capped join side are staged once each (the aliased-self-join
+    * ReuseExchange miss, SURVEY §4); verdict is the exact integer test
+    * 2·shared ≥ min(n_a, n_b). Output is bounded by true near-dup
+    * candidates: pairs sharing ≥1 fingerprint. */
+  def mmNearDup(spark: SparkSession, dir: String): DataFrame =
+    mmNearDupFrom(mediaTable(spark, dir))
+
+  private[graft] def mmNearDupFrom(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val fp = stageBarrier(
+      mmFrameSampleFrom(media).select(col("doc_id"), col("frame_hex")).distinct())
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val keep = fp.groupBy(col("frame_hex")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 64).select(col("frame_hex"))
+    val fpk = stageBarrier(fp.join(keep, Seq("frame_hex")))
+    val pairs = fpk.select(col("doc_id").as("doc_a"), col("frame_hex"))
+      .join(fpk.select(col("doc_id").as("doc_b"), col("frame_hex")), Seq("frame_hex"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        (round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 4) + 0.0)
+          .as("overlap"),
+        (col("shared") * 2 >= least(col("n_a"), col("n_b"))).as("near_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Mirror composes the registered mm_frame_sample oracle verbatim as a
+    * subquery (drift-proof), then runs the identical set algebra. */
+  lazy val mmNearDupSql: String =
+    s"""WITH fp AS (SELECT DISTINCT doc_id, frame_hex FROM ($mmFrameSampleSql) fs),
+       |sz AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+       |keep AS (SELECT frame_hex FROM fp GROUP BY frame_hex HAVING count(*) <= 64),
+       |fpk AS (SELECT fp.doc_id, fp.frame_hex FROM fp JOIN keep USING (frame_hex)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |      FROM fpk a JOIN fpk b ON a.frame_hex = b.frame_hex AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared, sa.nf AS n_a, sb.nf AS n_b,
+       |       CAST(round(CAST(shared AS DOUBLE) / least(sa.nf, sb.nf), 4) AS DOUBLE) + 0.0 AS overlap,
+       |       (shared * 2 >= least(sa.nf, sb.nf)) AS near_dup
+       |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_near_dup" -> (mmNearDup _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_metadata" -> (mmMetadata _),
     "mm_features" -> (mmFeatures _),
@@ -214,6 +275,7 @@ object Multimodal {
     "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
+    "mm_near_dup" -> mmNearDupSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_dedup" -> mmDedupSql,

@@ -43,6 +43,29 @@ class MultimodalSpec extends SparkSpec {
     assert(direct == shuffled)
   }
 
+  test("mm_near_dup: byte-identical videos flag near_dup, disjoint videos don't pair") {
+    import spark.implicits._
+    val base = Array.tabulate[Byte](8 * 256)(i => (i % 251).toByte)
+    // half-overlap copy: first 4 frames of base + 4 novel frames
+    val half = base.take(4 * 256) ++ Array.tabulate[Byte](4 * 256)(i => ((i * 7 + 3) % 249).toByte)
+    val other = Array.tabulate[Byte](8 * 256)(i => ((i * 13 + 11) % 253).toByte)
+    val media = Seq(
+      (3L, "video", base), (6L, "video", base), // exact dup pair
+      (9L, "video", half), // 50% frame overlap with base
+      (12L, "video", other) // no shared frames
+    ).toDF("doc_id", "kind", "payload")
+    val rows = Multimodal.mmNearDupFrom(media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    // exact dup: all 8 sampled frames shared, near_dup
+    assert(rows((3L, 6L)) == ((8L, 8L, 8L, true)), s"exact pair: ${rows.get((3L, 6L))}")
+    // half overlap: 4 of 8 shared -> 2*4 >= 8, near_dup at the boundary
+    assert(rows((3L, 9L)) == ((4L, 8L, 8L, true)), s"half pair: ${rows.get((3L, 9L))}")
+    assert(rows((6L, 9L))._1 == 4L)
+    // disjoint video never appears in a pair
+    assert(!rows.keys.exists { case (a, b) => a == 12L || b == 12L })
+  }
+
   test("mm_frame_sample: stride caps samples at 8, fingerprints match payload bytes") {
     import spark.implicits._
     // 19 frames (4864+192 bytes) -> stride ceil(19/8)=3 -> frames 0,3,..,18 (7)
