@@ -926,7 +926,59 @@ object TrainPrep {
       |SELECT doc_id, n_feats, CAST(round(s, 4) AS DOUBLE) + 0.0 AS logw
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- corpus_ngram_novelty
+  /** Per-doc NOVELTY contribution: the fraction of a doc's distinct
+    * word-5-grams whose FIRST corpus occurrence (lowest doc_id —
+    * ingestion order) is this doc. The curation read next to the dedup
+    * family: dup_spans asks "how much of this doc is copied", novelty
+    * asks the forward question — "how much does this doc ADD that the
+    * corpus hasn't seen" — the signal for dropping late crawl snapshots
+    * and ordering training mixtures by marginal information (the
+    * D4/dedup-then-diversify argument, Tirumala et al. '23).
+    *
+    * Scale shape: first-introduction is min(doc_id) per gram — an
+    * order-independent aggregate computed as a window over the GRAM
+    * partition (each partition = one gram's occurrence list, bounded by
+    * its dup count; one shuffle on the gram hash, no gram-stream
+    * self-join), then one doc-keyed rollup. The distinct (doc, gram)
+    * frame is staged once for both. Novelty divides identical integers
+    * once at the output boundary. */
+  def corpusNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    corpusNgramNoveltyFrom(Tables.documents(spark, dir))
+
+  private[graft] def corpusNgramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val g = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), explode(Text.shingleHashes(col("text"), 5)).as("h"))
+        .distinct())
+    val w = Window.partitionBy(col("h"))
+    g.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6) + 0.0)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusNgramNoveltySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g0 AS (SELECT doc_id,
+      |        [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |             words[i+5])
+      |         for i in range(0, greatest(len(words)-4, 0))] AS hs
+      |       FROM w),
+      |g AS (SELECT DISTINCT doc_id, h
+      |      FROM (SELECT doc_id, unnest(hs) AS h FROM g0)),
+      |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc FROM g)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) + 0.0 AS novelty
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_dup_spans" -> (corpusDupSpans _),
     "corpus_dup_trim" -> (corpusDupTrim _),
     "corpus_token_budget" -> (corpusTokenBudget _),
@@ -949,6 +1001,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,

@@ -212,6 +212,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(run().toSet == rows.toSet)
   }
 
+  test("ngram_novelty: first doc owns its grams, copies add nothing, overlap is partial") {
+    import spark.implicits._
+    val block = (1 to 9).map(i => s"n$i").mkString(" ") // 9 words -> 5 distinct 5-grams
+    val docs = Seq(
+      (1L, block), // introduces all 5 grams -> novelty 1.0
+      (2L, block), // exact copy, later id -> novelty 0.0
+      // 5 novel grams from m1..m9, then the copied block re-contributes
+      // its 5 known grams; boundary grams mix m/n words -> also novel
+      (3L, (1 to 9).map(i => s"m$i").mkString(" ") + " " + block),
+      (4L, "too short for grams")
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.corpusNgramNoveltyFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((5L, 5L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((5L, 0L)), s"doc2: ${got(2L)}")
+    // doc3: 18 words -> 14 grams, the 5 block-internal ones are known
+    assert(got(3L) == ((14L, 9L)), s"doc3: ${got(3L)}")
+    assert(!got.contains(4L), "sub-5-word doc emits no row")
+  }
+
   test("dup_spans: interval union, partial-span trim, and exact-copy drop on planted fixtures") {
     import spark.implicits._
     val s = (1 to 10).map(i => s"s$i").mkString(" ") // shared 10-word block
