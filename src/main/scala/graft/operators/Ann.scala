@@ -1837,6 +1837,146 @@ object Ann {
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- embed_pca_top
+  /** Top principal component of the embedding corpus — the anisotropy
+    * audit (Ethayarajh EMNLP'19): how much of total variance the
+    * dominant direction eats. A high top_share means the embedding
+    * space has collapsed toward a common direction (bad for cosine
+    * retrieval — the whitening/ABTT trigger, Mu ICLR'18); reported
+    * next to embed_cluster_stats in an index build report.
+    *
+    * Scale shape: the only data-scaled work is the Gram accumulation —
+    * per vector the 2080 upper-triangle micro-unit products flow
+    * through ONE map-side-combined aggregate (after partial agg each
+    * partition ships exactly 2080 rows), plus the 64-row dim-sum
+    * aggregate. Everything downstream is bounded driver state (the IVF
+    * centroid discipline): covariance numerators are EXACT BigInteger
+    * cross-products n·S_ij − S_i·S_j (the oracle's HUGEINT twins), one
+    * double division each, then a fixed-20-step power iteration from
+    * v0 = 1/8·ones whose ascending-index folds the mirror replays as
+    * list_reduce comprehensions — bit-identical IEEE sequences, so
+    * eigenvalue, share, AND the argmax loading dimension hash-match.
+    * λ is the Rayleigh quotient after the fixed sweeps. */
+  def embedPcaTop(spark: SparkSession, dir: String): DataFrame =
+    embedPcaTopFrom(spark, emb(spark, dir))
+
+  private[graft] def embedPcaTopFrom(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val mi = transform(col("v"), x => round(x * 1000000).cast("long"))
+    val base = e.select(mi.as("m"))
+    val pairRows = base
+      .select(posexplode(col("m")).as(Seq("i", "xi")), col("m"))
+      .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sp"))
+      .collect()
+    val dimRows = base.select(posexplode(col("m")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    if (dimRows.isEmpty)
+      return Seq.empty[(Long, Option[Double], Option[Double], Option[Double], Option[Long])]
+        .toDF("n", "total_var", "top_eig", "top_share", "top_dim")
+    val n = dimRows.head.getLong(2)
+    val bigN = java.math.BigInteger.valueOf(n)
+    val s = new Array[java.math.BigInteger](64)
+    dimRows.foreach(r => s(r.getInt(0)) = r.getDecimal(1).toBigInteger)
+    val denom = n.toDouble * n.toDouble * 1000000000000.0
+    val cov = Array.ofDim[Double](64, 64)
+    pairRows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val num = bigN.multiply(r.getDecimal(2).toBigInteger)
+        .subtract(s(i).multiply(s(j)))
+      val c = num.doubleValue / denom
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(64) { i =>
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += cov(i)(j) * v(j); j += 1 }; acc
+      }
+    var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
+    var it = 0
+    while (it < 20) {
+      val mv = matvec(v)
+      var n2 = 0.0; var i = 0
+      while (i < 64) { n2 += mv(i) * mv(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm != 0.0) v = mv.map(_ / nrm)
+      it += 1
+    }
+    val mvF = matvec(v)
+    var lam = 0.0; var trace = 0.0
+    var i = 0
+    while (i < 64) { lam += v(i) * mvF(i); trace += cov(i)(i); i += 1 }
+    var topDim = 0; var best = math.abs(v(0))
+    i = 1
+    while (i < 64) {
+      if (math.abs(v(i)) > best) { best = math.abs(v(i)); topDim = i }
+      i += 1
+    }
+    // Spark round() semantics (BigDecimal.valueOf = decimal-string repr,
+    // HALF_UP) — the sparkRound4 convention, at scale 6
+    def r6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val share: Option[Double] = if (trace == 0.0) None else Some(r6(lam / trace))
+    Seq((n, Some(r6(trace)), Some(r6(lam)), share, Some(topDim.toLong + 1)))
+      .toDF("n", "total_var", "top_eig", "top_share", "top_dim")
+  }
+
+  /** Mirror: exact HUGEINT covariance numerators, then the 20 power
+    * sweeps unrolled as single-row CTEs with ascending list_reduce
+    * folds — the Lloyd-step oracle discipline applied to an eigen
+    * solve. top_dim is reported 1-based (the SQL subscript). */
+  lazy val embedPcaTopSql: String = {
+    def step(k: Int): String =
+      s"""u$k AS (
+         |  SELECT CASE WHEN nrm = 0 THEN v ELSE [x / nrm FOR x IN mv] END AS v
+         |  FROM (SELECT v, mv,
+         |          sqrt(list_reduce([mv[i]*mv[i] for i in range(1, 65)], (x, y) -> x + y)) AS nrm
+         |        FROM (SELECT u.v AS v,
+         |                [list_reduce([m.f[(i-1)*64 + j] * u.v[j] for j in range(1, 65)],
+         |                             (x, y) -> x + y) for i in range(1, 65)] AS mv
+         |              FROM u${k - 1} u, mat m)))""".stripMargin
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |su AS (SELECT i, j,
+       |         sum(CAST(round(v[i]*1000000) AS HUGEINT) * CAST(round(v[j]*1000000) AS HUGEINT)) AS sp
+       |       FROM e, range(1, 65) ti(i), range(1, 65) tj(j) GROUP BY i, j),
+       |ds AS (SELECT i, sum(CAST(round(v[i]*1000000) AS HUGEINT)) AS s
+       |       FROM e, range(1, 65) ti(i) GROUP BY i),
+       |cv AS (SELECT su.i, su.j,
+       |         CAST(nn.n * su.sp - ds1.s * ds2.s AS DOUBLE)
+       |           / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000000000000.0) AS c
+       |       FROM su CROSS JOIN nn
+       |       JOIN ds ds1 ON ds1.i = su.i
+       |       JOIN ds ds2 ON ds2.i = su.j),
+       |mat AS (SELECT list(c ORDER BY i, j) AS f FROM cv),
+       |u0 AS (SELECT [0.125 for i in range(1, 65)] AS v),
+       |${(1 to 20).map(step).mkString(",\n")},
+       |fin AS (SELECT u.v AS v,
+       |          [list_reduce([m.f[(i-1)*64 + j] * u.v[j] for j in range(1, 65)],
+       |                       (x, y) -> x + y) for i in range(1, 65)] AS mv
+       |        FROM u20 u, mat m),
+       |ray AS (SELECT v,
+       |          list_reduce([v[i]*mv[i] for i in range(1, 65)], (x, y) -> x + y) AS lam
+       |        FROM fin),
+       |tr AS (SELECT list_reduce([f[(i-1)*64 + i] for i in range(1, 65)], (x, y) -> x + y) AS trace
+       |       FROM mat),
+       |dim AS (SELECT i AS top_dim FROM ray, range(1, 65) t(i)
+       |        ORDER BY abs(v[i]) DESC, i LIMIT 1)
+       |SELECT nn.n,
+       |       CAST(round(trace, 6) AS DOUBLE) + 0.0 AS total_var,
+       |       CAST(round(lam, 6) AS DOUBLE) + 0.0 AS top_eig,
+       |       CASE WHEN trace = 0 THEN NULL
+       |            ELSE CAST(round(lam / trace, 6) AS DOUBLE) + 0.0 END AS top_share,
+       |       CAST(top_dim AS BIGINT) AS top_dim
+       |FROM nn, ray, tr, dim""".stripMargin
+  }
+
   // ---------------------------------------------------------- ann_recall_report
   /** Index QUALITY report: recall@K of each oracled ANN method against
     * the brute-force truth on the driver query set — the evaluation a
@@ -1883,6 +2023,7 @@ object Ann {
 
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_top" -> (embedPcaTop _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_rrf_fusion" -> (annRrfFusion _),
@@ -1902,6 +2043,7 @@ object Ann {
   )
 
   def oracles: Map[String, String] = Map(
+    "embed_pca_top" -> embedPcaTopSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_rrf_fusion" -> annRrfFusionSql,

@@ -19,6 +19,28 @@ class AnnSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg recall@10 $avg")
   }
 
+  test("embed_pca_top: dominant planted axis found, share near 1, registered query sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // variance lives almost entirely on axis 5 (0-based): +/-10 swing
+    // there, +/-0.01 jitter elsewhere -> top_dim 6 (1-based), share ~1
+    val e = (0 until 400).map { i =>
+      (i.toLong, "x", Array.tabulate(64) { d =>
+        if (d == 5) (if (i % 2 == 0) 10.0 else -10.0)
+        else 0.01 * math.sin(i * 1.7 + d * 0.9)
+      }.toSeq)
+    }.toDF("vec_id", "label", "v")
+    val r = graft.operators.Ann.embedPcaTopFrom(spark, e).collect().head
+    assert(r.getLong(0) == 400)
+    assert(r.getLong(4) == 6L, s"top_dim ${r.getLong(4)}")
+    assert(r.getDouble(3) > 0.95, s"top_share ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(2) - 100.0) < 1.0, s"top_eig ${r.getDouble(2)}")
+    // registered corpus query: one row, share in (0, 1]
+    val g = SparkEntry.queries("embed_pca_top")(spark, sf).collect()
+    assert(g.length == 1)
+    assert(g.head.getDouble(3) > 0.0 && g.head.getDouble(3) <= 1.0)
+  }
+
   test("ann_hamming_topk: recall@10 >= 0.5 vs brute, K rows/query, deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
