@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Properties of the integer-exact PageRank (the oracle owns value
+  * equality; this spec owns graph-theoretic behavior). */
+class GraphSpec extends SparkSpec {
+
+  test("graph_part_rank: hub of a planted star outranks leaves, leaves tie") {
+    import spark.implicits._
+    // star: part 1 co-purchased with each of 10 leaves (one order per
+    // pair); leaves never co-occur with each other
+    val pairs = (1 to 10).flatMap(i => Seq((100L + i, 1L), (100L + i, 10L + i)))
+      .toDF("ok", "p")
+    val rows = Graph.graphPartRankFrom(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 11)
+    val hub = rows(1L)._2
+    val leaves = (11L to 20L).map(rows(_)._2)
+    assert(leaves.distinct.size == 1, s"leaves should tie: $leaves")
+    assert(hub > leaves.head * 3, s"hub $hub vs leaf ${leaves.head}")
+    // hub out-weight = 10 one-order edges, leaf out-weight = 1
+    assert(rows(1L)._1 == 10L && rows(11L)._1 == 1L)
+  }
+
+  test("graph_part_rank: rank mass bounded and floors-only below the float fixpoint") {
+    val rows = SparkEntry.queries("graph_part_rank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(2)).sum
+    // every vertex keeps the damping base; integer floors only ever
+    // LOSE mass vs the n*1e6 float fixpoint total
+    rows.foreach(r => assert(r.getLong(2) >= 150000L))
+    assert(total <= n * 1000000L, s"total $total vs ${n * 1000000L}")
+    assert(total >= n * 800000L, s"total $total lost too much to floors")
+    // deterministic re-run
+    val again = SparkEntry.queries("graph_part_rank")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == again)
+  }
+}
