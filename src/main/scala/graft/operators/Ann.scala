@@ -1860,8 +1860,13 @@ object Ann {
   def embedPcaTop(spark: SparkSession, dir: String): DataFrame =
     embedPcaTopFrom(spark, emb(spark, dir))
 
-  private[graft] def embedPcaTopFrom(spark: SparkSession, e: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** Shared bounded-driver-state PCA solve: exact Gram/dim-sum collect,
+    * BigInteger covariance numerators, 20 power sweeps. Returns
+    * (n, micro dim sums, covariance, final direction); None on an
+    * empty corpus. embed_pca_top reports from it; embed_abtt_project
+    * projects with it. */
+  private def pcaSolve(e: DataFrame): Option[(Long, Array[java.math.BigInteger],
+      Array[Array[Double]], Array[Double])] = {
     val mi = transform(col("v"), x => round(x * 1000000).cast("long"))
     val base = e.select(mi.as("m"))
     val pairRows = base
@@ -1875,9 +1880,7 @@ object Ann {
       .groupBy(col("pos"))
       .agg(sum(col("x").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
       .collect()
-    if (dimRows.isEmpty)
-      return Seq.empty[(Long, Option[Double], Option[Double], Option[Double], Option[Long])]
-        .toDF("n", "total_var", "top_eig", "top_share", "top_dim")
+    if (dimRows.isEmpty) return None
     val n = dimRows.head.getLong(2)
     val bigN = java.math.BigInteger.valueOf(n)
     val s = new Array[java.math.BigInteger](64)
@@ -1891,22 +1894,31 @@ object Ann {
       val c = num.doubleValue / denom
       cov(i)(j) = c; cov(j)(i) = c
     }
-    def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(64) { i =>
-        var acc = 0.0; var j = 0
-        while (j < 64) { acc += cov(i)(j) * v(j); j += 1 }; acc
-      }
     var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
     var it = 0
     while (it < 20) {
-      val mv = matvec(v)
+      val mv = pcaMatvec(cov, v)
       var n2 = 0.0; var i = 0
       while (i < 64) { n2 += mv(i) * mv(i); i += 1 }
       val nrm = math.sqrt(n2)
       if (nrm != 0.0) v = mv.map(_ / nrm)
       it += 1
     }
-    val mvF = matvec(v)
+    Some((n, s, cov, v))
+  }
+
+  private def pcaMatvec(cov: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(64) { i =>
+      var acc = 0.0; var j = 0
+      while (j < 64) { acc += cov(i)(j) * v(j); j += 1 }; acc
+    }
+
+  private[graft] def embedPcaTopFrom(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (n, _, cov, v) = pcaSolve(e).getOrElse(
+      return Seq.empty[(Long, Option[Double], Option[Double], Option[Double], Option[Long])]
+        .toDF("n", "total_var", "top_eig", "top_share", "top_dim"))
+    val mvF = pcaMatvec(cov, v)
     var lam = 0.0; var trace = 0.0
     var i = 0
     while (i < 64) { lam += v(i) * mvF(i); trace += cov(i)(i); i += 1 }
@@ -1927,11 +1939,13 @@ object Ann {
       .toDF("n", "total_var", "top_eig", "top_share", "top_dim")
   }
 
-  /** Mirror: exact HUGEINT covariance numerators, then the 20 power
-    * sweeps unrolled as single-row CTEs with ascending list_reduce
-    * folds — the Lloyd-step oracle discipline applied to an eigen
-    * solve. top_dim is reported 1-based (the SQL subscript). */
-  lazy val embedPcaTopSql: String = {
+  /** Shared mirror CTEs for the PCA family: exact HUGEINT covariance
+    * numerators, then the 20 power sweeps unrolled as single-row CTEs
+    * with ascending list_reduce folds — the Lloyd-step oracle
+    * discipline applied to an eigen solve. Ends at u20 (the final
+    * direction); consumers add their own report CTEs, so pca_top and
+    * abtt_project cannot drift apart. */
+  private lazy val pcaPowerCtes: String = {
     def step(k: Int): String =
       s"""u$k AS (
          |  SELECT CASE WHEN nrm = 0 THEN v ELSE [x / nrm FOR x IN mv] END AS v
@@ -1941,7 +1955,7 @@ object Ann {
          |                [list_reduce([m.f[(i-1)*64 + j] * u.v[j] for j in range(1, 65)],
          |                             (x, y) -> x + y) for i in range(1, 65)] AS mv
          |              FROM u${k - 1} u, mat m)))""".stripMargin
-    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nn AS (SELECT count(*) AS n FROM e),
        |su AS (SELECT i, j,
        |         sum(CAST(round(v[i]*1000000) AS HUGEINT) * CAST(round(v[j]*1000000) AS HUGEINT)) AS sp
@@ -1956,7 +1970,11 @@ object Ann {
        |       JOIN ds ds2 ON ds2.i = su.j),
        |mat AS (SELECT list(c ORDER BY i, j) AS f FROM cv),
        |u0 AS (SELECT [0.125 for i in range(1, 65)] AS v),
-       |${(1 to 20).map(step).mkString(",\n")},
+       |${(1 to 20).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val embedPcaTopSql: String =
+    s"""WITH $pcaPowerCtes,
        |fin AS (SELECT u.v AS v,
        |          [list_reduce([m.f[(i-1)*64 + j] * u.v[j] for j in range(1, 65)],
        |                       (x, y) -> x + y) for i in range(1, 65)] AS mv
@@ -1975,7 +1993,57 @@ object Ann {
        |            ELSE CAST(round(lam / trace, 6) AS DOUBLE) + 0.0 END AS top_share,
        |       CAST(top_dim AS BIGINT) AS top_dim
        |FROM nn, ray, tr, dim""".stripMargin
+
+  // ---------------------------------------------------------- embed_abtt_project
+  /** ABTT projection (All-But-The-Top, Mu & Viswanath ICLR'18): per
+    * vector, the coordinate along the corpus TOP principal direction
+    * and the norm of what remains after removing mean + that direction
+    * — the whitening ACTION embed_pca_top's audit calls for. A
+    * retrieval pipeline stores resid_norm next to the vector and drops
+    * the common-direction energy before cosine.
+    *
+    * Scale: the solve is embed_pca_top's (one Gram aggregate + bounded
+    * driver state); the projection itself is MAP-ONLY — mean and
+    * direction ride along as 64-double literals, each row costs two
+    * ascending folds. Mirror shares pcaPowerCtes (the direction cannot
+    * drift) and replays the same fold order, so proj and resid_norm
+    * hash-match. */
+  def embedAbttProject(spark: SparkSession, dir: String): DataFrame =
+    embedAbttProjectFrom(spark, emb(spark, dir))
+
+  private[graft] def embedAbttProjectFrom(spark: SparkSession, e: DataFrame): DataFrame = {
+    val (n, s, _, v) = pcaSolve(e).getOrElse(
+      return e.select(col("vec_id"), lit(0.0).as("proj"), lit(0.0).as("resid_norm")))
+    val mu = Array.tabulate(64)(i => s(i).doubleValue / (n.toDouble * 1000000.0))
+    val t = (0 until 64).map { i =>
+      (element_at(col("v"), i + 1) - lit(mu(i))) * lit(v(i))
+    }.reduce(_ + _)
+    val resid2 = (0 until 64).map { i =>
+      val d = (element_at(col("v"), i + 1) - lit(mu(i))) - col("proj") * lit(v(i))
+      d * d
+    }.reduce(_ + _)
+    e.withColumn("proj", t)
+      .withColumn("resid2", resid2)
+      .select(col("vec_id"),
+        (round(col("proj"), 4) + 0.0).as("proj"),
+        (round(sqrt(col("resid2")), 4) + 0.0).as("resid_norm"))
+      .orderBy(col("vec_id"))
   }
+
+  lazy val embedAbttProjectSql: String =
+    s"""WITH $pcaPowerCtes,
+       |mu AS (SELECT list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS m
+       |       FROM ds, nn),
+       |p0 AS (SELECT e.vec_id, e.v, mu.m AS m, u.v AS pv FROM e, mu, u20 u),
+       |p1 AS (SELECT vec_id, v, m, pv,
+       |         list_reduce([(v[i] - m[i]) * pv[i] for i in range(1, 65)],
+       |                     (x, y) -> x + y) AS t
+       |       FROM p0)
+       |SELECT vec_id, CAST(round(t, 4) AS DOUBLE) + 0.0 AS proj,
+       |       CAST(round(sqrt(list_reduce(
+       |         [((v[i] - m[i]) - t * pv[i]) * ((v[i] - m[i]) - t * pv[i])
+       |          for i in range(1, 65)], (x, y) -> x + y)), 4) AS DOUBLE) + 0.0 AS resid_norm
+       |FROM p1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------- ann_recall_report
   /** Index QUALITY report: recall@K of each oracled ANN method against
@@ -2024,6 +2092,7 @@ object Ann {
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_top" -> (embedPcaTop _),
+    "embed_abtt_project" -> (embedAbttProject _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_rrf_fusion" -> (annRrfFusion _),
@@ -2044,6 +2113,7 @@ object Ann {
 
   def oracles: Map[String, String] = Map(
     "embed_pca_top" -> embedPcaTopSql,
+    "embed_abtt_project" -> embedAbttProjectSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_rrf_fusion" -> annRrfFusionSql,

@@ -41,6 +41,26 @@ class AnnSpec extends SparkSpec {
     assert(g.head.getDouble(3) > 0.0 && g.head.getDouble(3) <= 1.0)
   }
 
+  test("embed_abtt_project: planted-axis energy lands in proj, residual stays jitter-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = (0 until 400).map { i =>
+      (i.toLong, "x", Array.tabulate(64) { d =>
+        if (d == 5) (if (i % 2 == 0) 10.0 else -10.0)
+        else 0.01 * math.sin(i * 1.7 + d * 0.9)
+      }.toSeq)
+    }.toDF("vec_id", "label", "v")
+    val rows = graft.operators.Ann.embedAbttProjectFrom(spark, e).collect()
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      assert(math.abs(math.abs(r.getDouble(1)) - 10.0) < 0.2,
+        s"vec ${r.getLong(0)} proj ${r.getDouble(1)}")
+      assert(r.getDouble(2) < 0.2, s"vec ${r.getLong(0)} resid ${r.getDouble(2)}")
+    }
+    // removing the top direction kills most variance: resid << proj
+    assert(rows.map(r => math.abs(r.getDouble(1))).min > 9.0)
+  }
+
   test("ann_hamming_topk: recall@10 >= 0.5 vs brute, K rows/query, deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
