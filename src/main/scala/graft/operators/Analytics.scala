@@ -1082,7 +1082,61 @@ object Analytics {
       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------- orders_gap_dist
+  /** Inter-purchase interval distribution: per customer the day gaps
+    * between consecutive orders, bucketed — the repeat-purchase cadence
+    * read (feeds churn alarms: a customer whose current silence exceeds
+    * the distribution's tail is churning; orders_rfm's recency is the
+    * point estimate, this is the base rate behind it).
+    *
+    * Scale: one lag window per customer partition (bounded by that
+    * customer's order count — never a global order), then a 5-bucket
+    * rollup whose share division is the single float at the boundary.
+    * Ties on a day are ordered by o_orderkey, so the lag is total and
+    * both engines see identical gaps. */
+  def ordersGapDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap", datediff(col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+    val bucket = when(col("gap") === 0, "0_same_day")
+      .when(col("gap") <= 7, "1_week")
+      .when(col("gap") <= 30, "2_month")
+      .when(col("gap") <= 90, "3_quarter")
+      .otherwise("4_longer")
+    val total = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_gaps"),
+        (round(col("n_gaps").cast("double") / col("n_total").cast("double"), 6) + 0.0)
+          .as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  val ordersGapDistSql: String =
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |           lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY o_orderdate, o_orderkey),
+      |           o_orderdate) AS gap
+      |  FROM orders),
+      |gg AS (SELECT CASE WHEN gap = 0 THEN '0_same_day'
+      |                   WHEN gap <= 7 THEN '1_week'
+      |                   WHEN gap <= 30 THEN '2_month'
+      |                   WHEN gap <= 90 THEN '3_quarter'
+      |                   ELSE '4_longer' END AS bucket
+      |       FROM g WHERE gap IS NOT NULL),
+      |t AS (SELECT count(*) AS n_total FROM gg)
+      |SELECT bucket, count(*) AS n_gaps,
+      |       round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM t), 6) + 0.0 AS share
+      |FROM gg GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_gap_dist" -> (ordersGapDist _),
     "events_value_anomaly" -> (eventsValueAnomaly _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -1107,6 +1161,7 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "orders_gap_dist" -> ordersGapDistSql,
     "events_value_anomaly" -> eventsValueAnomalySql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "events_top_paths" -> eventsTopPathsSql,

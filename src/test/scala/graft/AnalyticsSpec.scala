@@ -4,6 +4,18 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("orders_gap_dist: gap count conserves (orders - customers), shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("orders_gap_dist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.orders(spark, sf)
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("c")).collect().head
+    // every order except each customer's first contributes one gap
+    assert(rows.map(_.getLong(1)).sum == o.getLong(0) - o.getLong(1))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum $shareSum")
+  }
+
   test("rank_stats_scalable equals the single-window rank_stats bit for bit") {
     val exact = Analytics.rankStats(spark, sf).collect()
     val scaled = Analytics.rankStatsScalable(spark, sf).collect()
