@@ -100,9 +100,95 @@ object Graph {
        |FROM r$Iters ORDER BY part""".stripMargin
   }
 
+  /** graph_triangles: triangle count + global clustering coefficient of
+    * the co-purchase graph — how clique-ish the catalog is (a pure
+    * per-order-clique graph has coefficient 1; cross-order structure
+    * pulls it down). Degree-ordered node-iterator (Suri &
+    * Vassilvitskii WWW'11): each undirected edge orients from the
+    * (degree, id)-LOWER endpoint, so a node's out-degree is O(√m) even
+    * at hub nodes and the wedge self-join never explodes on a heavy
+    * vertex — THE distributed triangle-counting trick. Wedges close
+    * against the oriented edge list; between the two wedge tips the
+    * closing edge is oriented by the same rank, so one probe join
+    * suffices. All counts are exact integers (wedge total is
+    * Σ d·(d−1) DIV 2 — always even, exact), the coefficient is one
+    * boundary division. Edge list, degrees, and the oriented+ranked
+    * list each stage once (consumed 2-3×). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graphTrianglesFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
+
+  private[graft] def graphTrianglesFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
+    val und = stageBarrier(
+      li.select(col("ok"), col("p").as("u"))
+        .join(li.select(col("ok"), col("p").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct())
+    val dg = stageBarrier(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val orn = und
+      .join(dg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(dg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"),
+        when(lower, col("dv")).otherwise(col("du")).as("dd"))
+    val orn2 = stageBarrier(orn)
+    val e1 = orn2.select(col("src"), col("dst").as("v"), col("dd").as("dv2"))
+    val e2 = orn2.select(col("src"), col("dst").as("w"), col("dd").as("dw2"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dv2") < col("dw2") ||
+        (col("dv2") === col("dw2") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val tri = wedges
+      .join(orn2.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = dg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+    val ecnt = und.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(ecnt)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_triangles").cast("double") * 3.0
+            / col("n_wedges").cast("double"), 6) + 0.0).as("clustering"))
+  }
+
+  lazy val graphTrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |dg AS (SELECT node, count(*) AS d
+      |       FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |       GROUP BY node),
+      |orn AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+      |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst,
+      |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dd
+      |        FROM und JOIN dg du ON du.node = u JOIN dg dv ON dv.node = v),
+      |wg AS (SELECT e1.dst AS v, e2.dst AS w
+      |       FROM orn e1 JOIN orn e2 ON e1.src = e2.src
+      |        AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+      |tri AS (SELECT count(*) AS n_triangles
+      |        FROM wg WHERE EXISTS (SELECT 1 FROM orn
+      |                              WHERE orn.src = wg.v AND orn.dst = wg.w)),
+      |st AS (SELECT count(*) AS n_nodes,
+      |              CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM dg),
+      |ec AS (SELECT count(*) AS n_edges FROM und)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CASE WHEN n_wedges = 0 THEN NULL
+      |            ELSE round(CAST(n_triangles AS DOUBLE) * 3.0
+      |                       / CAST(n_wedges AS DOUBLE), 6) + 0.0 END AS clustering
+      |FROM st, ec, tri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (graphTriangles _),
     "graph_part_rank" -> (graphPartRank _))
 
   def oracles: Map[String, String] = Map(
+    "graph_triangles" -> graphTrianglesSql,
     "graph_part_rank" -> graphPartRankSql)
 }

@@ -24,6 +24,21 @@ class GraphSpec extends SparkSpec {
     assert(rows(1L)._1 == 10L && rows(11L)._1 == 1L)
   }
 
+  test("graph_triangles: planted K4 + tail path counts exactly") {
+    import spark.implicits._
+    // order 100: parts {1,2,3,4} -> K4 (4 triangles, 6 edges);
+    // orders 101/102 add the tail 4-5-6 (2 edges, no triangles)
+    val pairs = (Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (101L, 4L), (101L, 5L), (102L, 5L), (102L, 6L))).toDF("ok", "p")
+    val r = Graph.graphTrianglesFrom(pairs).collect().head
+    assert(r.getLong(0) == 6, s"nodes ${r.getLong(0)}")
+    assert(r.getLong(1) == 8, s"edges ${r.getLong(1)}")
+    // wedges: deg (3,3,3,4,2,1) -> 3+3+3+6+1+0 = 16
+    assert(r.getLong(2) == 16, s"wedges ${r.getLong(2)}")
+    assert(r.getLong(3) == 4, s"triangles ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.75, s"clustering ${r.getDouble(4)}")
+  }
+
   test("graph_part_rank: rank mass bounded and floors-only below the float fixpoint") {
     val rows = SparkEntry.queries("graph_part_rank")(spark, sf).collect()
     assert(rows.nonEmpty)
