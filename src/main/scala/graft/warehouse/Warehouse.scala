@@ -656,6 +656,59 @@ object Warehouse {
        |FROM fin_monthly m LEFT JOIN rev USING (department, year, month)
        |ORDER BY department, year, month, gl_code, category""".stripMargin
 
+  // ------------------------------------------------------ fin_seasonality
+  /** Revenue seasonal index per department and calendar month: the
+    * month's average revenue relative to the department's overall
+    * average — the FP&A seasonality read that turns fin_trend_mom's
+    * raw deltas into "is this dip normal for March" (and the
+    * deseasonalization factor for fin_forecast_linear's inputs).
+    *
+    * Scale: one fact shuffle (the monthly Revenue rollup, staged); the
+    * calendar-month rollup above it is ≤ |dept|·12 rows, staged once
+    * for its two consumers (the dept total is an aggregate over the
+    * aggregate, the common_size discipline). The index is ONE IEEE
+    * division of exact integer cross-products (s_m·n_d)/(n_m·s_d) —
+    * ratio of averages without ever forming a float average — NULL
+    * where a department's revenue nets to zero. */
+  def finSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      upserted(spark, dir).filter(col("category") === "Revenue")
+        .groupBy(col("department"), col("year"), col("month"))
+        .agg(sum(cents(col("amount"))).as("tc")))
+    val bym = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      monthly.groupBy(col("department"), col("month"))
+        .agg(sum(col("tc")).as("s_m"), count(lit(1)).as("n_m")))
+    val byd = bym.groupBy(col("department"))
+      .agg(sum(col("s_m")).as("s_d"), sum(col("n_m")).as("n_d"))
+    bym.join(byd, Seq("department"))
+      .select(col("department"), col("month"), col("n_m").as("n_obs"),
+        (round(col("s_m").cast("double") / (col("n_m") * 100).cast("double"), 2) + 0.0)
+          .as("avg_amount"),
+        when(col("s_d") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("s_m").cast("decimal(38,0)") * col("n_d")).cast("double")
+              / (col("n_m").cast("decimal(38,0)") * col("s_d")).cast("double"), 4) + 0.0)
+          .as("seasonal_idx"))
+      .orderBy(col("department"), col("month"))
+  }
+
+  val finSeasonalitySql: String =
+    s"""WITH $upsertCtes,
+       |rv AS (SELECT department, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |       FROM fin_upserted WHERE category = 'Revenue'
+       |       GROUP BY department, year, month),
+       |bm AS (SELECT department, month, sum(tc) AS s_m, count(*) AS n_m
+       |       FROM rv GROUP BY department, month),
+       |bd AS (SELECT department, sum(s_m) AS s_d, sum(n_m) AS n_d
+       |       FROM bm GROUP BY department)
+       |SELECT bm.department, bm.month, CAST(bm.n_m AS BIGINT) AS n_obs,
+       |       round(CAST(bm.s_m AS DOUBLE) / CAST(bm.n_m * 100 AS DOUBLE), 2) + 0.0 AS avg_amount,
+       |       CASE WHEN bd.s_d = 0 THEN NULL
+       |            ELSE round(CAST(bm.s_m * bd.n_d AS DOUBLE)
+       |                       / CAST(bm.n_m * bd.s_d AS DOUBLE), 4) + 0.0 END AS seasonal_idx
+       |FROM bm JOIN bd USING (department) ORDER BY department, month""".stripMargin
+
   // ---------------------------------------------------- fin_variance_walk
   /** MoM variance WALK: which GL lines drive each department's
     * month-over-month movement — per line the delta vs its previous
@@ -1382,6 +1435,7 @@ object Warehouse {
     "fin_latest_load" -> (finLatestLoad _),
     "fin_load_diff" -> (finLoadDiff _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
+    "fin_seasonality" -> (finSeasonality _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_common_size" -> (finCommonSize _),
     "fin_variance_walk" -> (finVarianceWalk _),
@@ -1413,6 +1467,7 @@ object Warehouse {
     "fin_latest_load" -> finLatestLoadSql,
     "fin_load_diff" -> finLoadDiffSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
+    "fin_seasonality" -> finSeasonalitySql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_common_size" -> finCommonSizeSql,
     "fin_variance_walk" -> finVarianceWalkSql,

@@ -17,7 +17,7 @@ class PlanInvariantsSpec extends SparkSpec {
     val parts = Seq(Relational.queries, TpchExtra.queries, Analytics.queries,
       graft.warehouse.Warehouse.queries, TextAnalysis.queries,
       TextStats.queries, TrainPrep.queries, Dedup.queries, Ann.queries,
-      graft.streaming.EventStreams.queries, Multimodal.queries)
+      Graph.queries, graft.streaming.EventStreams.queries, Multimodal.queries)
     // Map ++ overwrites silently: a duplicate name would shrink the merge
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across operator modules")

@@ -9,6 +9,18 @@ import scala.jdk.CollectionConverters._
   * can't express: plan shape, idempotence, state-machine behavior). */
 class WarehouseSpec extends SparkSpec {
 
+  test("fin_seasonality: per-dept observation-weighted index mean is 1") {
+    val rows = SparkEntry.queries("fin_seasonality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (dept, ms) =>
+      // sum_m idx_m * n_m = n_d exactly (before rounding): the index is
+      // a ratio of averages, so its weighted mean over months is 1
+      val nD = ms.map(_.getLong(2)).sum
+      val weighted = ms.map(r => r.getDouble(4) * r.getLong(2)).sum
+      assert(math.abs(weighted / nD - 1.0) < 1e-3, s"$dept weighted mean ${weighted / nD}")
+    }
+  }
+
   test("entry (fin_warehouse_build) returns the 8-column warehouse schema") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("gl_code", "description", "category",
