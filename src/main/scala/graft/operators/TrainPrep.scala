@@ -926,6 +926,71 @@ object TrainPrep {
       |SELECT doc_id, n_feats, CAST(round(s, 4) AS DOUBLE) + 0.0 AS logw
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- corpus_source_report
+  /** Per-SOURCE corpus scorecard — the review a data team runs before
+    * setting mixture weights (corpus_mix consumes those weights; this
+    * is where they come from): volume (docs, BPE-ish tokens), quality
+    * (mean integer unique-word ratio, the token_budget q16), redundancy
+    * (share of docs whose exact text appears elsewhere in the CORPUS —
+    * cross-source copies count against both sources), and language
+    * spread.
+    *
+    * Scale: the per-doc signal frame computes once (staged — the md5 +
+    * tokenizer kernels are the expensive map work) and feeds the
+    * dup-hash aggregate, the semi-join, and the source rollup; shuffles
+    * are the 16-byte hash key and the |sources| rollup. Quality mean is
+    * Σq16/(n·65536) — exact integer sums, one boundary division each
+    * for the two reported ratios. */
+  def corpusSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        expr("CAST(size(array_distinct(split(text, ' '))) * CAST(65536 AS BIGINT)" +
+          " DIV size(split(text, ' ')) AS BIGINT)").as("q16"),
+        Text.nBpeTokens(col("text")).cast("long").as("n_tokens")))
+    val dupH = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dups = base.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("q16")).as("sq"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_langs"),
+        (round(col("sq").cast("double")
+          / (col("n_docs") * 65536L).cast("double"), 4) + 0.0).as("avg_quality"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 4) + 0.0).as("dup_share"))
+      .orderBy(col("source"))
+  }
+
+  val corpusSourceReportSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, lang, md5(text) AS h,
+      |         CAST(len(list_distinct(string_split(text, ' '))) * 65536
+      |              // len(string_split(text, ' ')) AS BIGINT) AS q16,
+      |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |dh AS (SELECT h FROM b GROUP BY h HAVING count(*) > 1),
+      |dp AS (SELECT source, count(*) AS n_dup
+      |       FROM b WHERE EXISTS (SELECT 1 FROM dh WHERE dh.h = b.h)
+      |       GROUP BY source),
+      |ag AS (SELECT source, count(*) AS n_docs,
+      |              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |              CAST(sum(q16) AS BIGINT) AS sq,
+      |              count(DISTINCT lang) AS n_langs
+      |       FROM b GROUP BY source)
+      |SELECT ag.source, ag.n_docs, ag.total_tokens, ag.n_langs,
+      |       round(CAST(sq AS DOUBLE) / CAST(n_docs * 65536 AS DOUBLE), 4) + 0.0 AS avg_quality,
+      |       coalesce(dp.n_dup, 0) AS n_dup,
+      |       round(CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) + 0.0 AS dup_share
+      |FROM ag LEFT JOIN dp USING (source)
+      |ORDER BY ag.source""".stripMargin
+
   // -------------------------------------------------- corpus_ngram_novelty
   /** Per-doc NOVELTY contribution: the fraction of a doc's distinct
     * word-5-grams whose FIRST corpus occurrence (lowest doc_id —
@@ -978,6 +1043,7 @@ object TrainPrep {
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_report" -> (corpusSourceReport _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_dup_spans" -> (corpusDupSpans _),
     "corpus_dup_trim" -> (corpusDupTrim _),
@@ -1001,6 +1067,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_source_report" -> corpusSourceReportSql,
     "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,

@@ -447,7 +447,40 @@ object EventStreams {
       |SELECT window_start_us, rank, event_type, n
       |FROM r WHERE rank <= 3 ORDER BY window_start_us, rank""".stripMargin
 
+  // ----------------------------------------------------------- stream_uniques
+  /** stream_uniques: exact distinct users + event count per tumbling
+    * hour — the hourly-DAU panel a streaming dashboard maintains.
+    * Streaming count-distinct is not incrementally expressible, so the
+    * streaming twin (`uniquesStream`) is the standard two-stage shape:
+    * watermarked dropDuplicates on (hour, user) feeds a windowed count
+    * — state is one row per in-horizon (hour, user), watermark-evicted;
+    * StreamingSpec pins its row-equality with this batch query. Batch
+    * side: one partial-distinct aggregate (map-side combines on
+    * (hour, user) before the exchange). */
+  def streamUniques(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    Tables.eventsUs(spark, dir)
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(hourUs))).as("window_start_us"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("window_start_us"))
+  }
+
+  val streamUniquesSql: String =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY window_start_us""".stripMargin
+
+  /** Streaming twin of stream_uniques' n_users: dedup-then-count.
+    * `events` needs (ts: timestamp, user_id). */
+  def uniquesStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("hour", "2 hours")
+      .dropDuplicates("user_id", "hour")
+      .groupBy(col("hour")).agg(count(lit(1)).as("n_users"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_uniques" -> (streamUniques _),
     "stream_topk_trend" -> (streamTopkTrend _),
     "stream_tumbling_agg" -> (streamTumblingAgg _),
     "stream_hopping_agg" -> (streamHoppingAgg _),
@@ -457,6 +490,7 @@ object EventStreams {
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
+    "stream_uniques" -> streamUniquesSql,
     "stream_topk_trend" -> streamTopkTrendSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_hopping_agg" -> streamHoppingAggSql,

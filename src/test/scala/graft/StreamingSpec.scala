@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-then-count uniques stream matches the batch distinct-user panel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val withTs = stream.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.uniquesStream(withTs)
+      .writeStream.format("memory").queryName("uniq")
+      .outputMode("complete").start()
+    try {
+      // two batches: replays of the first half arrive with the second —
+      // the dedup state must absorb them
+      val (a, b) = events.splitAt(events.length / 2)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b ++ a.take(200))
+      q.processAllAvailable()
+      val got = spark.table("uniq")
+        .select(unix_micros(col("hour")).as("window_start_us"), col("n_users"))
+        .orderBy("window_start_us").collect()
+      val want = SparkEntry.queries("stream_uniques")(spark, sf)
+        .select(col("window_start_us"), col("n_users")).collect()
+      assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("watermarked hopping agg over a memory stream matches the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

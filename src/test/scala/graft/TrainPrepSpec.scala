@@ -212,6 +212,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(run().toSet == rows.toSet)
   }
 
+  test("source_report: docs conserve, dup counts pair up, shares in range") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("corpus_source_report")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "per-source doc counts conserve")
+    // a duplicated text involves >= 2 docs somewhere in the corpus
+    val totalDup = rows.map(_.getLong(5)).sum
+    assert(totalDup == 0 || totalDup >= 2, s"dup total $totalDup")
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, "avg_quality in (0,1]")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "dup_share in [0,1]")
+    }
+  }
+
   test("ngram_novelty: first doc owns its grams, copies add nothing, overlap is partial") {
     import spark.implicits._
     val block = (1 to 9).map(i => s"n$i").mkString(" ") // 9 words -> 5 distinct 5-grams
