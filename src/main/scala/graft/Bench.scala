@@ -72,7 +72,10 @@ object Bench {
     for (w <- Seq("q1_agg", "topk_window", "q3_join_agg"))
       try materialize(w) catch { case _: Throwable => () }
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val passTotals = (1 to passes).map { _ =>

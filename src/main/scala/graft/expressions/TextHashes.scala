@@ -225,6 +225,19 @@ object TextHashes {
     c
   }
 
+  /** Long twin of sortedIntersectCount (graph adjacency lists). */
+  def sortedLongIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def shingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     def set(t: UTF8String): java.util.HashSet[String] = {
       val words = t.toString.split(" ", -1)
@@ -368,6 +381,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       (a, b) => s"graft.expressions.TextHashes.sortedIntersectCount($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sorted_long_intersect_count(a, b) over pre-sorted array<bigint> —
+  * the adjacency-list merge for graph_triangles (same argument as the
+  * string variant above: per-row hash structures lose to a linear
+  * merge on sorted inputs by an order of magnitude). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedLongIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashes.sortedLongIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 

@@ -139,15 +139,22 @@ object Graph {
         when(lower, col("v")).otherwise(col("u")).as("dst"),
         when(lower, col("dv")).otherwise(col("du")).as("dd"))
     val orn2 = stageBarrier(orn)
-    val e1 = orn2.select(col("src"), col("dst").as("v"), col("dd").as("dv2"))
-    val e2 = orn2.select(col("src"), col("dst").as("w"), col("dd").as("dw2"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("dv2") < col("dw2") ||
-        (col("dv2") === col("dw2") && col("v") < col("w")))
-      .select(col("v"), col("w"))
-    val tri = wedges
-      .join(orn2.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersect closure instead of materializing the wedge
+    // set: per ORIENTED edge (u, v) the triangles it closes are
+    // |N+(u) ∩ N+(v)| — same count the wedge semi-join produces, but
+    // the Σd² work runs inside one compiled sorted-merge kernel per
+    // edge and no wedge row ever shuffles (7.3 s → the kernel's linear
+    // merges at sf0.1; the dedup_containment argument on long arrays).
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.SortedLongIntersectCount
+    val adj = stageBarrier(orn2.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val tri = orn2.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+      .select(kcol(SortedLongIntersectCount(kexp(col("nu")),
+        kexp(coalesce(col("nv"), array().cast("array<bigint>"))))).as("c"))
+      .agg(sum(col("c").cast("long")).as("n_triangles"))
     val stats = dg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
     val ecnt = und.agg(count(lit(1)).as("n_edges"))

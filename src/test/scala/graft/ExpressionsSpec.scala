@@ -10,6 +10,19 @@ class ExpressionsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("SortedLongIntersectCount equals array_intersect size on sorted inputs") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 4L), Seq(4L, 4L)), // duplicates pair off positionally
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))
+    ).toDF("a", "b")
+    val got = df.select(kcol(graft.expressions.SortedLongIntersectCount(
+      kexp(col("a")), kexp(col("b")))).as("c")).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(2, 0, 2, 3), got.toSeq.toString)
+  }
+
   test("shingle_minhashes registered via GraftExtensions and deterministic") {
     val df = Seq("a b c d e", "a b c d e", "x y z w v").toDF("text")
       .select(expr("shingle_minhashes(text, 3, 8)").as("sig"))
