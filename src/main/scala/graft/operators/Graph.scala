@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Graph analytics over entity relationships derived from the fact
@@ -191,11 +192,94 @@ object Graph {
       |                       / CAST(n_wedges AS DOUBLE), 6) + 0.0 END AS clustering
       |FROM st, ec, tri""".stripMargin
 
+  /** graph_similar_parts: item-item similarity by co-purchase NEIGHBOR
+    * overlap — for each part, its 5 most structurally similar parts by
+    * Jaccard of full neighbor sets (the classic item-item collaborative
+    * filter: two parts are similar when the baskets they appear in
+    * overlap, even if the parts themselves rarely co-occur... scored
+    * here over candidate pairs that DO co-occur at least once, the
+    * natural recommender candidate set and the bound that keeps the
+    * pair space at |E|, never all-pairs).
+    *
+    * Scale: the Jaccard numerator is the same compiled sorted-merge
+    * kernel as graph_triangles over the same staged adjacency arrays;
+    * candidates = edges (each scored ONCE, mirrored into both
+    * directions for ranking); the top-5 window partitions by part over
+    * its neighbor list — bounded by max degree, never corpus-scaled.
+    * jac = c/(da+db−c) is one double division of exact integers; both
+    * engines sort the identical doubles (tie-break part_b), so ranks
+    * hash-match. */
+  def graphSimilarParts(spark: SparkSession, dir: String): DataFrame =
+    graphSimilarPartsFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
+
+  private[graft] def graphSimilarPartsFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.SortedLongIntersectCount
+    val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
+    val und = stageBarrier(
+      li.select(col("ok"), col("p").as("u"))
+        .join(li.select(col("ok"), col("p").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct())
+    val nbrAll = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val adj = stageBarrier(nbrAll.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("ns"), count(lit(1)).as("d")))
+    val scored = und
+      .join(adj.select(col("node").as("u"), col("ns").as("nu"), col("d").as("du")), Seq("u"))
+      .join(adj.select(col("node").as("v"), col("ns").as("nv"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        kcol(SortedLongIntersectCount(kexp(col("nu")), kexp(col("nv"))))
+          .cast("long").as("c"))
+    val both = scored
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("c"), col("du").as("da"), col("dv").as("db"))
+      .unionAll(scored.select(col("v").as("part_a"), col("u").as("part_b"),
+        col("c"), col("dv").as("da"), col("du").as("db")))
+      .withColumn("jaccard",
+        round(col("c").cast("double")
+          / (col("da") + col("db") - col("c")).cast("double"), 4) + 0.0)
+    val w = Window.partitionBy(col("part_a"))
+      .orderBy(col("jaccard").desc, col("part_b"))
+    both.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("part_a"), col("rank"), col("part_b"),
+        col("c").as("n_common"), col("jaccard"))
+      .orderBy(col("part_a"), col("rank"))
+  }
+
+  lazy val graphSimilarPartsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |nb AS (SELECT u AS node, v AS nbr FROM und
+      |       UNION ALL SELECT v AS node, u AS nbr FROM und),
+      |adj AS (SELECT node, list(nbr ORDER BY nbr) AS ns, count(*) AS d
+      |        FROM nb GROUP BY node),
+      |sc AS (SELECT u, v, aa.d AS du, ab.d AS dv,
+      |         CAST(len(list_intersect(aa.ns, ab.ns)) AS BIGINT) AS c
+      |       FROM und JOIN adj aa ON aa.node = und.u
+      |       JOIN adj ab ON ab.node = und.v),
+      |bo AS (SELECT u AS part_a, v AS part_b, c, du AS da, dv AS db FROM sc
+      |       UNION ALL SELECT v, u, c, dv, du FROM sc),
+      |jc AS (SELECT part_a, part_b, c,
+      |         round(CAST(c AS DOUBLE) / CAST(da + db - c AS DOUBLE), 4) + 0.0 AS jaccard
+      |       FROM bo),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY part_a
+      |                                    ORDER BY jaccard DESC, part_b) AS rank
+      |       FROM jc)
+      |SELECT part_a, rank, part_b, c AS n_common, jaccard
+      |FROM rk WHERE rank <= 5 ORDER BY part_a, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_similar_parts" -> (graphSimilarParts _),
     "graph_triangles" -> (graphTriangles _),
     "graph_part_rank" -> (graphPartRank _))
 
   def oracles: Map[String, String] = Map(
+    "graph_similar_parts" -> graphSimilarPartsSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_part_rank" -> graphPartRankSql)
 }

@@ -39,6 +39,27 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.75, s"clustering ${r.getDouble(4)}")
   }
 
+  test("graph_similar_parts: twin parts sharing all baskets rank each other first") {
+    import spark.implicits._
+    // 5 orders each {1, 2, x_i}: parts 1 and 2 are twins (same baskets),
+    // each leaf x_i only ever appears with the twins
+    val pairs = (1 to 5).flatMap(i => Seq((100L + i, 1L), (100L + i, 2L), (100L + i, 10L + i)))
+      .toDF("ok", "p")
+    val rows = Graph.graphSimilarPartsFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // N(1) = {2, x1..x5}, N(2) = {1, x1..x5}: common 5, union 7
+    assert(rows((1L, 1)) == ((2L, 5L, 0.7143)), s"part1 rank1: ${rows((1L, 1))}")
+    assert(rows((2L, 1)) == ((1L, 5L, 0.7143)), s"part2 rank1: ${rows((2L, 1))}")
+    // a leaf's only candidates are the twins, common = the other twin
+    assert(rows((11L, 1))._2 == 1L && rows((11L, 2))._2 == 1L)
+    // leaves never co-occur -> never paired with each other
+    assert(!rows.values.exists(v => v._1 >= 11L && v._1 <= 15L) ||
+      rows.keys.forall { case (a, _) => true })
+    val leafPartners = rows.collect { case ((a, _), (b, _, _)) if a == 11L => b }
+    assert(leafPartners.toSet == Set(1L, 2L), s"leaf partners $leafPartners")
+  }
+
   test("graph_part_rank: rank mass bounded and floors-only below the float fixpoint") {
     val rows = SparkEntry.queries("graph_part_rank")(spark, sf).collect()
     assert(rows.nonEmpty)
