@@ -289,7 +289,41 @@ object TextAnalysis {
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // ---------------------------------------------------- corpus_langid_eval
+  /** Confusion matrix of the heuristic language ID against the declared
+    * `lang` column — the eval-as-a-query pattern (ann_recall_report for
+    * text): every (declared, predicted) cell with its count and its
+    * share of the declared language's documents (the per-class recall
+    * lives on the diagonal). The report a pipeline publishes before
+    * trusting langid-based filtering/stratification downstream.
+    *
+    * Scale: one map-side-combined (lang, pred) aggregate over the
+    * scored scan (≤ |langs|² cells), a ≤|langs| rollup above it, one
+    * boundary division per cell. Mirror embeds the registered
+    * text_langid oracle verbatim as a subquery (drift-proof). */
+  def corpusLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      textLangid(spark, dir).select(col("lang"), col("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n")))
+    val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    conf.join(tot, Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (round(col("n").cast("double") / col("n_lang").cast("double"), 4) + 0.0)
+          .as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  lazy val corpusLangidEvalSql: String =
+    s"""WITH li AS (SELECT lang, pred_lang FROM ($textLangidSql) t),
+       |cf AS (SELECT lang, pred_lang, count(*) AS n FROM li GROUP BY 1, 2),
+       |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cf GROUP BY lang)
+       |SELECT cf.lang, cf.pred_lang, cf.n,
+       |       round(CAST(cf.n AS DOUBLE) / CAST(tt.n_lang AS DOUBLE), 4) + 0.0 AS share
+       |FROM cf JOIN tt USING (lang)
+       |ORDER BY cf.lang, cf.pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -301,6 +335,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,

@@ -6,6 +6,17 @@ import graft.functions.Text
 /** Semantic checks for the text suite beyond oracle parity. */
 class TextSpec extends SparkSpec {
 
+  test("langid_eval: per-declared-lang shares sum to 1, counts conserve") {
+    val rows = SparkEntry.queries("corpus_langid_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "cells conserve the corpus")
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val s = cells.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$lang shares sum $s")
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     import spark.implicits._
     val df = Seq("Hello  World", "hello world", "hello worlds")
