@@ -2045,6 +2045,79 @@ object Ann {
        |          for i in range(1, 65)], (x, y) -> x + y)), 4) AS DOUBLE) + 0.0 AS resid_norm
        |FROM p1 ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ embed_label_dists
+  /** Label-centroid separability matrix: cosine and Euclidean distance
+    * between every pair of label centroids — the class-separability
+    * audit read next to embed_pca_top (collapsed classes → poor
+    * retrieval/classification downstream; the pair list is what a
+    * curation team eyeballs before merging or re-labeling classes).
+    *
+    * Scale: one map-side-combined (label, pos) micro-unit sum aggregate
+    * (≤ |labels|·64 rows — bounded driver state, the vec_stats comps
+    * discipline); centroid arithmetic on the driver with ascending
+    * folds the mirror replays via ORDER BY i lists — identical IEEE
+    * sequences, so cos and dist hash-match. */
+  def embedLabelDists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = emb(spark, dir)
+      .select(col("label"), posexplode(transform(col("v"),
+        x => round(x * 1000000).cast("long"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byLabel = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
+      val c = new Array[Double](64)
+      val n = rs.head.getLong(3)
+      rs.foreach(r => c(r.getInt(1)) = r.getDecimal(2).toBigInteger.doubleValue
+        / (n.toDouble * 1000000.0))
+      (l, c)
+    }
+    def r6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val labels = byLabel.keys.toSeq.sorted
+    val out = for {
+      a <- labels; b <- labels if a < b
+    } yield {
+      val ca = byLabel(a); val cb = byLabel(b)
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var d2 = 0.0
+      var i = 0
+      while (i < 64) {
+        dot += ca(i) * cb(i); sa += ca(i) * ca(i); sb += cb(i) * cb(i)
+        val d = ca(i) - cb(i); d2 += d * d
+        i += 1
+      }
+      val cos: Option[Double] =
+        if (sa == 0.0 || sb == 0.0) None
+        else Some(r6(dot / (math.sqrt(sa) * math.sqrt(sb))))
+      (a, b, cos, r6(math.sqrt(d2)))
+    }
+    out.toDF("label_a", "label_b", "centroid_cos", "centroid_dist")
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  lazy val embedLabelDistsSql: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cs AS (SELECT label, i, sum(CAST(round(v[i]*1000000) AS HUGEINT)) AS s, count(*) AS n
+      |       FROM e, range(1, 65) t(i) GROUP BY label, i),
+      |cl AS (SELECT label,
+      |         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i) AS c
+      |       FROM cs GROUP BY label),
+      |pr AS (SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+      |       FROM cl a JOIN cl b ON a.label < b.label),
+      |sc AS (SELECT label_a, label_b,
+      |         list_reduce([ca[i]*cb[i] for i in range(1, 65)], (x, y) -> x + y) AS dot,
+      |         list_reduce([ca[i]*ca[i] for i in range(1, 65)], (x, y) -> x + y) AS sa,
+      |         list_reduce([cb[i]*cb[i] for i in range(1, 65)], (x, y) -> x + y) AS sb,
+      |         list_reduce([(ca[i]-cb[i])*(ca[i]-cb[i]) for i in range(1, 65)], (x, y) -> x + y) AS d2
+      |       FROM pr)
+      |SELECT label_a, label_b,
+      |       CASE WHEN sa = 0 OR sb = 0 THEN NULL
+      |            ELSE CAST(round(dot / (sqrt(sa) * sqrt(sb)), 6) AS DOUBLE) + 0.0 END AS centroid_cos,
+      |       CAST(round(sqrt(d2), 6) AS DOUBLE) + 0.0 AS centroid_dist
+      |FROM sc ORDER BY label_a, label_b""".stripMargin
+
   // ---------------------------------------------------------- ann_recall_report
   /** Index QUALITY report: recall@K of each oracled ANN method against
     * the brute-force truth on the driver query set — the evaluation a
@@ -2092,6 +2165,7 @@ object Ann {
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_top" -> (embedPcaTop _),
+    "embed_label_dists" -> (embedLabelDists _),
     "embed_abtt_project" -> (embedAbttProject _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
@@ -2113,6 +2187,7 @@ object Ann {
 
   def oracles: Map[String, String] = Map(
     "embed_pca_top" -> embedPcaTopSql,
+    "embed_label_dists" -> embedLabelDistsSql,
     "embed_abtt_project" -> embedAbttProjectSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
