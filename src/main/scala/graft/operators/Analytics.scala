@@ -1082,6 +1082,99 @@ object Analytics {
       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- orders_customer_hhi
+  /** Customer revenue concentration per nation: the Herfindahl index
+    * (Σ share²) and the top-5 customer share — the concentration-risk
+    * read a finance team runs per market ("is this nation's revenue one
+    * lost account away from halving"). HHI numerator/denominator are
+    * exact integer-cents products (s_i² sums in DECIMAL(38,0) ↔ the
+    * oracle's HUGEINT — the vec_stats overflow discipline); both
+    * reported ratios are single boundary divisions.
+    *
+    * Scale: one fact rollup to (nation, customer) revenue (staged — it
+    * feeds the HHI aggregate AND the top-5 rank); the top-5 uses the
+    * two-level shard-then-final window (a per-nation partition is
+    * customers-per-nation, data-scaled — the ann_pq_topk lesson), so no
+    * task ever holds a whole nation. */
+  def ordersCustomerHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s")))
+    val tot = rev.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("s").cast("decimal(38,0)")).as("st"),
+        sum((col("s").cast("decimal(38,0)") * col("s")).cast("decimal(38,0)")).as("sq"))
+    val wShard = Window.partitionBy(col("nation"), pmod(col("c_custkey"), lit(32L)))
+      .orderBy(col("s").desc, col("c_custkey"))
+    val wNation = Window.partitionBy(col("nation"))
+      .orderBy(col("s").desc, col("c_custkey"))
+    val top5 = rev
+      .withColumn("rs", row_number().over(wShard)).filter(col("rs") <= 5)
+      .withColumn("r", row_number().over(wNation)).filter(col("r") <= 5)
+      .groupBy(col("nation")).agg(sum(col("s").cast("decimal(38,0)")).as("s5"))
+    tot.join(top5, Seq("nation"))
+      .select(col("nation"), col("n_customers"),
+        (round(col("sq").cast("double")
+          / (col("st") * col("st")).cast("double"), 6) + 0.0).as("hhi"),
+        (round(col("s5").cast("double") / col("st").cast("double"), 4) + 0.0)
+          .as("top5_share"))
+      .orderBy(col("nation"))
+  }
+
+  val ordersCustomerHhiSql: String =
+    """WITH rv AS (
+      |  SELECT c_nationkey AS nation, c_custkey,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT nation, count(*) AS n_customers,
+      |              sum(CAST(s AS HUGEINT)) AS st,
+      |              sum(CAST(s AS HUGEINT) * s) AS sq
+      |       FROM rv GROUP BY nation),
+      |t5 AS (SELECT nation, sum(CAST(s AS HUGEINT)) AS s5 FROM (
+      |         SELECT nation, s,
+      |                row_number() OVER (PARTITION BY nation
+      |                                   ORDER BY s DESC, c_custkey) AS r
+      |         FROM rv) WHERE r <= 5 GROUP BY nation)
+      |SELECT tt.nation, tt.n_customers,
+      |       round(CAST(sq AS DOUBLE) / CAST(st * st AS DOUBLE), 6) + 0.0 AS hhi,
+      |       round(CAST(s5 AS DOUBLE) / CAST(st AS DOUBLE), 4) + 0.0 AS top5_share
+      |FROM tt JOIN t5 USING (nation) ORDER BY tt.nation""".stripMargin
+
+  // ----------------------------------------------------------- events_heatmap
+  /** Usage heatmap: event count and share per (ISO weekday, hour) cell —
+    * the capacity/traffic read behind batch scheduling and anomaly
+    * baselines (events_value_anomaly flags outliers against type
+    * distributions; this is the TIME-pattern baseline). One map-side-
+    * combined aggregate into ≤168 cells, share division at the
+    * boundary. Spark's weekday() (0=Mon) maps to DuckDB's isodow
+    * (1=Mon) via +1 — pinned here so the mirrors agree on the axis. */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.events(spark, dir)
+        .groupBy((weekday(col("ts")) + 1).cast("int").as("isodow"),
+          hour(col("ts")).cast("int").as("hour"))
+        .agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("isodow"), col("hour"), col("n"),
+        (round(col("n").cast("double") / col("nt").cast("double"), 6) + 0.0)
+          .as("share"))
+      .orderBy(col("isodow"), col("hour"))
+  }
+
+  val eventsHeatmapSql: String =
+    """WITH c AS (SELECT CAST(isodow(ts) AS INT) AS isodow,
+      |                  CAST(hour(ts) AS INT) AS hour, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+      |SELECT isodow, hour, n,
+      |       round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) + 0.0 AS share
+      |FROM c, t ORDER BY isodow, hour""".stripMargin
+
   // --------------------------------------------------------- orders_gap_dist
   /** Inter-purchase interval distribution: per customer the day gaps
     * between consecutive orders, bucketed — the repeat-purchase cadence
@@ -1136,6 +1229,8 @@ object Analytics {
       |FROM gg GROUP BY bucket ORDER BY bucket""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_customer_hhi" -> (ordersCustomerHhi _),
+    "events_heatmap" -> (eventsHeatmap _),
     "orders_gap_dist" -> (ordersGapDist _),
     "events_value_anomaly" -> (eventsValueAnomaly _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
@@ -1161,6 +1256,8 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "orders_customer_hhi" -> ordersCustomerHhiSql,
+    "events_heatmap" -> eventsHeatmapSql,
     "orders_gap_dist" -> ordersGapDistSql,
     "events_value_anomaly" -> eventsValueAnomalySql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,

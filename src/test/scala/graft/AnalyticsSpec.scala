@@ -4,6 +4,30 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("orders_customer_hhi: HHI within [1/n, 1], top5 share bounded, nations complete") {
+    val rows = SparkEntry.queries("orders_customer_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val hhi = r.getDouble(2); val t5 = r.getDouble(3)
+      assert(n > 0)
+      // equal shares floor 1/n; single-customer ceiling 1
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, s"hhi $hhi for n=$n")
+      // top-5 share at least 5/n (top-5 can't be below-average) and <= 1
+      assert(t5 <= 1.0 + 1e-9 && (n <= 5 || t5 >= 5.0 / n - 1e-6), s"top5 $t5 n=$n")
+    }
+  }
+
+  test("events_heatmap: cells conserve the corpus, shares sum to 1, axes in range") {
+    val rows = SparkEntry.queries("events_heatmap")(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+    }
+  }
+
   test("orders_gap_dist: gap count conserves (orders - customers), shares sum to 1") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("orders_gap_dist")(spark, sf).collect()
