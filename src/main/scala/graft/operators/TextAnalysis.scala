@@ -289,6 +289,62 @@ object TextAnalysis {
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // --------------------------------------------------- corpus_quality_gate
+  /** Composite quality FILTER verdict (the Gopher rules, Rae et al.
+    * '21, §A1.1 adapted to this corpus's scale): per document each
+    * gate's boolean plus the final keep — the actual pre-training
+    * filter step the individual text_* signal queries feed. Gates:
+    * word count in [50, 100k]; mean chars/word in [3, 12] (spaces
+    * included — the whitespace-token approximation); ≥2 stopwords;
+    * unique-word ratio ≥ 0.2; not repetition-gated (text_repetition's
+    * 30%-duplicate-bigram rule). EVERY gate is an exact integer
+    * comparison (cross-multiplied — no float ratio ever forms), so the
+    * verdict bitmap hash-matches cross-engine.
+    *
+    * Scale: one codegen'd projection over the scan (the
+    * repetition-stats kernel), zero shuffles — the ideal filter
+    * shape. */
+  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(t).as("nc"),
+        Text.stopwordCount(t, Text.langStops.head._2).as("nstop"),
+        Text.repetitionStats(t).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        (col("r.n_words") >= 50 && col("r.n_words") <= 100000).as("g_length"),
+        (col("nc") >= col("r.n_words") * 3 && col("nc") <= col("r.n_words") * 12)
+          .as("g_word_len"),
+        (col("nstop") >= 2).as("g_stopwords"),
+        (col("r.n_distinct_words") * 5 >= col("r.n_words")).as("g_unique"),
+        (lit(10) * col("r.n_distinct_bigrams") >= lit(7) * col("r.n_bigrams"))
+          .as("g_repetition"))
+      .withColumn("keep",
+        col("g_length") && col("g_word_len") && col("g_stopwords") &&
+          col("g_unique") && col("g_repetition"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusQualityGateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS words,
+      |         len(list_filter(string_split(text, ' '),
+      |             w -> w IN ('the','a','of','and','to','in','is'))) AS nstop
+      |  FROM documents),
+      |b AS (SELECT doc_id, nc, nstop, words,
+      |        [words[i+1] || ' ' || words[i+2]
+      |         for i in range(0, len(words)-1)] AS bi
+      |      FROM w),
+      |g AS (SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+      |        len(words) >= 50 AND len(words) <= 100000 AS g_length,
+      |        nc >= len(words) * 3 AND nc <= len(words) * 12 AS g_word_len,
+      |        nstop >= 2 AS g_stopwords,
+      |        len(list_distinct(words)) * 5 >= len(words) AS g_unique,
+      |        10 * len(list_distinct(bi)) >= 7 * len(bi) AS g_repetition
+      |      FROM b)
+      |SELECT *, g_length AND g_word_len AND g_stopwords AND g_unique
+      |          AND g_repetition AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- corpus_langid_eval
   /** Confusion matrix of the heuristic language ID against the declared
     * `lang` column — the eval-as-a-query pattern (ann_recall_report for
@@ -323,6 +379,7 @@ object TextAnalysis {
        |ORDER BY cf.lang, cf.pred_lang""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_gate" -> (corpusQualityGate _),
     "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
     "text_quality" -> (textQuality _),
@@ -335,6 +392,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_quality_gate" -> corpusQualityGateSql,
     "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

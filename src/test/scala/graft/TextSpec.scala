@@ -6,6 +6,21 @@ import graft.functions.Text
 /** Semantic checks for the text suite beyond oracle parity. */
 class TextSpec extends SparkSpec {
 
+  test("quality_gate: keep is the AND of its gates, repetition gate mirrors text_repetition") {
+    val rows = SparkEntry.queries("corpus_quality_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gates = (2 to 6).map(r.getBoolean)
+      assert(r.getBoolean(7) == gates.forall(identity), s"doc ${r.getLong(0)}")
+    }
+    // non-degenerate verdict mix on the corpus
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+    val rep = SparkEntry.queries("text_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    rows.foreach(r => assert(r.getBoolean(6) == !rep(r.getLong(0)),
+      s"doc ${r.getLong(0)} repetition gate"))
+  }
+
   test("langid_eval: per-declared-lang shares sum to 1, counts conserve") {
     val rows = SparkEntry.queries("corpus_langid_eval")(spark, sf).collect()
     assert(rows.nonEmpty)
