@@ -1082,6 +1082,56 @@ object Analytics {
       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- supplier_scorecard
+  /** Per-supplier operational KPI panel: discounted revenue, return
+    * rate (returnflag = 'R' share), mean order-to-ship delay, and
+    * catalog breadth — the vendor review a procurement team reads
+    * (q21's waiting-supplier count is the escalation view; this is the
+    * scheduled scorecard). Revenue uses the exact integer revUnits
+    * discipline (cents × discount basis points, DECIMAL(38,0) sums);
+    * rate and delay are single boundary divisions of exact integers.
+    *
+    * Scale: one fact join (lineitem ⋈ orders on the order key — both
+    * sides shuffle once, AQE sizes it) into one map-side-combined
+    * supplier rollup; countDistinct(part) partial-aggregates per
+    * partition before the exchange. */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        Relational.sumRevDollars(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("delay_sum"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .select(col("suppkey"), col("n_lines"), col("revenue"),
+        (round(col("n_returned").cast("double") / col("n_lines").cast("double"), 4)
+          + 0.0).as("return_rate"),
+        (round(col("delay_sum").cast("double") / col("n_lines").cast("double"), 2)
+          + 0.0).as("avg_ship_delay"),
+        col("n_parts"))
+      .orderBy(col("suppkey"))
+  }
+
+  val supplierScorecardSql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey AS suppkey, count(*) AS n_lines,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)
+      |      / 1000000.0 AS revenue,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+      |    sum(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)) AS delay_sum,
+      |    count(DISTINCT l_partkey) AS n_parts
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
+      |SELECT suppkey, n_lines, revenue,
+      |       round(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 4) + 0.0 AS return_rate,
+      |       round(CAST(delay_sum AS DOUBLE) / CAST(n_lines AS DOUBLE), 2) + 0.0 AS avg_ship_delay,
+      |       CAST(n_parts AS BIGINT) AS n_parts
+      |FROM s ORDER BY suppkey""".stripMargin
+
   // ----------------------------------------------------- orders_customer_hhi
   /** Customer revenue concentration per nation: the Herfindahl index
     * (Σ share²) and the top-5 customer share — the concentration-risk
@@ -1229,6 +1279,7 @@ object Analytics {
       |FROM gg GROUP BY bucket ORDER BY bucket""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supplier_scorecard" -> (supplierScorecard _),
     "orders_customer_hhi" -> (ordersCustomerHhi _),
     "events_heatmap" -> (eventsHeatmap _),
     "orders_gap_dist" -> (ordersGapDist _),
@@ -1256,6 +1307,7 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "supplier_scorecard" -> supplierScorecardSql,
     "orders_customer_hhi" -> ordersCustomerHhiSql,
     "events_heatmap" -> eventsHeatmapSql,
     "orders_gap_dist" -> ordersGapDistSql,

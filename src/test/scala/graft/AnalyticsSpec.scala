@@ -4,6 +4,20 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("supplier_scorecard: lines conserve, rates bounded, every supplier present") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("supplier_scorecard")(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == li.count(), "line counts conserve")
+    assert(rows.length ==
+      li.select(countDistinct(col("l_suppkey"))).collect().head.getLong(0))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "return_rate in [0,1]")
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= r.getLong(1), "parts within lines")
+      assert(r.getDouble(2) > 0.0, "positive revenue")
+    }
+  }
+
   test("orders_customer_hhi: HHI within [1/n, 1], top5 share bounded, nations complete") {
     val rows = SparkEntry.queries("orders_customer_hhi")(spark, sf).collect()
     assert(rows.nonEmpty)
