@@ -926,6 +926,72 @@ object TrainPrep {
       |SELECT doc_id, n_feats, CAST(round(s, 4) AS DOUBLE) + 0.0 AS logw
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_pipeline_funnel
+  /** End-to-end curation FUNNEL report: document and token counts after
+    * each pipeline stage — raw → exact dedup (md5 keeper) → near-dedup
+    * (banded ≥0.9-Jaccard partners dropped) → quality gate — the
+    * one-page summary every data team publishes with a corpus release
+    * ("we kept X% of docs / Y% of tokens"). Composes the registered
+    * dedup_exact, dedup_ngram_jaccard, and corpus_quality_gate
+    * semantics; the mirror embeds the SHARED ngram_dups CTE chain and
+    * the full quality-gate oracle as a subquery, so the funnel can
+    * never disagree with the stage queries it summarizes.
+    *
+    * Scale: the (doc, hash, tokens) frame stages once; each stage is a
+    * semi/anti join narrowing the previous stage's staged frame; the
+    * expensive member (the near-dup candidate generator) is the
+    * registered banded pipeline, bucket-keyed as always. */
+  def corpusPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val base = stageBarrier(Tables.documents(spark, dir).select(col("doc_id"),
+      md5(col("text")).as("h"), Text.nBpeTokens(col("text")).cast("long").as("nt")))
+    val keepersExact = base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s1 = stageBarrier(base.join(keepersExact, Seq("doc_id"), "left_semi"))
+    val dupIds = Dedup.dedupNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s2 = stageBarrier(s1.join(dupIds, Seq("doc_id"), "left_anti"))
+    val qualityKeep = TextAnalysis.corpusQualityGate(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val s3 = s2.join(qualityKeep, Seq("doc_id"), "left_semi")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val n0 = base.agg(count(lit(1)).as("n0"))
+    stage("0_raw", base)
+      .unionAll(stage("1_exact_dedup", s1))
+      .unionAll(stage("2_near_dedup", s2))
+      .unionAll(stage("3_quality", s3))
+      .crossJoin(broadcast(n0))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        (round(col("n_docs").cast("double") / col("n0").cast("double"), 4) + 0.0)
+          .as("retained"))
+      .orderBy(col("stage"))
+  }
+
+  lazy val corpusPipelineFunnelSql: String =
+    s"""WITH fb AS (SELECT doc_id, md5(text) AS h,
+       |        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS nt
+       |      FROM documents),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM fb GROUP BY h),
+       |s1 AS (SELECT fb.* FROM fb JOIN ek USING (doc_id)),
+       |${Dedup.ngramDupsCtes},
+       |s2 AS (SELECT s1.* FROM s1
+       |       WHERE NOT EXISTS (SELECT 1 FROM ngram_dups d WHERE d.doc_id = s1.doc_id)),
+       |qk AS (SELECT doc_id FROM (${graft.operators.TextAnalysis.corpusQualityGateSql}) q
+       |       WHERE keep),
+       |s3 AS (SELECT s2.* FROM s2 JOIN qk USING (doc_id)),
+       |nraw AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM fb),
+       |st AS (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM fb
+       |  UNION ALL SELECT '1_exact_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM s1
+       |  UNION ALL SELECT '2_near_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM s2
+       |  UNION ALL SELECT '3_quality', count(*), CAST(sum(nt) AS BIGINT) FROM s3)
+       |SELECT stage, n_docs, n_tokens,
+       |       round(CAST(n_docs AS DOUBLE) / CAST(nraw.n0 AS DOUBLE), 4) + 0.0 AS retained
+       |FROM st, nraw ORDER BY stage""".stripMargin
+
   // -------------------------------------------------- corpus_source_report
   /** Per-SOURCE corpus scorecard — the review a data team runs before
     * setting mixture weights (corpus_mix consumes those weights; this
@@ -1043,6 +1109,7 @@ object TrainPrep {
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
     "corpus_source_report" -> (corpusSourceReport _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_dup_spans" -> (corpusDupSpans _),
@@ -1067,6 +1134,7 @@ object TrainPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_pipeline_funnel" -> corpusPipelineFunnelSql,
     "corpus_source_report" -> corpusSourceReportSql,
     "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,

@@ -212,6 +212,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(run().toSet == rows.toSet)
   }
 
+  test("pipeline_funnel: stages monotone non-increasing, raw = corpus, quality agrees") {
+    val rows = SparkEntry.queries("corpus_pipeline_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 4)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows("0_raw")._1 == nDocs && rows("0_raw")._3 == 1.0)
+    val order = Seq("0_raw", "1_exact_dedup", "2_near_dedup", "3_quality").map(rows)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 <= a._1 && b._2 <= a._2, s"funnel not monotone: $a -> $b")
+    }
+    // the final stage can never keep more than the quality gate alone
+    val nKeep = SparkEntry.queries("corpus_quality_gate")(spark, sf)
+      .collect().count(_.getBoolean(7))
+    assert(rows("3_quality")._1 <= nKeep)
+  }
+
   test("source_report: docs conserve, dup counts pair up, shares in range") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("corpus_source_report")(spark, sf).collect()
