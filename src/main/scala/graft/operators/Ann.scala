@@ -2119,7 +2119,7 @@ object Ann {
       |FROM sc ORDER BY label_a, label_b""".stripMargin
 
   // ---------------------------------------------------------- ann_recall_report
-  /** Index QUALITY report: recall@K of each oracled ANN method against
+  /** Index QUALITY report: recall@K of each oracled ANN method (Hamming, IVF, IVF-PQ, PQ) against
     * the brute-force truth on the driver query set — the evaluation a
     * vector-index deployment publishes next to its build (pairs with
     * embed_cluster_stats: that audits the index structure, this audits
@@ -2129,7 +2129,7 @@ object Ann {
     *
     * Scale: each leg is its registered bounded pipeline; the comparison
     * is a left-semi join of ≤|Q|·K scalar frames. The mirror embeds the
-    * brute + three method oracles verbatim as subqueries (the
+    * brute + four method oracles verbatim as subqueries (the
     * ann_rrf_fusion drift-proofing). */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val truth = annBruteTopk(spark, dir).select(col("q_id"), col("n_id"))
@@ -2140,7 +2140,8 @@ object Ann {
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("method"), col("hits"),
           (round(col("hits").cast("double") / nPairs, 4) + 0.0).as("recall"))
-    leg("ivf", annIvfTopk(spark, dir))
+    leg("hamming", annHammingTopk(spark, dir))
+      .unionAll(leg("ivf", annIvfTopk(spark, dir)))
       .unionAll(leg("ivfpq", annIvfPqTopk(spark, dir)))
       .unionAll(leg("pq", annPqTopk(spark, dir)))
       .orderBy(col("method"))
@@ -2154,6 +2155,8 @@ object Ann {
          |WHERE EXISTS (SELECT 1 FROM truth t
          |              WHERE t.q_id = m.q_id AND t.n_id = m.n_id)""".stripMargin
     s"""WITH truth AS (SELECT q_id, n_id FROM ($annBruteTopkSql) bt)
+       |${leg("hamming", annHammingTopkSql)}
+       |UNION ALL
        |${leg("ivf", annIvfTopkSql)}
        |UNION ALL
        |${leg("ivfpq", annIvfPqTopkSql)}
