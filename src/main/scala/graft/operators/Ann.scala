@@ -1345,6 +1345,78 @@ object Ann {
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ----------------------------------------------------------- embed_knn_graph
+  private val KnnK = 5 // neighbors per vertex in the corpus k-NN graph
+
+  /** Corpus-wide k-NN GRAPH: every vector's top-$KnnK approximate
+    * neighbors through the shared IVF index, plus the MUTUAL flag (is
+    * the reverse edge also in the graph?) — the construction step
+    * behind SemDeDup-style curation, dataset cartography, and
+    * graph-based label propagation, where mutual-kNN is the standard
+    * sparsification (a mutual edge is bidirectional evidence of
+    * proximity; one-way edges are hub artifacts). This is
+    * ann_ivf_batch's distributed-probe descent with the query table =
+    * the ENTIRE corpus — the shape that proves the batch path needs no
+    * driver collect at any |Q|.
+    *
+    * Scale: |corpus|·nprobe probe rows against the celled corpus — the
+    * corpus shuffles ONCE on cell; per-query candidates are bounded by
+    * probed-cell populations (O(n/√n·nprobe) each, independent of
+    * total n as nlist grows with the corpus). The mutual join is a
+    * self-join of the k·n edge list on its own (reversed) key — scalar
+    * edges only, shuffled on q_id. Engine-seeded cells make the flat
+    * assignment Spark-side state, but the mirror reproduces it through
+    * ivfIndexCtes exactly as every other ANN oracle. */
+  def embedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val knn = annIvfBatchFrom(spark, e, q).filter(col("rank") <= KnnK)
+    val rev = knn.select(col("n_id").as("q_id"), col("q_id").as("n_id"),
+      lit(1).as("mf"))
+    knn.join(rev, Seq("q_id", "n_id"), "left_outer")
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"),
+        col("mf").isNotNull.as("mutual"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** annIvfBatchSql's CTE chain with the query table = every vector,
+    * wrapped in a knn CTE for the mutual-edge self-join. */
+  lazy val embedKnnGraphSql: String =
+    s"""WITH $ivfIndexCtes,
+       |qb AS (SELECT vec_id AS q_id, v AS qv FROM e),
+       |pcq AS (  -- kernel step 1: the probeCoarse best coarse cells
+       |  SELECT q_id, ci FROM (
+       |    SELECT qb.q_id, co.ci,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * co.cu[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, co.ci ASC) AS rn
+       |    FROM qb CROSS JOIN coarse co)
+       |  WHERE rn <= $BatchProbeCoarse),
+       |probes AS (  -- kernel step 2: nprobe best flat cells among their subcells
+       |  SELECT q_id, cell FROM (
+       |    SELECT qb.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             list_reduce([qb.qv[i] * f.ru[i] for i in range(1, len(qb.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM qb JOIN pcq USING (q_id) JOIN flatcells f ON f.ca = pcq.ci)
+       |  WHERE pr <= $IvfProbe),
+       |rr AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
+       |  FROM probes p JOIN celled c USING (cell)
+       |  JOIN e ON c.vec_id = e.vec_id
+       |  JOIN qb qv0 ON p.q_id = qv0.q_id
+       |  WHERE p.q_id <> c.vec_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr),
+       |knn AS (
+       |  SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |  FROM rk WHERE rank <= $KnnK)
+       |SELECT k.q_id, k.rank, k.n_id, k.cos_sim,
+       |       (m.q_id IS NOT NULL) AS mutual
+       |FROM knn k LEFT JOIN (SELECT q_id, n_id FROM knn) m
+       |  ON m.q_id = k.n_id AND m.n_id = k.q_id
+       |ORDER BY k.q_id, k.rank""".stripMargin
+
   // ------------------------------------------------------------ ann_mmr_topk
   private val MmrC = 30 // candidate pool per query (relevance top-C)
   private val MmrLambda = 0.7
@@ -2185,6 +2257,7 @@ object Ann {
     "ann_mmr_topk" -> (annMmrTopk _),
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_filtered_batch" -> (annFilteredBatch _),
+    "embed_knn_graph" -> (embedKnnGraph _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -2207,6 +2280,7 @@ object Ann {
     "ann_mmr_topk" -> annMmrTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_filtered_batch" -> annFilteredBatchSql,
+    "embed_knn_graph" -> embedKnnGraphSql,
     "vec_stats" -> vecStatsSql
   )
 }

@@ -367,6 +367,127 @@ object Dedup {
       |FROM p JOIN s a ON p.id_a = a.doc_id JOIN s c ON p.id_b = c.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ----------------------------------------------------------- dedup_band_eval
+  /** The LSH BANDING-CURVE eval — ann_recall_report's twin for the
+    * dedup family: before trusting a banding parameterization, publish
+    * (a) how much candidate RECALL fewer bands would lose at each true
+    * Jaccard level, and (b) how accurate the lane-minima MinHash
+    * ESTIMATE of Jaccard is. Over every 4-band candidate pair, bucketed
+    * by exact shingle Jaccard (decile, top bucket = [0.9, 1.0]):
+    * recall_1band / recall_2band = the fraction of the bucket a 1- or
+    * 2-band scheme would still have found (pair collides in band 0 /
+    * bands 0-1 — the bands are i.i.d. by construction, so prefix-band
+    * recall IS b-band recall, no reordering bias), and mean_est_err =
+    * mean |agree/8 − J| of the 8-lane signature-agreement estimator.
+    * The expected banding curve (1−(1−J²)^b) should bound recall_1band
+    * ≈ J² from below per bucket; DedupSpec pins monotonicity and that
+    * the top bucket's 1-band recall ≥ its curve value.
+    *
+    * Everything cross-engine-exact: membership in a band is integer
+    * lane-minima equality; first_band is an integer min; the Jaccard
+    * bucket is the cross-multiplied integer test (10·c) DIV u (never a
+    * float threshold); the estimator error |8c − agree·u|/(8u) is one
+    * division of exact integers, accumulated in rounded micro-units
+    * (the embed_cluster_stats discipline).
+    *
+    * Scale: the staged (lm, ssh) frame is ONE kernel pass over the
+    * corpus (the dedup_containment staging lesson); the pair space is
+    * the registered 4-band candidate set — identical to what
+    * dedup_ngram_jaccard already scores — with ALL per-pair arithmetic
+    * (merge-intersect + 8 integer compares) on the staged arrays. */
+  def dedupBandEval(spark: SparkSession, dir: String): DataFrame =
+    bandEvalFrom(Tables.documents(spark, dir))
+
+  private[graft] def bandEvalFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.SortedIntersectCount
+    val nl = NgramBands * NgramLanes
+    val base = GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
+          array_sort(array_distinct(Text.shingleHashes(col("text"), 3))).as("ssh"))
+        .filter(size(col("lm")) === nl)
+        .repartition(col("doc_id")))
+    val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
+        struct(lit(k).as("band"),
+          col("lm")(k * NgramLanes).as("b0"),
+          col("lm")(k * NgramLanes + 1).as("b1"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.b0"), col("bb.b1"))
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
+          col("x.b1") === col("y.b1") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(min(col("x.band")).as("first_band"))
+    val sc = pairs
+      .join(base.select(col("doc_id").as("id_a"), col("lm").as("la"),
+        col("ssh").as("sa")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("lm").as("lb"),
+        col("ssh").as("sb")), Seq("id_b"))
+      .select(col("first_band"),
+        kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"),
+        expr("aggregate(zip_with(la, lb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)," +
+          " 0, (acc, v) -> acc + v)").as("agree"))
+    val ers = sc.select(
+      expr("least(9, (10 * c) DIV (na + nb - c))").as("j_bucket"), col("first_band"),
+      expr("CAST(round((1000000.0 * abs(8 * c - agree * (na + nb - c)))" +
+        " / (8.0 * (na + nb - c))) AS BIGINT)").as("err_micro"))
+    ers.groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("first_band") === 0, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("first_band") <= 1, 1L).otherwise(0L)).as("h2"),
+        sum(col("err_micro")).as("se"))
+      .select(col("j_bucket"), col("n_pairs"),
+        (round(col("h1").cast("double") / col("n_pairs"), 4) + 0.0).as("recall_1band"),
+        (round(col("h2").cast("double") / col("n_pairs"), 4) + 0.0).as("recall_2band"),
+        (round(col("se").cast("double") / (col("n_pairs") * lit(1000000.0)), 6) + 0.0)
+          .as("mean_est_err"))
+      .orderBy(col("j_bucket"))
+  }
+
+  val dedupBandEvalSql: String = {
+    val lanesList = (for (k <- 0 until NgramBands; l <- 0 until NgramLanes)
+      yield laneMinSql(k, l)).mkString("[", ",\n      |        ", "]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |lanes AS (
+      |  SELECT doc_id, $lanesList AS lm, list_sort(sh) AS ssh
+      |  FROM s),
+      |b AS (
+      |  $bandedCteSql),
+      |pb AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, min(x.band) AS first_band
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT p.first_band,
+      |         len(list_intersect(a.ssh, c.ssh)) AS c,
+      |         len(a.ssh) AS na, len(c.ssh) AS nb,
+      |         list_reduce([CASE WHEN a.lm[i] = c.lm[i] THEN 1 ELSE 0 END
+      |                      for i in range(1, 9)], (x, y) -> x + y) AS agree
+      |  FROM pb p JOIN lanes a ON p.id_a = a.doc_id JOIN lanes c ON p.id_b = c.doc_id),
+      |ers AS (
+      |  SELECT least(9, (10 * c) // (na + nb - c)) AS j_bucket, first_band,
+      |         CAST(round((1000000.0 * abs(8 * c - agree * (na + nb - c)))
+      |                    / (8.0 * (na + nb - c))) AS BIGINT) AS err_micro
+      |  FROM sc)
+      |SELECT j_bucket, count(*) AS n_pairs,
+      |       round(CAST(count(CASE WHEN first_band = 0 THEN 1 END) AS DOUBLE)
+      |             / count(*), 4) + 0.0 AS recall_1band,
+      |       round(CAST(count(CASE WHEN first_band <= 1 THEN 1 END) AS DOUBLE)
+      |             / count(*), 4) + 0.0 AS recall_2band,
+      |       round(CAST(sum(err_micro) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0
+      |         AS mean_est_err
+      |FROM ers GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------- dedup_clusters
   /** Connected components over the ≥0.9-Jaccard near-dup graph — pair
     * lists aren't transitive, so a pipeline needs ONE cluster id per
@@ -976,6 +1097,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_band_eval" -> (dedupBandEval _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -990,6 +1112,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_band_eval" -> dedupBandEvalSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,

@@ -1118,6 +1118,99 @@ object Warehouse {
        |FROM fin_t
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** fin_forecast_brown: Brown's double exponential smoothing (α = 1/2)
+    * of the monthly totals per (department, GL), restarted each year —
+    * the trend-aware smoother that completes the forecasting family:
+    * fin_forecast_linear fits ONE line to the whole series,
+    * fin_ewma tracks the level but lags any trend, Brown's method
+    * (Brown 1959, "Statistical Forecasting for Inventory Control")
+    * tracks level AND trend recursively. Emits per month the smoothed
+    * level, the trend estimate, and the one-step-ahead forecast
+    * (level + trend) for the NEXT month.
+    *
+    * Both recursions are cascaded EWMAs — s1 = EWMA(x), s2 = EWMA(s1) —
+    * and each is rewritten into the fin_ewma closed form so nothing
+    * recursive or float ever crosses the engine boundary:
+    *   s1_m = T1_m / 2^(m-1), T1_m = x_1 + Σ_{j=2..m} x_j·2^(j-2)
+    *   s2_m = T2_m / 2^m,     T2_m = 2·T1_1 + Σ_{j=2..m} T1_j
+    * (the second identity follows from s1_j·2^(j-2) = T1_j/2), i.e. T2
+    * is a plain running sum over the T1 running sum with the first term
+    * doubled. Then level = 2·s1 − s2 = (4·T1 − T2)/2^m, trend =
+    * (α/(1−α))·(s1 − s2) = (2·T1 − T2)/2^m, and the one-step forecast
+    * level + trend = (6·T1 − 2·T2)/2^m. Every numerator is an exact
+    * integer (DECIMAL(38,0) ↔ HUGEINT); with ≤12 rows per (key, year)
+    * T2 ≤ 13·max(T1), so the double conversion is exact below 2^53
+    * (monthly totals < ~$5.5B in cents — same bound family as
+    * fin_ewma's, one comment-pinned factor wider) and each division is
+    * by the exact power 100·2^m. Single-month series degenerate
+    * sensibly: T2_1 = 2·T1_1 makes trend 0 and forecast = the
+    * observation.
+    *
+    * Scale: identical shape to fin_ewma — one map-side-combined monthly
+    * aggregate, then ONE window pass on (department, gl_code, year)
+    * where row_number and BOTH running sums share the sort (the T2 sum
+    * is over the same frame, so Catalyst evaluates the two sums in one
+    * Window operator). */
+  def finForecastBrown(spark: SparkSession, dir: String): DataFrame =
+    finForecastBrownFrom(upserted(spark, dir))
+
+  private[graft] def finForecastBrownFrom(up: DataFrame): DataFrame = {
+    val monthly = up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val wOrd = Window.partitionBy(col("department"), col("gl_code"), col("year"))
+      .orderBy(col("month"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val w2 = expr("CAST(shiftleft(1L, rn - 2) AS DECIMAL(38,0))")
+    val den = lit(100.0) * pow(lit(2.0), col("rn"))
+    monthly
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("wx",
+        when(col("rn") === 1, d(col("tc")))
+          .otherwise(d(col("tc")) * w2))
+      .withColumn("t1", sum(col("wx")).over(wRun))
+      .withColumn("t1w", when(col("rn") === 1, col("t1") * lit(2)).otherwise(col("t1")))
+      .withColumn("t2", sum(col("t1w")).over(wRun))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        ((col("t1") * lit(4) - col("t2")).cast("double") / den).as("level"),
+        ((col("t1") * lit(2) - col("t2")).cast("double") / den).as("trend"),
+        ((col("t1") * lit(6) - col("t2") * lit(2)).cast("double") / den).as("fcst_next"),
+        col("rn").as("n_months"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finForecastBrownSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |fin_rn AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY department, gl_code, year
+       |                                    ORDER BY month) AS INT) AS rn
+       |  FROM fin_monthly),
+       |fin_t AS (
+       |  SELECT *, sum(CASE WHEN rn = 1 THEN tc
+       |                     ELSE tc * CAST(pow(2, rn - 2) AS BIGINT) END)
+       |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
+       |                  ROWS UNBOUNDED PRECEDING) AS t1
+       |  FROM fin_rn),
+       |fin_t2 AS (
+       |  SELECT *, sum(CASE WHEN rn = 1 THEN 2 * t1 ELSE t1 END)
+       |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
+       |                  ROWS UNBOUNDED PRECEDING) AS t2
+       |  FROM fin_t)
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(4*t1 - t2 AS DOUBLE) / (100.0 * pow(2, rn)) AS level,
+       |       CAST(2*t1 - t2 AS DOUBLE) / (100.0 * pow(2, rn)) AS trend,
+       |       CAST(6*t1 - 2*t2 AS DOUBLE) / (100.0 * pow(2, rn)) AS fcst_next,
+       |       rn AS n_months
+       |FROM fin_t2
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
   /** fin_reconciliation: statement detail totals vs an independently
     * derived control total per (year, month, department) — mismatches are
     * exactly the sheets whose source rows arrived as unparseable N/A. */
@@ -1447,6 +1540,7 @@ object Warehouse {
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
     "fin_ewma" -> (finEwma _),
+    "fin_forecast_brown" -> (finForecastBrown _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
@@ -1479,6 +1573,7 @@ object Warehouse {
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,
     "fin_ewma" -> finEwmaSql,
+    "fin_forecast_brown" -> finForecastBrownSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,

@@ -439,4 +439,24 @@ class AnnSpec extends SparkSpec {
     val recall = got.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"range recall $recall (${got.size}/${brute.size})")
   }
+
+  test("embed_knn_graph: full coverage, no self loops, mutual flag is exact") {
+    val rows = SparkEntry.queries("embed_knn_graph")(spark, sf).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty)
+    val edges = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { r =>
+      val (q, n, mutual) = (r.getLong(0), r.getLong(2), r.getBoolean(4))
+      assert(q != n, s"self loop at $r")
+      assert(mutual == edges.contains((n, q)), s"mutual flag wrong at $r")
+    }
+    // every vector is a query vertex with consecutive ranks from 1
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == nVecs, s"${byQ.size} vertices for $nVecs vectors")
+    byQ.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to g.length), s"ranks gap in $g")
+    }
+    // a corpus of near-cluster vectors must produce SOME mutual edges
+    assert(rows.count(_.getBoolean(4)) > 0, "no mutual edges at all")
+  }
 }

@@ -118,6 +118,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L, 1.0)), "identical docs pair; short docs drop out")
   }
 
+  test("band eval: identical docs land in the top bucket with perfect recall and zero error") {
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup), (4L, distinct1))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bandEvalFrom(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r1, r2, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(r1 >= 0.0 && r1 <= r2 && r2 <= 1.0, s"recalls out of order: $r")
+      assert(err >= 0.0 && err <= 1.0, s"estimator error out of range: $r")
+    }
+    // the identical pair (1,2) has J = 1: bucket 9, found by EVERY band
+    // (first_band = 0) with an exact 8/8 signature agreement
+    val top = rows.find(_.getLong(0) == 9L).getOrElse(fail("no top bucket"))
+    assert(top.getLong(1) >= 1L)
+    assert(top.getDouble(2) == 1.0 && top.getDouble(3) == 1.0,
+      s"J=1 pairs must be in every band's candidates: $top")
+  }
+
+  test("band eval at gate scale: 1-band recall respects the banding curve in the top bucket") {
+    val rows = SparkEntry.queries("dedup_band_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.find(_.getLong(0) == 9L).foreach { top =>
+      // bucket [0.9,1.0]: per-band hit probability J^2 >= 0.81; allow
+      // sampling slack on small bucket counts
+      assert(top.getDouble(2) >= (if (top.getLong(1) >= 10) 0.7 else 0.0),
+        s"1-band recall implausibly low for near-identical pairs: $top")
+    }
+  }
+
   test("simhash: near-dup hamming below unrelated hamming") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))

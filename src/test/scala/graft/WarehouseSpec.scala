@@ -213,6 +213,40 @@ class WarehouseSpec extends SparkSpec {
     assert(checked == rows.length)
   }
 
+  test("brown closed form equals the literal double-smoothing recursion") {
+    // independent check that the cascaded T1/T2 window sums really are
+    // Brown's s1/s2 recursions: s1_i = (x_i+s1_{i-1})/2 (s1_1 = x_1),
+    // s2_i = (s1_i+s2_{i-1})/2 (s2_1 = s1_1), level = 2s1-s2,
+    // trend = s1-s2, fcst = level+trend
+    val rows = SparkEntry.queries("fin_forecast_brown")(spark, sf)
+      .select("department", "gl_code", "year", "month", "total",
+        "level", "trend", "fcst_next", "n_months")
+      .collect()
+    assert(rows.nonEmpty)
+    var checked = 0
+    rows.groupBy(r => (r.getString(0), r.getString(1), r.getInt(2))).values.foreach { g =>
+      val series = g.sortBy(_.getInt(3))
+      var s1 = 0.0; var s2 = 0.0
+      series.zipWithIndex.foreach { case (r, i) =>
+        s1 = if (i == 0) r.getDouble(4) else (r.getDouble(4) + s1) / 2.0
+        s2 = if (i == 0) s1 else (s1 + s2) / 2.0
+        assert(r.getInt(8) == i + 1, s"n_months off at $r")
+        val (lvl, tr) = (2 * s1 - s2, s1 - s2)
+        def close(a: Double, b: Double) =
+          math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a))
+        assert(close(lvl, r.getDouble(5)), s"level $lvl vs ${r.getDouble(5)} at $r")
+        assert(close(tr, r.getDouble(6)), s"trend $tr vs ${r.getDouble(6)} at $r")
+        assert(close(lvl + tr, r.getDouble(7)), s"fcst at $r")
+        checked += 1
+      }
+    }
+    assert(checked == rows.length)
+    // single-month degenerate: trend 0, forecast = observation
+    rows.filter(_.getInt(8) == 1).foreach { r =>
+      assert(r.getDouble(6) == 0.0 && r.getDouble(7) == r.getDouble(4), s"$r")
+    }
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
