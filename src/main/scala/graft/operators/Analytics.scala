@@ -1017,6 +1017,93 @@ object Analytics {
       |      FROM pr JOIN pp pa_ ON pr.pa = pa_.pk JOIN pp pb_ ON pr.pb = pb_.pk)
       |ORDER BY pair_n DESC, lift DESC, pa, pb LIMIT 25""".stripMargin
 
+  // ----------------------------------------------------- orders_basket_rules
+  /** Association RULES over the co-order baskets (Agrawal & Srikant,
+    * VLDB'94 semantics on pair itemsets): part_affinity ranks the
+    * symmetric pair list; this emits the DIRECTIONAL rule table — for
+    * each antecedent part its top-3 consequents by confidence
+    * P(b|a) = pair_n/n_a, with support pair_n/N and the shared lift —
+    * the "customers who bought a also bought b" panel a recommender
+    * serves (graph_similar_parts answers the different neighborhood
+    * question: Jaccard of FULL co-purchase sets, not direct-pair
+    * conditional probability).
+    *
+    * Scale: the SAME staged lineitem distinct() frame discipline as
+    * part_affinity (one fact scan, one distinct exchange; per-order-
+    * bounded pair quadratic; broadcast 1-row N). Both rule directions
+    * come from ONE pass over the undirected pair aggregate (the
+    * dedup_clusters edge-explode trick — never the join run twice).
+    * The top-3 window partitions by antecedent over its degree-bounded
+    * candidate list (the graph_similar_parts precedent — per-partition
+    * size is that part's co-purchase degree, never data-scaled).
+    * Confidence/support are each ONE division of exact integers; lift
+    * follows part_affinity's cast-then-multiply overflow discipline.
+    * Ties in the rank break on (pair_n DESC, consequent ASC) — exact
+    * integers, so equal-confidence orderings agree cross-engine. */
+  def ordersBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+    val directed = pairs.select(explode(array(
+        struct(col("pa").as("antecedent"), col("pb").as("consequent"), col("pair_n")),
+        struct(col("pb").as("antecedent"), col("pa").as("consequent"), col("pair_n"))))
+        .as("r"))
+      .select(col("r.antecedent"), col("r.consequent"), col("r.pair_n"))
+    val w = Window.partitionBy(col("antecedent"))
+      .orderBy(col("confidence").desc, col("pair_n").desc, col("consequent"))
+    directed
+      .join(perPart.select(col("pk").as("antecedent"), col("n_part").as("n_ant")),
+        Seq("antecedent"))
+      .join(perPart.select(col("pk").as("consequent"), col("n_part").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("pair_n"), col("n_ant"),
+        (col("pair_n").cast("double") / col("n_ant").cast("double")).as("confidence"),
+        (col("pair_n").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("pair_n").cast("double") * col("n_orders").cast("double")
+          / (col("n_ant").cast("double") * col("n_cons").cast("double"))).as("lift"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("antecedent"), col("rank"), col("consequent"), col("pair_n"),
+        col("n_ant"), col("confidence"), col("support"), col("lift"))
+      .orderBy(col("antecedent"), col("rank"))
+  }
+
+  val ordersBasketRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |pp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY pk),
+      |pr AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS pair_n
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |dr AS (
+      |  SELECT pa AS antecedent, pb AS consequent, pair_n FROM pr
+      |  UNION ALL
+      |  SELECT pb AS antecedent, pa AS consequent, pair_n FROM pr),
+      |sc AS (
+      |  SELECT d.antecedent, d.consequent, d.pair_n, pa_.n_part AS n_ant,
+      |         CAST(d.pair_n AS DOUBLE) / CAST(pa_.n_part AS DOUBLE) AS confidence,
+      |         CAST(d.pair_n AS DOUBLE)
+      |           / CAST((SELECT n_orders FROM n) AS DOUBLE) AS support,
+      |         CAST(d.pair_n AS DOUBLE) * CAST((SELECT n_orders FROM n) AS DOUBLE)
+      |           / (CAST(pa_.n_part AS DOUBLE) * CAST(pb_.n_part AS DOUBLE)) AS lift
+      |  FROM dr d JOIN pp pa_ ON d.antecedent = pa_.pk
+      |            JOIN pp pb_ ON d.consequent = pb_.pk),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY antecedent
+      |            ORDER BY confidence DESC, pair_n DESC, consequent) AS rank
+      |  FROM sc)
+      |SELECT antecedent, rank, consequent, pair_n, n_ant, confidence, support, lift
+      |FROM rk WHERE rank <= 3 ORDER BY antecedent, rank""".stripMargin
+
   // ---------------------------------------------------- events_value_anomaly
   /** Per-event z-score outliers (|z| > 3 against the event's type
     * distribution) — the event-level twin of fin_anomaly_zscore, and the
@@ -1287,6 +1374,7 @@ object Analytics {
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "events_top_paths" -> (eventsTopPaths _),
     "part_affinity" -> (partAffinity _),
+    "orders_basket_rules" -> (ordersBasketRules _),
     "cube_agg" -> (cubeAgg _),
     "rank_stats" -> (rankStats _),
     "rank_stats_scalable" -> (rankStatsScalable _),
@@ -1315,6 +1403,7 @@ object Analytics {
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "events_top_paths" -> eventsTopPathsSql,
     "part_affinity" -> partAffinitySql,
+    "orders_basket_rules" -> ordersBasketRulesSql,
     "cube_agg" -> cubeAggSql,
     "rank_stats" -> rankStatsSql,
     // exact by construction → the oracle is literally rank_stats' SQL:

@@ -256,6 +256,41 @@ class AnalyticsSpec extends SparkSpec {
       s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
   }
 
+  test("orders_basket_rules: directional consistency with part_affinity's pair space") {
+    val rules = SparkEntry.queries("orders_basket_rules")(spark, sf).collect()
+    assert(rules.nonEmpty)
+    // ranks consecutive from 1, confidence ordered and in (0, 1],
+    // support/lift positive, conf = pair_n/n_ant exactly
+    rules.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to sorted.length))
+      val confs = sorted.map(_.getDouble(5))
+      assert(confs.sameElements(confs.sorted.reverse), s"confidence not ranked: $g")
+    }
+    rules.foreach { r =>
+      val (pn, na, conf) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(conf == pn.toDouble / na, s"confidence mismatch at $r")
+      assert(conf > 0.0 && conf <= 1.0 && r.getDouble(6) > 0.0 && r.getDouble(7) > 0.0)
+      assert(r.getLong(0) != r.getLong(2), s"self rule at $r")
+    }
+    // every rule's undirected pair exists in part_affinity's generator
+    // (same staged frame, min-support 2): check symmetry on the full
+    // directed set instead — a->b present means b->a was generated too,
+    // and survives the top-3 cut whenever b's degree is tiny; assert the
+    // weaker but exact invariant that pair counts agree across directions
+    val byPair = rules.map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    byPair.foreach { case ((a, b), pn) =>
+      byPair.get((b, a)).foreach(pn2 => assert(pn2 == pn, s"pair_n asym $a,$b"))
+    }
+  }
+
+  test("orders_basket_rules: lineitem distinct staged once (no in-plan re-derivation)") {
+    val plan = Analytics.ordersBasketRules(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"),
+      s"lineitem scanned inside the query plan — barrier not in effect:\n$plan")
+  }
+
   test("orders_cohort_ltv: cohort aggregate staged once (single in-plan orders scan)") {
     // the cohort min-month aggregate feeds the join-back AND the size
     // rollup; staged, only the join-back fact leg still scans orders
