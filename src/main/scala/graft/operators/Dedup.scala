@@ -565,6 +565,52 @@ object Dedup {
       |SELECT node AS doc_id, min(lab) AS cluster_id
       |FROM r GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
 
+  // ------------------------------------------------- dedup_cluster_stats
+  /** The dedup SAVINGS panel: per near-dup cluster SIZE, how many
+    * clusters exist, how many documents they hold, and how many
+    * characters keeping one representative per cluster reclaims
+    * (sum of member chars minus the kept min-doc_id member's) — the
+    * one-page answer to "what does near-dedup buy us" a curation run
+    * publishes next to corpus_pipeline_funnel's doc counts (the funnel
+    * reports survivors per stage; this reports the duplicate MASS
+    * distribution — a corpus of many small clusters and one of a few
+    * giant ones dedup very differently, and cluster-size skew is what
+    * decides whether the pair-list or the star form is the right
+    * output downstream).
+    *
+    * Scale: reuses dedup_clusters' converged labels (bucket-keyed
+    * candidates → min-label components); the stats are two integer
+    * aggregates — per-cluster then per-size — over (doc_id, cluster,
+    * chars) scalars. The representative's chars are min_by/arg_min on
+    * the unique doc_id (deterministic both engines). Output is
+    * |distinct cluster sizes| rows. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val per = cl.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars_tot"),
+        min_by(col("n_chars"), col("doc_id")).as("rep_chars"))
+    per.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(col("chars_tot") - col("rep_chars")).as("chars_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Mirror embeds the dedup_clusters oracle verbatim as a subquery
+    * (the ann_rrf_fusion drift-proofing) and aggregates identically. */
+  lazy val dedupClusterStatsSql: String =
+    s"""WITH comp AS (SELECT * FROM ($dedupClustersSql) t),
+      |per AS (
+      |  SELECT c.cluster_id, count(*) AS sz, sum(d.n_chars) AS chars_tot,
+      |         arg_min(d.n_chars, d.doc_id) AS rep_chars
+      |  FROM comp c JOIN documents d USING (doc_id)
+      |  GROUP BY c.cluster_id)
+      |SELECT sz AS cluster_size, count(*) AS n_clusters,
+      |       CAST(sum(sz) AS BIGINT) AS n_docs,
+      |       CAST(sum(chars_tot - rep_chars) AS BIGINT) AS chars_dropped
+      |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------- dedup_minhash_lsh
   private val NumHashes = 32
   private val Bands = 8
@@ -1100,6 +1146,7 @@ object Dedup {
     "dedup_band_eval" -> (dedupBandEval _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1115,6 +1162,7 @@ object Dedup {
     "dedup_band_eval" -> dedupBandEvalSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_clusters_star" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_reps" -> dedupEmbeddingRepsSql,

@@ -147,6 +147,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats conserve dedup_clusters' membership and bound the savings") {
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+    val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf).collect()
+    assert(stats.nonEmpty)
+    // clusters only contain >=0.9-pair members, so every size >= 2
+    stats.foreach { r =>
+      assert(r.getLong(0) >= 2L, s"singleton cluster in stats: $r")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"n_docs != size*n_clusters: $r")
+      assert(r.getLong(3) >= 0L, s"negative savings: $r")
+    }
+    assert(stats.map(_.getLong(2)).sum == clusters.length,
+      "stats must conserve the clustered doc count")
+    val bySize = clusters.groupBy(_.getLong(1)).values.map(_.length.toLong)
+      .groupBy(identity).map { case (szv, g) => (szv, g.size.toLong) }
+    assert(stats.map(r => (r.getLong(0), r.getLong(1))).toMap == bySize,
+      "per-size cluster counts must match a driver-side recount")
+  }
+
   test("simhash: near-dup hamming below unrelated hamming") {
     val df = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
