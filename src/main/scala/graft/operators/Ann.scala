@@ -1756,6 +1756,150 @@ object Ann {
        |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
        |ORDER BY m.vec_id""".stripMargin
 
+  // ------------------------------------------------------ embed_centroid_drift
+  /** Index REFRESH report: run ONE more exact Lloyd step over the
+    * shipped refined cells and report, per coarse cell, how much the
+    * index would move — member count, vectors that would change refined
+    * cell, and the mean affinity gain re-assignment would buy. This is
+    * the "should we rebuild" signal an index deployment reads next to
+    * embed_cluster_stats (that audits the CURRENT structure; this
+    * measures its distance from the next fixpoint — near-zero movement
+    * and gain mean the one-step index already converged for this
+    * corpus; pairs with ann_recall_report, which prices the same
+    * question in retrieval quality).
+    *
+    * Exactness: the extra Lloyd step follows the builder's discipline
+    * to the letter — integer micro-unit position sums (summation order
+    * cannot perturb a mean), empty cells keep their previous centroid,
+    * unit-normalization in division form with the zero-norm
+    * passthrough, re-assignment ties to the lowest sub-index. Affinity
+    * deltas are rounded-micro-integer dots (the embed_cluster_stats
+    * discipline), so moved counts and gains hash-match cross-engine.
+    * Spherical-k-means monotonicity makes per-vector gain >= 0 up to
+    * the micro rounding; AnnSpec pins it at -1 µ tolerance.
+    *
+    * Scale: one (cell, pos) integer aggregate to O(nlist·dim) rows
+    * collected as bounded index state (exactly the builder's Lloyd
+    * collect), one map-side kernel re-assignment against the broadcast
+    * refreshed codebook, one |nlist|-row report aggregate — the fact
+    * side shuffles only for the (cell, pos) combine. */
+  def embedCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.NearestSubCell
+    val e = emb(spark, dir)
+    val n = e.count()
+    buildIvfIndex(e, n) match {
+      case None =>
+        e.select(lit(0L).as("ca"), lit(0L).as("n_members"), lit(0L).as("n_moved"),
+          lit(0.0).as("moved_share"), lit(0.0).as("mean_gain")).limit(0)
+      case Some(idx) =>
+        val session = spark
+        import session.implicits._
+        val maxSub = idx.maxSub
+        val sums = idx.celled.select(col("cell"),
+            posexplode(transform(col("v"), x => round(x * 1000000).cast("long")))
+              .as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        val refined2: Array[Array[Array[Double]]] =
+          Array.tabulate(idx.coarse.length) { ci =>
+            idx.refinedSub(ci).indices.map { si =>
+              byCell.get(ci * maxSub + si) match {
+                case Some(rows) =>
+                  val dim = rows.map(_.getInt(1)).max + 1
+                  val arr = new Array[Double](dim)
+                  rows.foreach(r =>
+                    arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1000000.0))
+                  unit(arr)
+                case None => idx.refinedSub(ci)(si)
+              }
+            }.toArray
+          }
+        def cents(sub: Array[Array[Array[Double]]]) = (for {
+          ci <- sub.indices; si <- sub(ci).indices
+        } yield ((ci * maxSub + si), sub(ci)(si).toSeq)).toDF("cell", "cu")
+        val caCol = expr(s"CAST(cell DIV $maxSub AS INT)")
+        val assigned = idx.celled.select(col("vec_id"), col("v"), col("cell"),
+          (caCol * maxSub +
+            kcol(NearestSubCell(kexp(col("v")), kexp(caCol), refined2))).as("cell2"))
+        assigned
+          .join(broadcast(cents(idx.refinedSub)), Seq("cell"))
+          .join(broadcast(cents(refined2).withColumnRenamed("cell", "cell2")
+            .withColumnRenamed("cu", "cu2")), Seq("cell2"))
+          .select(expr(s"CAST(cell DIV $maxSub AS BIGINT)").as("ca"),
+            col("cell"), col("cell2"),
+            round(Vectors.dot(col("v"), col("cu")) * 1000000).cast("long").as("dmo"),
+            round(Vectors.dot(col("v"), col("cu2")) * 1000000).cast("long").as("dmn"))
+          .groupBy(col("ca"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("cell") =!= col("cell2"), 1L).otherwise(0L)).as("n_moved"),
+            sum(col("dmn") - col("dmo")).as("sg"))
+          .select(col("ca"), col("n_members"), col("n_moved"),
+            (round(col("n_moved").cast("double") / col("n_members"), 4) + 0.0)
+              .as("moved_share"),
+            (round(col("sg").cast("double") / (col("n_members") * 1000000.0), 6) + 0.0)
+              .as("mean_gain"))
+          .orderBy(col("ca"))
+    }
+  }
+
+  /** Mirror: ivfIndexCtes + one more Lloyd round (lloyd2/means2/
+    * refined2 echo the chain's lloyd/means/refined over the REFINED
+    * cells) + re-assignment + the micro-integer gain aggregate. */
+  lazy val embedCentroidDriftSql: String =
+    s"""WITH $ivfIndexCtes,
+       |lloyd2 AS (
+       |  SELECT c.cell, p.range AS pos,
+       |         sum(CAST(round(un.v[p.range + 1] * 1000000) AS BIGINT)) AS sx,
+       |         count(*) AS cn
+       |  FROM celled c JOIN un USING (vec_id) CROSS JOIN range(0, 64) p
+       |  GROUP BY c.cell, p.range),
+       |means2 AS (
+       |  SELECT cell,
+       |         list_transform(list_sort(list(struct_pack(pos := pos,
+       |           val := CAST(sx AS DOUBLE) / (cn * 1000000.0)))), x -> x.val) AS mv
+       |  FROM lloyd2 GROUP BY cell),
+       |refined2 AS (
+       |  SELECT f.ca, f.si, f.cell,
+       |         CASE WHEN m.mv IS NULL THEN f.ru
+       |              WHEN mss.mss = 0 THEN m.mv
+       |              ELSE [x / sqrt(mss.mss) FOR x IN m.mv] END AS ru2
+       |  FROM flatcells f
+       |  LEFT JOIN means2 m ON m.cell = f.cell
+       |  LEFT JOIN (SELECT cell,
+       |               list_reduce([mv[i]*mv[i] for i in range(1, len(mv)+1)],
+       |                           (x, y) -> x + y) AS mss
+       |             FROM means2) mss ON mss.cell = f.cell),
+       |celled2 AS (
+       |  SELECT vec_id, cell2 FROM (
+       |    SELECT un.vec_id, f.cell AS cell2,
+       |           row_number() OVER (PARTITION BY un.vec_id ORDER BY
+       |             list_reduce([un.v[i] * f.ru2[i] for i in range(1, len(un.v)+1)],
+       |                         (x, y) -> x + y) DESC, f.si ASC) AS rn
+       |    FROM un JOIN ac USING (vec_id) JOIN refined2 f ON f.ca = ac.ca)
+       |  WHERE rn = 1),
+       |dms AS (
+       |  SELECT ac.ca, c.cell, c2.cell2,
+       |         CAST(round(list_reduce([un.v[i] * fo.ru[i]
+       |             for i in range(1, len(un.v)+1)], (x, y) -> x + y) * 1000000)
+       |           AS BIGINT) AS dmo,
+       |         CAST(round(list_reduce([un.v[i] * fn.ru2[i]
+       |             for i in range(1, len(un.v)+1)], (x, y) -> x + y) * 1000000)
+       |           AS BIGINT) AS dmn
+       |  FROM celled c JOIN celled2 c2 USING (vec_id) JOIN un USING (vec_id)
+       |  JOIN ac USING (vec_id)
+       |  JOIN flatcells fo ON fo.cell = c.cell
+       |  JOIN refined2 fn ON fn.cell = c2.cell2)
+       |SELECT CAST(ca AS BIGINT) AS ca, count(*) AS n_members,
+       |       CAST(sum(CASE WHEN cell <> cell2 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |       round(CAST(sum(CASE WHEN cell <> cell2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 4) + 0.0 AS moved_share,
+       |       round(CAST(sum(dmn - dmo) AS DOUBLE) / (count(*) * 1000000.0), 6) + 0.0
+       |         AS mean_gain
+       |FROM dms GROUP BY ca ORDER BY ca""".stripMargin
+
   // ----------------------------------------------------------- ann_rrf_fusion
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ANN
     * rankers over the same query set: the IVF cell ranker and the
@@ -2258,6 +2402,7 @@ object Ann {
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_filtered_batch" -> (annFilteredBatch _),
     "embed_knn_graph" -> (embedKnnGraph _),
+    "embed_centroid_drift" -> (embedCentroidDrift _),
     "vec_stats" -> (vecStats _)
   )
 
@@ -2281,6 +2426,7 @@ object Ann {
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_filtered_batch" -> annFilteredBatchSql,
     "embed_knn_graph" -> embedKnnGraphSql,
+    "embed_centroid_drift" -> embedCentroidDriftSql,
     "vec_stats" -> vecStatsSql
   )
 }

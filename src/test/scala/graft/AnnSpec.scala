@@ -440,6 +440,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"range recall $recall (${got.size}/${brute.size})")
   }
 
+  test("embed_centroid_drift: conservation, spherical-Lloyd monotone gain") {
+    val rows = SparkEntry.queries("embed_centroid_drift")(spark, sf).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == nVecs, "drift report must conserve the corpus")
+    rows.foreach { r =>
+      val (n, moved, share, gain) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(moved >= 0 && moved <= n, s"moved out of range: $r")
+      assert(share == math.round(moved.toDouble / n * 10000) / 10000.0 + 0.0, s"share: $r")
+      // spherical k-means: the mean-direction update + re-assignment can
+      // only raise the summed dot, up to micro-unit rounding per vector
+      assert(gain >= -1e-6, s"Lloyd step lost affinity: $r")
+    }
+  }
+
   test("embed_knn_graph: full coverage, no self loops, mutual flag is exact") {
     val rows = SparkEntry.queries("embed_knn_graph")(spark, sf).collect()
     val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
