@@ -1211,6 +1211,77 @@ object Warehouse {
        |FROM fin_t2
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** The nine Benford first-digit expected shares log10(1+1/d), 6-dp
+    * literals shared by BOTH engines' CASE expressions (one Scala
+    * constant — the ngramDupsCtes drift rule): transcendental log10
+    * must never be evaluated cross-engine (libm last-ulp divergence),
+    * so the law's constants ship as literals. */
+  private val benfordShares: Seq[(Int, String)] = Seq(
+    1 -> "0.30103", 2 -> "0.176091", 3 -> "0.124939", 4 -> "0.09691",
+    5 -> "0.079181", 6 -> "0.066947", 7 -> "0.057992", 8 -> "0.051153",
+    9 -> "0.045757")
+
+  private val benfordCaseSql: String =
+    "CASE digit " + benfordShares.map { case (d, s) =>
+      s"WHEN $d THEN CAST($s AS DOUBLE)" }.mkString(" ") + " END"
+
+  /** fin_benford: Benford's-law first-digit audit of the statement
+    * amounts per department — the classic analytical fraud/fabrication
+    * screen an audit runs over a financial ledger (Benford 1938;
+    * Nigrini's audit practice): naturally occurring amounts put ~30.1%
+    * of leading digits at 1, fabricated ones cluster mid-range. Emits
+    * per (department, digit 1-9) the count, observed share, expected
+    * Benford share, and the excess — the drill-down panel (global chi²
+    * is deliberately NOT emitted: a 9-term float sum has no
+    * order-independent exact form, and the per-digit excesses are what
+    * the auditor reads anyway).
+    *
+    * Exactness: leading digit via integer-cents → string (scaling by
+    * 100 never changes the leading significant digit; zero amounts
+    * excluded); counts exact integers; share and excess each ONE
+    * arithmetic chain over exact integers and the literal constants —
+    * identical IEEE both engines.
+    *
+    * Scale: one map-side-combined (department, digit) aggregate to
+    * ≤ |dept|·9 rows; the department totals join back under AQE
+    * broadcast. The fact side never shuffles raw rows. */
+  def finBenford(spark: SparkSession, dir: String): DataFrame =
+    finBenfordFrom(upserted(spark, dir))
+
+  private[graft] def finBenfordFrom(up: DataFrame): DataFrame = {
+    val dig = up.select(col("department"), cents(col("amount")).as("c"))
+      .filter(col("c") =!= 0)
+      .select(col("department"),
+        substring(abs(col("c")).cast("string"), 1, 1).cast("int").as("digit"))
+    val byDept = stageBarrier(
+      dig.groupBy(col("department"), col("digit")).agg(count(lit(1)).as("n")))
+    val tot = byDept.groupBy(col("department")).agg(sum(col("n")).as("nt"))
+    byDept.join(broadcast(tot), Seq("department"))
+      .withColumn("benford", expr(benfordCaseSql))
+      .select(col("department"), col("digit"), col("n"),
+        (round(col("n").cast("double") / col("nt"), 6) + 0.0).as("share"),
+        col("benford"),
+        (round(col("n").cast("double") / col("nt") - col("benford"), 6) + 0.0)
+          .as("excess"))
+      .orderBy(col("department"), col("digit"))
+  }
+
+  val finBenfordSql: String =
+    s"""WITH $upsertCtes,
+       |am AS (SELECT department, CAST(round(amount*100) AS BIGINT) AS c
+       |       FROM fin_upserted WHERE CAST(round(amount*100) AS BIGINT) <> 0),
+       |dg AS (SELECT department,
+       |              CAST(substr(CAST(abs(c) AS VARCHAR), 1, 1) AS INT) AS digit
+       |       FROM am),
+       |bd AS (SELECT department, digit, count(*) AS n FROM dg GROUP BY 1, 2),
+       |tt AS (SELECT department, sum(n) AS nt FROM bd GROUP BY 1)
+       |SELECT b.department, b.digit, b.n,
+       |       round(CAST(b.n AS DOUBLE) / t.nt, 6) + 0.0 AS share,
+       |       $benfordCaseSql AS benford,
+       |       round(CAST(b.n AS DOUBLE) / t.nt - ($benfordCaseSql), 6) + 0.0 AS excess
+       |FROM bd b JOIN tt t USING (department)
+       |ORDER BY department, digit""".stripMargin
+
   /** fin_reconciliation: statement detail totals vs an independently
     * derived control total per (year, month, department) — mismatches are
     * exactly the sheets whose source rows arrived as unparseable N/A. */
@@ -1541,6 +1612,7 @@ object Warehouse {
     "fin_rolling_3m" -> (finRolling3m _),
     "fin_ewma" -> (finEwma _),
     "fin_forecast_brown" -> (finForecastBrown _),
+    "fin_benford" -> (finBenford _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
@@ -1574,6 +1646,7 @@ object Warehouse {
     "fin_rolling_3m" -> finRolling3mSql,
     "fin_ewma" -> finEwmaSql,
     "fin_forecast_brown" -> finForecastBrownSql,
+    "fin_benford" -> finBenfordSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,

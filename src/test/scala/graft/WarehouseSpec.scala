@@ -247,6 +247,25 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("fin_benford: per-department shares sum to 1, digits in range, excess consistent") {
+    val rows = SparkEntry.queries("fin_benford")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val benford = Map(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153, 9 -> 0.045757)
+    rows.foreach { r =>
+      val (d, n, share, bf, ex) =
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(d >= 1 && d <= 9, s"digit out of range: $r")
+      assert(n > 0 && share > 0.0 && share <= 1.0)
+      assert(bf == benford(d), s"benford constant drift at $r")
+      assert(math.abs(ex - (share - bf)) <= 2e-6, s"excess inconsistent at $r")
+    }
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val s = g.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) <= 1e-4, s"shares sum $s for ${g.head.getString(0)}")
+    }
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
