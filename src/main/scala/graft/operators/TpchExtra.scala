@@ -426,7 +426,73 @@ object TpchExtra {
       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
       |FROM agg ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------ trade_flow_matrix
+  /** Full nation×nation TRADE-FLOW matrix: discounted revenue and line
+    * count from every supplier nation to every customer nation
+    * (diagonal = domestic flow), plus each cell's share of its supplier
+    * nation's total exports — the BI world-map panel q7 samples two
+    * corridors of, generalized to the complete ≤|nation|² matrix with
+    * no date slice.
+    *
+    * Scale: q7's minimal two fact shuffles (orders⋈customer on custkey,
+    * lineitem⋈orders on orderkey); supplier/customer stay AQE-sized
+    * (they scale with the fact), only the fixed 25-row nation is
+    * statically broadcast. The cell aggregate map-side combines to
+    * ≤625 rows and is STAGED once (it feeds the output AND the per-
+    * supplier-nation totals rollup — the fin_common_size aggregate-
+    * over-aggregate shape); revenue sums are exact DECIMAL(38,0)
+    * revUnits, the share is one division of two identically-cast exact
+    * integers. */
+  def tradeFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val cells = stageBarrier(Tables.lineitem(spark, dir)
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(sum(revUnits(col("l_extendedprice"), col("l_discount"))
+        .cast("decimal(38,0)")).as("ru"), count(lit(1)).as("n_items")))
+    val tot = cells.groupBy(col("supp_nation")).agg(sum(col("ru")).as("tru"))
+    cells.join(broadcast(tot), Seq("supp_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        (col("ru").cast("double") / 1000000.0).as("revenue"), col("n_items"),
+        (round(col("ru").cast("double") / col("tru").cast("double"), 6) + 0.0)
+          .as("export_share"))
+      .orderBy(col("supp_nation"), col("cust_nation"))
+  }
+
+  val tradeFlowMatrixSql: String =
+    """WITH cells AS (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS ru,
+      |         count(*) AS n_items
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT supp_nation, sum(ru) AS tru FROM cells GROUP BY 1)
+      |SELECT c.supp_nation, c.cust_nation,
+      |       CAST(c.ru AS DOUBLE)/1000000.0 AS revenue, c.n_items,
+      |       round(CAST(c.ru AS DOUBLE) / CAST(t.tru AS DOUBLE), 6) + 0.0
+      |         AS export_share
+      |FROM cells c JOIN tt t USING (supp_nation)
+      |ORDER BY supp_nation, cust_nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trade_flow_matrix" -> (tradeFlowMatrix _),
     "orders_backlog" -> (ordersBacklog _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "q6_filter_agg" -> (q6FilterAgg _),
@@ -440,6 +506,7 @@ object TpchExtra {
   )
 
   def oracles: Map[String, String] = Map(
+    "trade_flow_matrix" -> tradeFlowMatrixSql,
     "orders_backlog" -> ordersBacklogSql,
     "grouping_sets_agg" -> groupingSetsAggSql,
     "q6_filter_agg" -> q6FilterAggSql,

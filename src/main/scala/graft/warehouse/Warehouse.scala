@@ -1211,6 +1211,87 @@ object Warehouse {
        |FROM fin_t2
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** fin_dept_correlation: Pearson correlation of monthly net totals
+    * between every department pair — "which departments move together",
+    * the FP&A co-movement panel read next to fin_seasonality (shared
+    * seasonality is the usual source of high r; residual correlation
+    * after deseasonalizing is the interesting signal, and this panel is
+    * the numerator for that workflow). Computed over each pair's
+    * COMMON observed months; r = (n·Σxy − ΣxΣy) /
+    * (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)), NULL where either series is
+    * constant (zero variance).
+    *
+    * Exactness: all five moment sums are exact integer cents in
+    * DECIMAL(38,0)/HUGEINT (products reach ~10²¹ at gate scale — far
+    * past BIGINT); each factor is ONE cast of an exact integer to
+    * double (correctly rounded identically in both engines), sqrt and
+    * the final division are single IEEE ops, and the 6-dp round is the
+    * boundary. No float ever accumulates.
+    *
+    * Scale: one map-side-combined monthly aggregate staged once (the
+    * fin_anomaly_zscore discipline), then a self-join on (year, month)
+    * — per-month fan-out is |departments|², chart-bounded, never
+    * data-scaled — into a ≤|dept|²/2-row moment aggregate. */
+  def finDeptCorrelation(spark: SparkSession, dir: String): DataFrame =
+    finDeptCorrelationFrom(upserted(spark, dir))
+
+  private[graft] def finDeptCorrelationFrom(up: DataFrame): DataFrame = {
+    val monthly = stageBarrier(up
+      .groupBy(col("department"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc")))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = monthly.select(col("department").as("dept_a"), col("year"),
+        col("month"), col("tc").as("x"))
+      .join(monthly.select(col("department").as("dept_b"), col("year"),
+        col("month"), col("tc").as("y")), Seq("year", "month"))
+      .filter(col("dept_a") < col("dept_b"))
+    val m = pairs.groupBy(col("dept_a"), col("dept_b"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+    val (n, sx, sy) = (d(col("n")), d(col("sx")), d(col("sy")))
+    val vx = n * col("sxx") - sx * sx
+    val vy = n * col("syy") - sy * sy
+    m.select(col("dept_a"), col("dept_b"), col("n").as("n_months"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(round((n * col("sxy") - sx * sy).cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6) + 0.0)
+          .as("pearson_r"))
+      .orderBy(col("dept_a"), col("dept_b"))
+  }
+
+  val finDeptCorrelationSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, year, month),
+       |pr AS (
+       |  SELECT a.department AS dept_a, b.department AS dept_b,
+       |         a.tc AS x, b.tc AS y
+       |  FROM fin_monthly a JOIN fin_monthly b
+       |    ON a.year = b.year AND a.month = b.month
+       |   AND a.department < b.department),
+       |mo AS (
+       |  SELECT dept_a, dept_b, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+       |  FROM pr GROUP BY dept_a, dept_b)
+       |SELECT dept_a, dept_b, n AS n_months,
+       |       CASE WHEN CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx <= 0
+       |              OR CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy <= 0
+       |            THEN NULL
+       |            ELSE round(
+       |              CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+       |              / (sqrt(CAST(CAST(n AS HUGEINT)*sxx
+       |                           - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+       |                 * sqrt(CAST(CAST(n AS HUGEINT)*syy
+       |                             - CAST(sy AS HUGEINT)*sy AS DOUBLE))), 6) + 0.0
+       |       END AS pearson_r
+       |FROM mo ORDER BY dept_a, dept_b""".stripMargin
+
   /** The nine Benford first-digit expected shares log10(1+1/d), 6-dp
     * literals shared by BOTH engines' CASE expressions (one Scala
     * constant — the ngramDupsCtes drift rule): transcendental log10
@@ -1613,6 +1694,7 @@ object Warehouse {
     "fin_ewma" -> (finEwma _),
     "fin_forecast_brown" -> (finForecastBrown _),
     "fin_benford" -> (finBenford _),
+    "fin_dept_correlation" -> (finDeptCorrelation _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
@@ -1647,6 +1729,7 @@ object Warehouse {
     "fin_ewma" -> finEwmaSql,
     "fin_forecast_brown" -> finForecastBrownSql,
     "fin_benford" -> finBenfordSql,
+    "fin_dept_correlation" -> finDeptCorrelationSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
