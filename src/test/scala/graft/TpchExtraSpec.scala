@@ -168,4 +168,21 @@ class TpchExtraSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == withLines, "every lined order closes once")
     assert(rows.last.getLong(3) == nOrders - withLines, "final backlog = never-closed")
   }
+
+  test("trade_flow_matrix: export shares sum to 1 per supplier nation, totals = q-free fact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("trade_flow_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25 * 25, "at most |nation|^2 cells")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getLong(3) > 0, s"empty cell emitted: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"share out of range: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (sn, cells) =>
+      val s = cells.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) <= 1e-4, s"$sn export shares sum $s")
+    }
+    // conservation: the matrix covers every lineitem exactly once
+    val nLines = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == nLines, "every line lands in one cell")
+  }
 }

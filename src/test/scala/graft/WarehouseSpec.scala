@@ -266,6 +266,30 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("fin_dept_correlation: planted linear/anti/constant series give r=1/-1/NULL") {
+    import spark.implicits._
+    // A and B perfectly positively related, C perfectly negative vs both,
+    // D constant (zero variance -> NULL r with everyone)
+    val up = Seq.tabulate(4) { i =>
+      Seq(("A", "2024", "Jan" + i, 1.0 + i), ("B", "2024", "Jan" + i, 2.0 + 2 * i),
+        ("C", "2024", "Jan" + i, 4.0 - i), ("D", "2024", "Jan" + i, 5.0))
+    }.flatten.toDF("department", "year", "month", "amount")
+    val rows = Warehouse.finDeptCorrelationFrom(up).collect()
+    val r = rows.map(x => (x.getString(0), x.getString(1)) ->
+      (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(("A", "B")) == Some(1.0) && r(("A", "C")) == Some(-1.0)
+      && r(("B", "C")) == Some(-1.0))
+    assert(r(("A", "D")).isEmpty && r(("B", "D")).isEmpty && r(("C", "D")).isEmpty)
+    assert(rows.forall(_.getLong(2) == 4)) // all pairs share the 4 months
+    // ordering contract: dept_a < dept_b, no self pairs, no duplicates
+    assert(rows.length == 6 && rows.forall(x => x.getString(0) < x.getString(1)))
+    // gate corpus: every r in [-1, 1] where defined
+    SparkEntry.queries("fin_dept_correlation")(spark, sf).collect().foreach { x =>
+      if (!x.isNullAt(3))
+        assert(math.abs(x.getDouble(3)) <= 1.0 + 1e-9, s"out-of-range r: $x")
+    }
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
