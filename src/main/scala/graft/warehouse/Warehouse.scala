@@ -709,6 +709,89 @@ object Warehouse {
        |                       / CAST(bm.n_m * bd.s_d AS DOUBLE), 4) + 0.0 END AS seasonal_idx
        |FROM bm JOIN bd USING (department) ORDER BY department, month""".stripMargin
 
+  // --------------------------------------------------- fin_deseasonalized
+  /** fin_deseasonalized: the deseasonalization ACTION fin_seasonality's
+    * index is the factor for — each department's monthly Revenue net
+    * divided by its calendar month's seasonal index, plus the
+    * deseasonalized MoM delta (the trend signal with the "normal for
+    * March" component removed; fin_dept_correlation names this frame
+    * as the residual-correlation numerator).
+    *
+    * Exactness: the division NEVER uses the rounded 4-dp index — since
+    * idx = (s_m·n_d)/(n_m·s_d), the deseasonalized value rewrites as
+    * tc·n_m·s_d / (s_m·n_d·100): numerator and denominator are exact
+    * integer products in DECIMAL(38,0)/HUGEINT (~10²⁵ worst case at
+    * gate scale, ~10³¹ at 100× — inside 10³⁸), then ONE cast each and
+    * one IEEE division; the MoM delta is one IEEE subtraction of two
+    * such bit-identical doubles, rounded only at the boundary. NULL
+    * where the calendar month or the department nets to zero (the
+    * index is zero/undefined there, matching fin_seasonality).
+    *
+    * Scale: fin_seasonality's exact staging discipline — one fact
+    * shuffle (monthly Revenue rollup, staged: it feeds the calendar
+    * rollup AND the output join), the ≤|dept|·12-row calendar rollup
+    * staged for its two consumers; the lag window partitions per
+    * department over its post-aggregate month series (calendar-
+    * bounded, never data-scaled). */
+  def finDeseasonalized(spark: SparkSession, dir: String): DataFrame =
+    finDeseasonalizedFrom(upserted(spark, dir))
+
+  private[graft] def finDeseasonalizedFrom(up: DataFrame): DataFrame = {
+    val monthly = stageBarrier(up.filter(col("category") === "Revenue")
+      .groupBy(col("department"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc")))
+    val bym = stageBarrier(monthly.groupBy(col("department"), col("month"))
+      .agg(sum(col("tc")).as("s_m"), count(lit(1)).as("n_m")))
+    val byd = bym.groupBy(col("department"))
+      .agg(sum(col("s_m")).as("s_d"), sum(col("n_m")).as("n_d"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val x = when(col("s_m") === 0 || col("s_d") === 0, lit(null).cast("double"))
+      .otherwise((d(col("tc")) * d(col("n_m")) * d(col("s_d"))).cast("double")
+        / ((d(col("s_m")) * d(col("n_d"))).cast("double") * 100.0))
+    val w = Window.partitionBy(col("department")).orderBy(col("year"), col("month"))
+    monthly.join(bym, Seq("department", "month")).join(byd, Seq("department"))
+      .withColumn("x", x)
+      .withColumn("px", lag(col("x"), 1).over(w))
+      .select(col("department"), col("year"), col("month"),
+        dollars(col("tc")).as("amount"),
+        when(col("s_d") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (d(col("s_m")) * col("n_d")).cast("double")
+              / (d(col("n_m")) * col("s_d")).cast("double"), 4) + 0.0)
+          .as("seasonal_idx"),
+        (round(col("x"), 2) + 0.0).as("deseason_amount"),
+        (round(col("x") - col("px"), 2) + 0.0).as("deseason_delta"))
+      .orderBy(col("department"), col("year"), col("month"))
+  }
+
+  val finDeseasonalizedSql: String =
+    s"""WITH $upsertCtes,
+       |rv AS (SELECT department, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |       FROM fin_upserted WHERE category = 'Revenue'
+       |       GROUP BY department, year, month),
+       |bm AS (SELECT department, month, sum(tc) AS s_m, count(*) AS n_m
+       |       FROM rv GROUP BY department, month),
+       |bd AS (SELECT department, sum(s_m) AS s_d, sum(n_m) AS n_d
+       |       FROM bm GROUP BY department),
+       |j AS (
+       |  SELECT rv.department, rv.year, rv.month, rv.tc,
+       |         bm.s_m, bm.n_m, bd.s_d, bd.n_d,
+       |         CASE WHEN bm.s_m = 0 OR bd.s_d = 0 THEN NULL
+       |              ELSE CAST(CAST(rv.tc AS HUGEINT) * bm.n_m * bd.s_d AS DOUBLE)
+       |                   / (CAST(CAST(bm.s_m AS HUGEINT) * bd.n_d AS DOUBLE) * 100.0)
+       |         END AS x
+       |  FROM rv JOIN bm USING (department, month) JOIN bd USING (department))
+       |SELECT department, year, month, CAST(tc AS DOUBLE)/100.0 AS amount,
+       |  CASE WHEN s_d = 0 THEN NULL
+       |       ELSE round(CAST(CAST(s_m AS HUGEINT) * n_d AS DOUBLE)
+       |                  / CAST(CAST(n_m AS HUGEINT) * s_d AS DOUBLE), 4) + 0.0
+       |  END AS seasonal_idx,
+       |  round(x, 2) + 0.0 AS deseason_amount,
+       |  round(x - lag(x) OVER (PARTITION BY department ORDER BY year, month), 2)
+       |    + 0.0 AS deseason_delta
+       |FROM j ORDER BY department, year, month""".stripMargin
+
   // ---------------------------------------------------- fin_variance_walk
   /** MoM variance WALK: which GL lines drive each department's
     * month-over-month movement — per line the delta vs its previous
@@ -1681,6 +1764,7 @@ object Warehouse {
     "fin_load_diff" -> (finLoadDiff _),
     "fin_warehouse_build" -> (finWarehouseBuild _),
     "fin_seasonality" -> (finSeasonality _),
+    "fin_deseasonalized" -> (finDeseasonalized _),
     "fin_trend_mom" -> (finTrendMom _),
     "fin_common_size" -> (finCommonSize _),
     "fin_variance_walk" -> (finVarianceWalk _),
@@ -1716,6 +1800,7 @@ object Warehouse {
     "fin_load_diff" -> finLoadDiffSql,
     "fin_warehouse_build" -> finWarehouseBuildSql,
     "fin_seasonality" -> finSeasonalitySql,
+    "fin_deseasonalized" -> finDeseasonalizedSql,
     "fin_trend_mom" -> finTrendMomSql,
     "fin_common_size" -> finCommonSizeSql,
     "fin_variance_walk" -> finVarianceWalkSql,

@@ -290,6 +290,31 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("fin_deseasonalized: a perfectly seasonal series flattens to constant, deltas 0") {
+    import spark.implicits._
+    // dept S: two years of identical seasonal pattern 100*m per month m
+    // -> deseasonalized value is the constant overall mean, every delta 0.
+    // dept Z: one month netting to zero -> NULL deseason there.
+    val s = for (y <- Seq(2023, 2024); m <- 1 to 12)
+      yield ("S", y, m, 100.0 * m, "Revenue")
+    val z = Seq(("Z", 2024, 1, 50.0, "Revenue"), ("Z", 2024, 2, 0.0, "Revenue"),
+      ("Z", 2024, 3, 50.0, "Revenue"))
+    val up = (s ++ z).toDF("department", "year", "month", "amount", "category")
+    val rows = Warehouse.finDeseasonalizedFrom(up).collect()
+    val sRows = rows.filter(_.getString(0) == "S")
+    assert(sRows.length == 24)
+    val mean = (1 to 12).map(_ * 100.0).sum / 12.0
+    sRows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - mean) < 0.01, s"not flattened: $r")
+    }
+    sRows.filter(!_.isNullAt(6)).foreach(r => assert(r.getDouble(6) == 0.0, s"$r"))
+    val zFeb = rows.find(r => r.getString(0) == "Z" && r.getInt(2) == 2).get
+    assert(zFeb.isNullAt(5) && zFeb.isNullAt(6), s"zero-net month must be NULL: $zFeb")
+    // the month after a NULL also has a NULL delta (lag is NULL)
+    val zMar = rows.find(r => r.getString(0) == "Z" && r.getInt(2) == 3).get
+    assert(!zMar.isNullAt(5) && zMar.isNullAt(6), s"delta after NULL must be NULL: $zMar")
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
