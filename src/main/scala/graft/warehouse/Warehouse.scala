@@ -1123,6 +1123,95 @@ object Warehouse {
        |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
        |ORDER BY m.department, m.gl_code, m.year, m.month""".stripMargin
 
+  /** fin_anomaly_mad: ROBUST monthly outliers per (department, GL) —
+    * |x − median| > 3·MAD — the screen that survives what breaks
+    * fin_anomaly_zscore: one genuine spike inflates σ enough to hide a
+    * second one (masking), while the median/MAD pair ignores up to half
+    * the series being wild. The classic robust-statistics companion
+    * (Hampel '74; Leys et al. '13 for the 3·MAD convention).
+    *
+    * Exactness: medians of integers are computed WITHOUT division —
+    * med2 = x_lo + x_hi (= 2·median; lo/hi the middle ranks, equal when
+    * n is odd, picked by integer shifts) via a whole-partition window
+    * sum of rank-masked values; dev2 = |2x − med2| stays integer;
+    * mad4 = dev2_lo + dev2_hi (= 4·MAD). The outlier test cross-
+    * multiplies: 2·dev2 > 3·mad4 — every comparison exact int64 (~10¹¹
+    * at gate scale, ~10¹³ at 100× — far inside 2⁶³), divisions only at
+    * the output boundary. Groups with MAD = 0 (over half the series
+    * identical) are skipped — the 0-MAD rule would flag every non-
+    * median month, which is a data-quality signal, not an anomaly.
+    *
+    * Scale: one fact shuffle (the monthly rollup, staged) + ONE
+    * exchange on the fine (department, GL) key shared by all four
+    * window passes (two rank sorts, two partition sums) — partitions
+    * are calendar-bounded month series, never data-scaled; no joins at
+    * all. Determinism: both rank orders tie-break on (year, month),
+    * unique within a group. */
+  def finAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    finAnomalyMadFrom(upserted(spark, dir))
+
+  private[graft] def finAnomalyMadFrom(up: DataFrame): DataFrame = {
+    val monthly = stageBarrier(up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc")))
+    val wp = Window.partitionBy(col("department"), col("gl_code"))
+    val w1 = wp.orderBy(col("tc"), col("year"), col("month"))
+    def pick(rank: Column): Column =
+      (rank === col("lo")).cast("long") + (rank === col("hi")).cast("long")
+    val withMed = monthly
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("lo", shiftright(col("n") + 1, 1))
+      .withColumn("hi", shiftright(col("n") + 2, 1))
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("med2", sum(col("tc") * pick(col("rn"))).over(wp))
+      .withColumn("dev2", abs(col("tc") * 2 - col("med2")))
+    val w2 = wp.orderBy(col("dev2"), col("year"), col("month"))
+    withMed
+      .withColumn("rn2", row_number().over(w2))
+      .withColumn("mad4", sum(col("dev2") * pick(col("rn2"))).over(wp))
+      .filter(col("mad4") > 0 && col("dev2") * 2 > col("mad4") * 3)
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        (col("med2").cast("double") / 200.0).as("group_median"),
+        (col("mad4").cast("double") / 400.0).as("group_mad"),
+        col("n").cast("int").as("n_months"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finAnomalyMadSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |rk AS (
+       |  SELECT *, count(*) OVER wp AS n,
+       |         (count(*) OVER wp + 1) // 2 AS lo,
+       |         (count(*) OVER wp + 2) // 2 AS hi,
+       |         row_number() OVER (wp ORDER BY tc, year, month) AS rn
+       |  FROM fin_monthly
+       |  WINDOW wp AS (PARTITION BY department, gl_code)),
+       |md AS (
+       |  SELECT *, sum(tc * (CASE WHEN rn = lo THEN 1 ELSE 0 END
+       |                      + CASE WHEN rn = hi THEN 1 ELSE 0 END)) OVER wp AS med2
+       |  FROM rk WINDOW wp AS (PARTITION BY department, gl_code)),
+       |dv AS (SELECT *, abs(tc * 2 - med2) AS dev2 FROM md),
+       |rk2 AS (
+       |  SELECT *, row_number() OVER (wp ORDER BY dev2, year, month) AS rn2
+       |  FROM dv WINDOW wp AS (PARTITION BY department, gl_code)),
+       |md2 AS (
+       |  SELECT *, sum(dev2 * (CASE WHEN rn2 = lo THEN 1 ELSE 0 END
+       |                        + CASE WHEN rn2 = hi THEN 1 ELSE 0 END)) OVER wp AS mad4
+       |  FROM rk2 WINDOW wp AS (PARTITION BY department, gl_code))
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(med2 AS DOUBLE)/200.0 AS group_median,
+       |       CAST(mad4 AS DOUBLE)/400.0 AS group_mad,
+       |       CAST(n AS INT) AS n_months
+       |FROM md2
+       |WHERE mad4 > 0 AND dev2 * 2 > mad4 * 3
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
   /** fin_ewma: exponentially-weighted moving average (α = 1/2) of the
     * monthly totals per (department, GL), restarted each year — the
     * smoothing view that weights recent months over old ones
@@ -1780,6 +1869,7 @@ object Warehouse {
     "fin_benford" -> (finBenford _),
     "fin_dept_correlation" -> (finDeptCorrelation _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
+    "fin_anomaly_mad" -> (finAnomalyMad _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
     "fin_header_detect" -> (finHeaderDetect _),
@@ -1816,6 +1906,7 @@ object Warehouse {
     "fin_benford" -> finBenfordSql,
     "fin_dept_correlation" -> finDeptCorrelationSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
+    "fin_anomaly_mad" -> finAnomalyMadSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
     "fin_header_detect" -> finHeaderDetectSql,

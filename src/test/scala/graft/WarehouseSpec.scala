@@ -315,6 +315,30 @@ class WarehouseSpec extends SparkSpec {
     assert(!zMar.isNullAt(5) && zMar.isNullAt(6), s"delta after NULL must be NULL: $zMar")
   }
 
+  test("fin_anomaly_mad: catches the masked spike the z-score misses; exact med/MAD") {
+    import spark.implicits._
+    // 10 gently-varying months + a small spike (2000) + a huge one (100000):
+    // the huge spike inflates sigma so the z-score screen misses the small
+    // one (masking); median/MAD flags both.
+    val up = ((1 to 10).map(m => ("M", "0001", 2024, m, 100.0 + 2 * (m - 1)))
+      ++ Seq(("M", "0001", 2024, 11, 2000.0), ("M", "0001", 2024, 12, 100000.0)))
+      .toDF("department", "gl_code", "year", "month", "amount")
+    val mad = Warehouse.finAnomalyMadFrom(up).collect()
+    assert(mad.map(_.getInt(3)).toSet == Set(11, 12), s"MAD flags both spikes: ${mad.toSeq}")
+    mad.foreach { r =>
+      assert(r.getDouble(5) == 111.0, s"median: $r")   // (110+112)/2
+      assert(r.getDouble(6) == 6.0, s"MAD: $r")        // (10+14)/2 /2... = 2400/400
+      assert(r.getInt(7) == 12)
+    }
+    val z = Warehouse.finAnomalyZscoreFrom(up).collect()
+    assert(z.map(_.getInt(3)).toSet == Set(12), s"z-score sees only the huge spike: ${z.toSeq}")
+    // constant-majority series (MAD = 0) is skipped entirely, not all-flagged
+    val const = ((1 to 9).map(m => ("C", "0002", 2024, m, 50.0))
+      ++ Seq(("C", "0002", 2024, 10, 9999.0)))
+      .toDF("department", "gl_code", "year", "month", "amount")
+    assert(Warehouse.finAnomalyMadFrom(const).collect().isEmpty)
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
