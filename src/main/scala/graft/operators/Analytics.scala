@@ -192,21 +192,117 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
-  val eventsFunnelSql: String =
-    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+  /** The funnel per-user derivation as a shared CTE chain — ONE Scala
+    * constant consumed by eventsFunnelSql AND eventsFunnelTimeSql (the
+    * ngramDupsCtes oracle-drift rule: two oracles that must agree on a
+    * sub-derivation share its SQL verbatim). */
+  private val funnelCtes: String =
+    """e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
       |v AS (SELECT user_id, min(ts_us) AS first_view_us FROM e WHERE event_type='view' GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts_us) AS first_click_us
       |      FROM e JOIN v ON e.user_id = v.user_id
       |      WHERE e.event_type='click' AND e.ts_us >= v.first_view_us GROUP BY e.user_id),
       |p AS (SELECT e.user_id, min(e.ts_us) AS first_purchase_us
       |      FROM e JOIN c ON e.user_id = c.user_id
-      |      WHERE e.event_type='purchase' AND e.ts_us >= c.first_click_us GROUP BY e.user_id)
-      |SELECT v.user_id, v.first_view_us, c.first_click_us, p.first_purchase_us,
-      |       CASE WHEN p.first_purchase_us IS NOT NULL THEN 3
-      |            WHEN c.first_click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
-      |FROM v LEFT JOIN c ON v.user_id = c.user_id
-      |       LEFT JOIN p ON v.user_id = p.user_id
-      |ORDER BY v.user_id""".stripMargin
+      |      WHERE e.event_type='purchase' AND e.ts_us >= c.first_click_us GROUP BY e.user_id),
+      |fun AS (SELECT v.user_id, v.first_view_us, c.first_click_us, p.first_purchase_us
+      |        FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |               LEFT JOIN p ON v.user_id = p.user_id)""".stripMargin
+
+  val eventsFunnelSql: String =
+    s"""WITH $funnelCtes
+      |SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+      |       CASE WHEN first_purchase_us IS NOT NULL THEN 3
+      |            WHEN first_click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM fun ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------- events_funnel_time
+  /** Time-to-convert panel over the funnel: per step transition
+    * (view→click, click→purchase, view→purchase) the source population,
+    * conversions, conversion rate, and the average/min/max seconds to
+    * convert — the latency read next to events_funnel's stage counts
+    * (is the drop-off because users leave, or because the step is
+    * slow?). Medians are deliberately NOT emitted: an exact per-
+    * transition median is a quantile over 3 corpus-scaled groups — the
+    * corpus_ccnet_buckets grouped-exact-ntile cascade is the shape to
+    * reach for if one is ever needed.
+    *
+    * Exactness: time deltas are exact integer µs; their sums accumulate
+    * in DECIMAL(38,0)/HUGEINT (a µs delta spans years ≈ 3·10¹³ — a
+    * bigint sum would overflow past ~3·10⁵ converting users at 100×);
+    * rate and avg are each ONE IEEE division of two identically-cast
+    * exact integers, min/max one division by the 10⁶ constant.
+    *
+    * Scale: consumes the registered funnel derivation (one user_id
+    * shuffle end to end) and adds ONE map-side-combined global
+    * aggregate collapsing to a single row — the 3-row panel explodes
+    * from structs driver-free (the event_attribution shape). */
+  def eventsFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val vc = col("first_click_us") - col("first_view_us")
+    val cp = col("first_purchase_us") - col("first_click_us")
+    val vp = col("first_purchase_us") - col("first_view_us")
+    val a = eventsFunnel(spark, dir).agg(
+      count(col("first_view_us")).as("n_v"),
+      count(col("first_click_us")).as("n_c"),
+      count(col("first_purchase_us")).as("n_p"),
+      sum(d(vc)).as("s_vc"), min(vc).as("mn_vc"), max(vc).as("mx_vc"),
+      sum(d(cp)).as("s_cp"), min(cp).as("mn_cp"), max(cp).as("mx_cp"),
+      sum(d(vp)).as("s_vp"), min(vp).as("mn_vp"), max(vp).as("mx_vp"))
+    def leg(step: String, nSrc: Column, nConv: Column,
+            s: Column, mn: Column, mx: Column): Column =
+      struct(lit(step).as("step"), nSrc.as("n_source"), nConv.as("n_converted"),
+        s.as("s"), mn.as("mn"), mx.as("mx"))
+    a.select(explode(array(
+        leg("1_view_to_click", col("n_v"), col("n_c"),
+          col("s_vc"), col("mn_vc"), col("mx_vc")),
+        leg("2_click_to_purchase", col("n_c"), col("n_p"),
+          col("s_cp"), col("mn_cp"), col("mx_cp")),
+        leg("3_view_to_purchase", col("n_v"), col("n_p"),
+          col("s_vp"), col("mn_vp"), col("mx_vp")))).as("r"))
+      .select(col("r.step").as("step"), col("r.n_source").as("n_source"),
+        col("r.n_converted").as("n_converted"),
+        when(col("r.n_source") === 0, lit(null).cast("double"))
+          .otherwise(round(col("r.n_converted").cast("double")
+            / col("r.n_source").cast("double"), 6) + 0.0).as("conv_rate"),
+        (round(col("r.s").cast("double")
+          / (col("r.n_converted") * lit(1000000L)).cast("double"), 6) + 0.0)
+          .as("avg_s"),
+        (round(col("r.mn").cast("double") / 1000000.0, 6) + 0.0).as("min_s"),
+        (round(col("r.mx").cast("double") / 1000000.0, 6) + 0.0).as("max_s"))
+      .orderBy(col("step"))
+  }
+
+  val eventsFunnelTimeSql: String =
+    s"""WITH $funnelCtes,
+      |a AS (
+      |  SELECT count(first_view_us) AS n_v, count(first_click_us) AS n_c,
+      |         count(first_purchase_us) AS n_p,
+      |         sum(CAST(first_click_us - first_view_us AS HUGEINT)) AS s_vc,
+      |         min(first_click_us - first_view_us) AS mn_vc,
+      |         max(first_click_us - first_view_us) AS mx_vc,
+      |         sum(CAST(first_purchase_us - first_click_us AS HUGEINT)) AS s_cp,
+      |         min(first_purchase_us - first_click_us) AS mn_cp,
+      |         max(first_purchase_us - first_click_us) AS mx_cp,
+      |         sum(CAST(first_purchase_us - first_view_us AS HUGEINT)) AS s_vp,
+      |         min(first_purchase_us - first_view_us) AS mn_vp,
+      |         max(first_purchase_us - first_view_us) AS mx_vp
+      |  FROM fun),
+      |u AS (
+      |  SELECT '1_view_to_click' AS step, n_v AS n_source, n_c AS n_converted,
+      |         s_vc AS s, mn_vc AS mn, mx_vc AS mx FROM a
+      |  UNION ALL
+      |  SELECT '2_click_to_purchase', n_c, n_p, s_cp, mn_cp, mx_cp FROM a
+      |  UNION ALL
+      |  SELECT '3_view_to_purchase', n_v, n_p, s_vp, mn_vp, mx_vp FROM a)
+      |SELECT step, n_source, n_converted,
+      |  CASE WHEN n_source = 0 THEN NULL
+      |       ELSE round(CAST(n_converted AS DOUBLE)/CAST(n_source AS DOUBLE), 6)
+      |            + 0.0 END AS conv_rate,
+      |  round(CAST(s AS DOUBLE)/CAST(n_converted * 1000000 AS DOUBLE), 6) + 0.0 AS avg_s,
+      |  round(CAST(mn AS DOUBLE)/1000000.0, 6) + 0.0 AS min_s,
+      |  round(CAST(mx AS DOUBLE)/1000000.0, 6) + 0.0 AS max_s
+      |FROM u ORDER BY step""".stripMargin
 
   // ------------------------------------------------------- retention_cohort
   /** Cohort retention: customers grouped by first-order month, distinct
@@ -1380,6 +1476,7 @@ object Analytics {
     "rank_stats_scalable" -> (rankStatsScalable _),
     "rank_stats_eqdepth" -> (rankStatsEqdepth _),
     "events_funnel" -> (eventsFunnel _),
+    "events_funnel_time" -> (eventsFunnelTime _),
     "retention_cohort" -> (retentionCohort _),
     "fin_sparse_fill" -> (finSparseFill _),
     "fin_interpolate" -> (finInterpolate _),
@@ -1411,6 +1508,7 @@ object Analytics {
     "rank_stats_scalable" -> rankStatsSql,
     "rank_stats_eqdepth" -> rankStatsSql,
     "events_funnel" -> eventsFunnelSql,
+    "events_funnel_time" -> eventsFunnelTimeSql,
     "retention_cohort" -> retentionCohortSql,
     "fin_sparse_fill" -> finSparseFillSql,
     "fin_interpolate" -> finInterpolateSql,

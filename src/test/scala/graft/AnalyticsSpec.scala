@@ -322,4 +322,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("dau"), r.getAs[Long]("mau30")))
     dau.foreach { case (d, m) => assert(m >= d && d >= 1) }
   }
+
+  test("events_funnel_time agrees with the registered funnel's stage counts") {
+    import org.apache.spark.sql.functions._
+    val funnel = SparkEntry.queries("events_funnel")(spark, sf).collect()
+    val byStage = funnel.groupBy(_.getInt(4)).view.mapValues(_.length.toLong).toMap
+    val nV = funnel.length.toLong
+    val nC = byStage.getOrElse(2, 0L) + byStage.getOrElse(3, 0L)
+    val nP = byStage.getOrElse(3, 0L)
+    val t = SparkEntry.queries("events_funnel_time")(spark, sf).collect()
+    assert(t.length == 3)
+    val m = t.map(r => r.getString(0) -> r).toMap
+    assert(m("1_view_to_click").getLong(1) == nV && m("1_view_to_click").getLong(2) == nC)
+    assert(m("2_click_to_purchase").getLong(1) == nC && m("2_click_to_purchase").getLong(2) == nP)
+    assert(m("3_view_to_purchase").getLong(1) == nV && m("3_view_to_purchase").getLong(2) == nP)
+    t.filter(_.getLong(2) > 0).foreach { r =>
+      val (rate, avg, mn, mx) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(rate > 0.0 && rate <= 1.0, s"rate: $r")
+      assert(mn >= 0.0 && mn <= avg + 1e-6 && avg <= mx + 1e-6, s"min<=avg<=max: $r")
+    }
+    // the composed leg dominates its parts: view->purchase spans both steps
+    assert(m("3_view_to_purchase").getDouble(5) >= m("1_view_to_click").getDouble(5))
+  }
 }
