@@ -1139,8 +1139,61 @@ object Dedup {
        |ORDER BY ag.cell""".stripMargin
   }
 
+  // ---------------------------------------------------- dedup_cross_source
+  /** Near-dup FLOW between sources: for every unordered source pair the
+    * count of ≥0.9-Jaccard near-dup pairs with one doc in each (the
+    * diagonal = within-source duplication) and its share of all near-dup
+    * pairs — the "which sources mirror each other" attribution a corpus
+    * owner reads before deciding what to crawl less of (per-source
+    * health is corpus_source_report; THIS is the pairwise cross-source
+    * structure; corpus_ngram_novelty attributes at span level).
+    *
+    * Scale: the pair list is the registered banded candidate set (never
+    * all-pairs); two doc_id joins attach sources (unhinted — documents
+    * scales with the corpus, AQE adjudicates), then ONE map-side-
+    * combined aggregate to ≤|sources|² rows, STAGED for its two
+    * consumers (output + the 1-row total, trade_flow_matrix's shape).
+    * The share is one division of exact integers. Mirror embeds the
+    * registered dedup_ngram_jaccard oracle verbatim as a subquery (the
+    * rrf drift rule: the flow cannot disagree with the pair list it
+    * attributes). */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val agg = stageBarrier(
+      dedupNgramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs")))
+    val tot = agg.agg(sum(col("n_pairs")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (round(col("n_pairs").cast("double") / col("tot").cast("double"), 6) + 0.0)
+          .as("share"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH jp AS (SELECT * FROM ($dedupNgramJaccardSql) j WHERE jaccard >= 0.9),
+      |pr AS (
+      |  SELECT least(sa.source, sb.source) AS source_a,
+      |         greatest(sa.source, sb.source) AS source_b
+      |  FROM jp
+      |  JOIN documents sa ON jp.id_a = sa.doc_id
+      |  JOIN documents sb ON jp.id_b = sb.doc_id),
+      |ag AS (SELECT source_a, source_b, count(*) AS n_pairs
+      |       FROM pr GROUP BY source_a, source_b),
+      |tt AS (SELECT sum(n_pairs) AS tot FROM ag)
+      |SELECT source_a, source_b, n_pairs,
+      |       round(CAST(n_pairs AS DOUBLE)/CAST(tot AS DOUBLE), 6) + 0.0 AS share
+      |FROM ag CROSS JOIN tt
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_band_eval" -> (dedupBandEval _),
@@ -1157,6 +1210,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_band_eval" -> dedupBandEvalSql,

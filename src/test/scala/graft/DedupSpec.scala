@@ -306,6 +306,18 @@ class DedupSpec extends SparkSpec {
     assert(rep.exists(_.getDouble(4) == 1.0), "replica cells should show max_cos 1.0")
   }
 
+  test("dedup_cross_source: pair conservation vs the registered jaccard list, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("dedup_cross_source")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDups = graft.operators.Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9).count()
+    assert(rows.map(_.getLong(2)).sum == nDups, "every near-dup pair attributed once")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 1e-4, "shares sum to 1")
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1), s"unordered key: $r"))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
   test("dedup_clusters_star labels match min-label dedup_clusters exactly") {
     val prop = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
