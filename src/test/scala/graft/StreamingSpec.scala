@@ -315,6 +315,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream snapshots reconstruct events_funnel exactly on scrambled arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvt
+    val evts = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .collect().map(r => FunnelEvt(r.getLong(0), r.getLong(1), r.getString(2)))
+    // LATEST events arrive first: every earlier view/click re-solves the
+    // cascade — the adversarial order for the anchor-moving path
+    val scrambled = evts.sortBy(e => (-e.tsUs, e.userId))
+    val stream = MemoryStream[FunnelEvt]
+    val q = FunnelStream.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnelupd")
+      .outputMode("append").start()
+    try {
+      scrambled.grouped(math.max(1, scrambled.length / 5 + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // the live dashboard fold: last (max-seq) snapshot per user
+      val wseq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("upd_seq").desc)
+      val got = spark.table("funnelupd")
+        .withColumn("rn", row_number().over(wseq)).filter(col("rn") === 1)
+        .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+          col("first_purchase_us"), col("stage"))
+        .orderBy(col("user_id")).collect()
+      val want = SparkEntry.queries("events_funnel")(spark, sf).collect()
+      assert(got.length == want.length, s"${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
   test("stream_late_audit_jitter spreads lateness across buckets (CASE edges live)") {
     val rows = SparkEntry.queries("stream_late_audit_jitter")(spark, sf).collect()
     assert(rows.length >= 4, s"jitter should populate >=4 buckets: ${rows.mkString(", ")}")
