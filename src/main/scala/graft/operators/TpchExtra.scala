@@ -491,7 +491,81 @@ object TpchExtra {
       |FROM cells c JOIN tt t USING (supp_nation)
       |ORDER BY supp_nation, cust_nation""".stripMargin
 
+  // ---------------------------------------------------- discount_elasticity
+  /** Discount ELASTICITY per brand: the Pearson correlation between a
+    * line's discount (integer basis points) and its quantity across all
+    * of a brand's order lines — "does discounting actually move volume
+    * for this brand", the pricing-analytics read next to q14's promo
+    * revenue share (fin_dept_correlation's formula on the sales fact;
+    * positive r = deeper discounts co-occur with bigger lines).
+    *
+    * Exactness: the fin_dept_correlation discipline verbatim — all five
+    * moment sums over exact integers (bps ≤ 10⁴, qty ≤ 10²: products
+    * fit DECIMAL(38,0)/HUGEINT to ~10³² lines), each factor ONE cast of
+    * an exact integer to double, sqrt/division single IEEE ops, NULL
+    * where either series is constant; the averages are each one
+    * division of exact integers.
+    *
+    * Scale: lineitem⋈part on partkey (unhinted — part scales with the
+    * fact, AQE adjudicates), then ONE map-side-combined aggregate onto
+    * ≤|brands| rows; no windows, no self-joins. */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val x = round(col("l_discount") * 10000).cast("long")
+    val y = round(col("l_quantity")).cast("long")
+    val m = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), x.as("x"), y.as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+    val (n, sx, sy) = (d(col("n")), d(col("sx")), d(col("sy")))
+    val vx = n * col("sxx") - sx * sx
+    val vy = n * col("syy") - sy * sy
+    m.select(col("p_brand"), col("n").as("n_lines"),
+        (round(col("sx").cast("double") / col("n").cast("double"), 4) + 0.0)
+          .as("avg_disc_bps"),
+        (round(col("sy").cast("double") / col("n").cast("double"), 4) + 0.0)
+          .as("avg_qty"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(round((n * col("sxy") - sx * sy).cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6) + 0.0)
+          .as("pearson_r"))
+      .orderBy(col("p_brand"))
+  }
+
+  val discountElasticitySql: String =
+    """WITH m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |         sum(CAST(round(l_discount*10000) AS BIGINT)) AS sx,
+      |         sum(CAST(round(l_quantity) AS BIGINT)) AS sy,
+      |         sum(CAST(round(l_discount*10000) AS HUGEINT)
+      |             * CAST(round(l_quantity) AS HUGEINT)) AS sxy,
+      |         sum(CAST(round(l_discount*10000) AS HUGEINT)
+      |             * CAST(round(l_discount*10000) AS HUGEINT)) AS sxx,
+      |         sum(CAST(round(l_quantity) AS HUGEINT)
+      |             * CAST(round(l_quantity) AS HUGEINT)) AS syy
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand)
+      |SELECT p_brand, n AS n_lines,
+      |       round(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE), 4) + 0.0 AS avg_disc_bps,
+      |       round(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE), 4) + 0.0 AS avg_qty,
+      |       CASE WHEN CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx <= 0
+      |              OR CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy <= 0
+      |            THEN NULL
+      |            ELSE round(
+      |              CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+      |              / (sqrt(CAST(CAST(n AS HUGEINT)*sxx
+      |                           - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+      |                 * sqrt(CAST(CAST(n AS HUGEINT)*syy
+      |                             - CAST(sy AS HUGEINT)*sy AS DOUBLE))), 6) + 0.0
+      |       END AS pearson_r
+      |FROM m ORDER BY p_brand""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "discount_elasticity" -> (discountElasticity _),
     "trade_flow_matrix" -> (tradeFlowMatrix _),
     "orders_backlog" -> (ordersBacklog _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
@@ -506,6 +580,7 @@ object TpchExtra {
   )
 
   def oracles: Map[String, String] = Map(
+    "discount_elasticity" -> discountElasticitySql,
     "trade_flow_matrix" -> tradeFlowMatrixSql,
     "orders_backlog" -> ordersBacklogSql,
     "grouping_sets_agg" -> groupingSetsAggSql,

@@ -156,6 +156,23 @@ class TpchExtraSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == qualifying)
   }
 
+  test("discount_elasticity: line conservation, r in [-1,1], stats in range") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("discount_elasticity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nJoined = graft.sources.Tables.lineitem(spark, sf).join(
+      graft.sources.Tables.part(spark, sf),
+      col("l_partkey") === col("p_partkey")).count()
+    assert(rows.map(_.getLong(1)).sum == nJoined, "every joined line counted once")
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, s"r out of range: $r")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 10000, s"bps: $r")
+      assert(r.getDouble(3) > 0, s"qty: $r")
+    }
+  }
+
   test("orders_backlog: conservation (opened = orders), never negative, closes out") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("orders_backlog")(spark, sf).collect()
