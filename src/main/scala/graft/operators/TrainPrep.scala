@@ -1108,7 +1108,63 @@ object TrainPrep {
       |             / count(*), 6) + 0.0 AS novelty
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- corpus_length_hist
+  /** Token-length DISTRIBUTION per language: docs bucketed by
+    * floor(log2(bpe_tokens)) with per-bucket doc count, within-language
+    * share, and token mass — the length profile a pretraining pipeline
+    * reads before choosing its packing cap (text_pack_tokens' 2048) and
+    * for spotting truncation cliffs; corpus_source_report publishes
+    * per-source TOTALS, this publishes the SHAPE.
+    *
+    * Exactness: the bucket is integer-exact in both engines WITHOUT
+    * evaluating a transcendental — floor(log2(n)) = len(binary(n)) − 1
+    * (Spark `bin()`, DuckDB `format('{:b}')`), the bucket floor is an
+    * integer shift, the share one division of exact integers; empty
+    * docs clamp to n = 1 (bucket 0).
+    *
+    * Scale: map-only tokenize + ONE map-side-combined (lang, bucket)
+    * aggregate (≤|langs|·~20 rows), STAGED for its two consumers
+    * (output + the per-lang totals rollup — the trade_flow_matrix
+    * aggregate-over-aggregate shape, broadcast back). */
+  def corpusLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val n = greatest(Text.nBpeTokens(col("text")).cast("long"), lit(1L))
+    val agg = stageBarrier(Tables.documents(spark, dir)
+      .select(col("lang"), n.as("n_tok"))
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens")))
+    val tot = agg.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_docs"))
+    agg.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)").as("bucket_lo"),
+        col("n_docs"),
+        (round(col("n_docs").cast("double") / col("lang_docs").cast("double"), 6)
+          + 0.0).as("share"),
+        col("sum_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val corpusLengthHistSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1)
+      |      AS n_tok
+      |  FROM documents),
+      |k AS (SELECT lang, n_tok,
+      |        CAST(length(format('{:b}', n_tok)) - 1 AS INT) AS bucket FROM b),
+      |ag AS (SELECT lang, bucket, count(*) AS n_docs,
+      |        CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |       FROM k GROUP BY lang, bucket),
+      |tt AS (SELECT lang, sum(n_docs) AS lang_docs FROM ag GROUP BY lang)
+      |SELECT ag.lang, bucket, CAST(1 AS BIGINT) << bucket AS bucket_lo, n_docs,
+      |       round(CAST(n_docs AS DOUBLE)/CAST(lang_docs AS DOUBLE), 6) + 0.0 AS share,
+      |       sum_tokens
+      |FROM ag JOIN tt ON ag.lang = tt.lang
+      |ORDER BY ag.lang, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_length_hist" -> (corpusLengthHist _),
     "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
     "corpus_source_report" -> (corpusSourceReport _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
@@ -1136,6 +1192,7 @@ object TrainPrep {
   def oracles: Map[String, String] = Map(
     "corpus_pipeline_funnel" -> corpusPipelineFunnelSql,
     "corpus_source_report" -> corpusSourceReportSql,
+    "corpus_length_hist" -> corpusLengthHistSql,
     "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,

@@ -345,6 +345,24 @@ class TrainPrepSpec extends SparkSpec {
       s"target-like ${got(1L)} must outscore off-target ${got(3L)}")
   }
 
+  test("corpus_length_hist: doc/token conservation, shares sum to 1 per lang, buckets exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("corpus_length_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(3)).sum == docs.count(), "every doc in one bucket")
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) <= 1e-4,
+        s"shares sum per lang: ${g.head.getString(0)}")
+    }
+    rows.foreach { r =>
+      val (b, lo, nd, st) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(lo == (1L << b), s"bucket floor: $r")
+      // token mass consistent with the bucket bounds
+      assert(st >= nd * lo && st < nd * (lo << 1), s"mass outside bucket: $r")
+    }
+  }
+
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
     val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
