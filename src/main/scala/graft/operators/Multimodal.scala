@@ -266,7 +266,60 @@ object Multimodal {
        |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ mm_size_hist
+  /** Per-modality payload-SIZE profile: media rows bucketed by
+    * floor(log2(bytes)) with per-bucket count, within-modality share,
+    * and byte mass — the storage/shard-sizing read a media lake runs
+    * before choosing mm_shard_pack's capacity (corpus_length_hist's
+    * shape on binary payloads; the payload itself never decodes — only
+    * octet_length leaves the scan).
+    *
+    * Exactness: the corpus_length_hist discipline — bucket =
+    * len(binary(n)) − 1 (no transcendental log), floor an integer
+    * shift, share one division of exact integers; empty payloads clamp
+    * to 1 byte (bucket 0).
+    *
+    * Scale: map-only length extraction + ONE map-side-combined
+    * (kind, bucket) aggregate (≤3·~30 rows), staged for its two
+    * consumers (output + the per-kind rollup, broadcast back). */
+  def mmSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val n = greatest(octet_length(col("payload")).cast("long"), lit(1L))
+    val agg = stageBarrier(mediaTable(spark, dir)
+      .select(col("kind"), n.as("n_bytes"))
+      .withColumn("bucket", (length(bin(col("n_bytes"))) - 1).cast("int"))
+      .groupBy(col("kind"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_bytes")).as("sum_bytes")))
+    val tot = agg.groupBy(col("kind")).agg(sum(col("n_rows")).as("kind_rows"))
+    agg.join(broadcast(tot), Seq("kind"))
+      .select(col("kind"), col("bucket"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)").as("bucket_lo"),
+        col("n_rows"),
+        (round(col("n_rows").cast("double") / col("kind_rows").cast("double"), 6)
+          + 0.0).as("share"),
+        col("sum_bytes"))
+      .orderBy(col("kind"), col("bucket"))
+  }
+
+  val mmSizeHistSql: String =
+    """WITH b AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |         greatest(strlen(text), 1) AS n_bytes
+      |  FROM documents),
+      |k AS (SELECT kind, n_bytes,
+      |        CAST(length(format('{:b}', n_bytes)) - 1 AS INT) AS bucket FROM b),
+      |ag AS (SELECT kind, bucket, count(*) AS n_rows,
+      |        CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+      |       FROM k GROUP BY kind, bucket),
+      |tt AS (SELECT kind, sum(n_rows) AS kind_rows FROM ag GROUP BY kind)
+      |SELECT ag.kind, bucket, CAST(1 AS BIGINT) << bucket AS bucket_lo, n_rows,
+      |       round(CAST(n_rows AS DOUBLE)/CAST(kind_rows AS DOUBLE), 6) + 0.0 AS share,
+      |       sum_bytes
+      |FROM ag JOIN tt ON ag.kind = tt.kind
+      |ORDER BY ag.kind, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_size_hist" -> (mmSizeHist _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_metadata" -> (mmMetadata _),
@@ -275,6 +328,7 @@ object Multimodal {
     "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
+    "mm_size_hist" -> mmSizeHistSql,
     "mm_near_dup" -> mmNearDupSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_metadata" -> mmMetadataSql,

@@ -87,4 +87,23 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(rows.length <= 8)
   }
+
+  test("mm_size_hist: row/byte conservation, per-kind shares sum to 1, buckets exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("mm_size_hist")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    val media = Multimodal.mediaTable(spark, sf)
+    assert(rows.map(_.getLong(3)).sum == media.count(), "every payload in one bucket")
+    val totalBytes = media
+      .agg(sum(greatest(octet_length(col("payload")).cast("long"), lit(1L))))
+      .first().getLong(0)
+    assert(rows.map(_.getLong(5)).sum == totalBytes, "byte mass conserved")
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) <= 1e-4, "shares per kind")
+    }
+    rows.foreach { r =>
+      val (b, lo, nr, sb) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(lo == (1L << b) && sb >= nr * lo && sb < nr * (lo << 1), s"bucket: $r")
+    }
+  }
 }
