@@ -362,29 +362,87 @@ object Ann {
     }
   }
 
+  /** The IVF top-K search given a built index — shared by the
+    * registered query (nprobe = IvfProbe) and ann_probe_curve's
+    * depth sweep, so the curve never rebuilds the index per leg. */
+  private def ivfTopkWithIdx(spark: SparkSession, e: DataFrame, idx: IvfIndex,
+      nprobe: Int): DataFrame = {
+    val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val session = spark
+    import session.implicits._
+    val probes = driverProbes(idx, qRows, nprobe).toDF("q_id", "qv", "cell")
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probes).join(idx.celled, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val n = e.count()
     buildIvfIndex(e, n) match {
       case None => annBruteTopk(spark, dir)
-      case Some(idx) =>
-        val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
-          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-        val session = spark
-        import session.implicits._
-        val probes = driverProbes(idx, qRows).toDF("q_id", "qv", "cell")
-
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        broadcast(probes).join(idx.celled, Seq("cell"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            Vectors.cosine(col("qv"), col("v")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("q_id"), col("rank"), col("n_id"),
-            (round(col("cos"), 4) + 0.0).as("cos_sim"))
-          .orderBy(col("q_id"), col("rank"))
+      case Some(idx) => ivfTopkWithIdx(spark, e, idx, IvfProbe)
     }
+  }
+
+  // ----------------------------------------------------------- ann_probe_curve
+  /** The nprobe TUNING CURVE: recall@10 of the IVF search at nprobe ∈
+    * {1, 2, 4, 8} against the brute-force truth — the knob every IVF
+    * deployment turns (more probed cells = more candidates scanned =
+    * higher recall at linearly more read work), published as a curve so
+    * the latency/recall trade is a lookup, not a guess.
+    * ann_recall_report compares METHODS at fixed settings; this sweeps
+    * the setting of one method. The nprobe=4 point is by construction
+    * the registered ann_ivf_topk's recall.
+    *
+    * Scale: the index builds ONCE (the expensive part — bounded driver
+    * state, O(√n·dim)); each depth re-probes the SAME celled corpus
+    * with a wider broadcast probe list, so the sweep costs ~Σ nprobe/
+    * nlist corpus fractions, not 4 index builds. Recall = hits/(|Q|·K)
+    * — exact integer counts, one boundary division. Mirror embeds the
+    * brute oracle + the parameterized IVF mirror at each depth (the
+    * recall_report drift rule). */
+  def annProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val truth = annBruteTopk(spark, dir).select(col("q_id"), col("n_id"))
+    val nPairs = lit(NQueries * K)
+    val legs = buildIvfIndex(e, e.count()) match {
+      case None => ProbeDepths.map(p => annBruteTopk(spark, dir)
+        .select(col("q_id"), col("n_id")).limit(0)
+        .select(lit(p).as("nprobe"), lit(0L).as("hits"), lit(0.0).as("recall")))
+      case Some(idx) => ProbeDepths.map { p =>
+        ivfTopkWithIdx(spark, e, idx, p).select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(p).as("nprobe"), col("hits"),
+            (round(col("hits").cast("double") / nPairs, 4) + 0.0).as("recall"))
+      }
+    }
+    legs.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  private val ProbeDepths = Seq(1, 2, 4, 8)
+
+  lazy val annProbeCurveSql: String = {
+    def leg(p: Int): String =
+      s"""SELECT $p AS nprobe, count(*) AS hits,
+         |       CAST(round(CAST(count(*) AS DOUBLE) / ${NQueries * K}, 4) AS DOUBLE)
+         |         + 0.0 AS recall
+         |FROM (SELECT * FROM (${ivfTopkSqlAt(p)}) p${p}_t) m
+         |WHERE EXISTS (SELECT 1 FROM truth t
+         |              WHERE t.q_id = m.q_id AND t.n_id = m.n_id)""".stripMargin
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($annBruteTopkSql) bt)
+       |${ProbeDepths.map(leg).mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe""".stripMargin
   }
 
   // ----------------------------------------------------------- ann_ivf_batch
@@ -1104,7 +1162,10 @@ object Ann {
     * cosine re-rank. Assignment dots use the RAW vector against unit
     * centroids (NearestCell's contract); every fold is 0.0-seeded
     * ascending; dim pinned at 64 like the LSH plane literals. */
-  lazy val annIvfTopkSql: String =
+  /** The IVF top-K mirror at an arbitrary probe depth — ONE builder for
+    * the registered query (IvfProbe) and every ann_probe_curve leg, so
+    * the depths cannot drift from the registered semantics. */
+  private def ivfTopkSqlAt(nprobe: Int): String =
     s"""WITH $ivfIndexCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |probes AS (  -- exhaustive probe ranking: raw query dot vs every flat centroid
@@ -1114,7 +1175,7 @@ object Ann {
        |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
        |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
        |    FROM q CROSS JOIN flatcells f)
-       |  WHERE pr <= $IvfProbe),
+       |  WHERE pr <= $nprobe),
        |rr AS (
        |  SELECT p.q_id, c.vec_id AS n_id, $cosFoldSql AS cos
        |  FROM probes p JOIN celled c USING (cell)
@@ -1125,6 +1186,8 @@ object Ann {
        |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
        |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  lazy val annIvfTopkSql: String = ivfTopkSqlAt(IvfProbe)
 
   /** ann_ivf_batch's mirror: same index CTEs, but the probe ranking is
     * the TopCells kernel's two-step descent — top-$BatchProbeCoarse
@@ -2388,6 +2451,7 @@ object Ann {
     "embed_abtt_project" -> (embedAbttProject _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
+    "ann_probe_curve" -> (annProbeCurve _),
     "ann_rrf_fusion" -> (annRrfFusion _),
     "embed_outliers" -> (embedOutliers _),
     "embed_cluster_stats" -> (embedClusterStats _),
@@ -2412,6 +2476,7 @@ object Ann {
     "embed_abtt_project" -> embedAbttProjectSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
+    "ann_probe_curve" -> annProbeCurveSql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_cluster_stats" -> embedClusterStatsSql,

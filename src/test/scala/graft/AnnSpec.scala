@@ -475,4 +475,23 @@ class AnnSpec extends SparkSpec {
     // a corpus of near-cluster vectors must produce SOME mutual edges
     assert(rows.count(_.getBoolean(4)) > 0, "no mutual edges at all")
   }
+
+  test("ann_probe_curve: monotone recall, nprobe=4 matches the registered IVF recall") {
+    import org.apache.spark.sql.functions._
+    val curve = SparkEntry.queries("ann_probe_curve")(spark, sf).collect()
+    assert(curve.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val rec = curve.map(_.getDouble(2))
+    rec.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"recall must not drop with more probes: ${rec.toSeq}")
+    }
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    // the 4-probe point IS ann_ivf_topk's recall vs brute
+    val truth = SparkEntry.queries("ann_brute_topk")(spark, sf)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .select(col("q_id"), col("n_id")).collect()
+      .count(r => truth((r.getLong(0), r.getLong(1))))
+    assert(curve.find(_.getInt(0) == 4).get.getLong(1) == ivfHits.toLong)
+  }
 }
