@@ -878,6 +878,63 @@ object Warehouse {
       .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
   }
 
+  // --------------------------------------------------------- fin_qoq_trend
+  /** fin_qoq_trend: quarter-over-quarter trend per (department, GL) —
+    * completes the trend family's three standard grains (fin_trend_mom
+    * = MoM, fin_yoy_trend = YoY, this = QoQ, the grain a board deck
+    * reads). Quarter = (month−1) DIV 3 + 1, an integer map; the lag is
+    * CONSECUTIVE-quarter-guarded like yoy's year guard (a gap quarter
+    * yields NULL prev, never a misleading delta across missing
+    * periods); qoq_pct one division with a nullif(0) guard.
+    *
+    * Scale: one map-side-combined quarterly rollup (coarser than the
+    * monthly one — ≤¼ the rows) + ONE window pass on the fine
+    * (department, GL) key over calendar-bounded quarter series. */
+  def finQoqTrend(spark: SparkSession, dir: String): DataFrame =
+    finQoqTrendFrom(upserted(spark, dir))
+
+  private def finQoqTrendFrom(up: DataFrame): DataFrame = {
+    val quarterly = up
+      .groupBy(col("department"), col("gl_code"), col("year"),
+        (((col("month") - 1) / lit(3)).cast("int") + 1).as("quarter"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+    val qidx = col("year") * 4 + col("quarter")
+    val w = Window.partitionBy(col("department"), col("gl_code"))
+      .orderBy(col("year"), col("quarter"))
+    quarterly
+      .withColumn("prev_tc",
+        when(lag(qidx, 1).over(w) === qidx - 1, lag(col("tc"), 1).over(w)))
+      .select(col("department"), col("gl_code"), col("year"), col("quarter"),
+        dollars(col("tc")).as("total"),
+        dollars(col("prev_tc")).as("prev_quarter_total"),
+        dollars(col("tc") - col("prev_tc")).as("qoq_delta"),
+        (round((col("tc") - col("prev_tc")).cast("double") /
+          nullif(col("prev_tc"), lit(0L)).cast("double"), 6) + 0.0).as("qoq_pct"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("quarter"))
+  }
+
+  val finQoqTrendSql: String =
+    s"""WITH $upsertCtes,
+       |fin_quarterly AS (
+       |  SELECT department, gl_code, year,
+       |         CAST((month - 1) // 3 AS INT) + 1 AS quarter,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, quarter),
+       |fin_qlag AS (
+       |  SELECT department, gl_code, year, quarter, tc,
+       |         CASE WHEN lag(year * 4 + quarter) OVER w = year * 4 + quarter - 1
+       |              THEN lag(tc) OVER w END AS prev_tc
+       |  FROM fin_quarterly
+       |  WINDOW w AS (PARTITION BY department, gl_code ORDER BY year, quarter))
+       |SELECT department, gl_code, year, quarter,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(prev_tc AS DOUBLE)/100.0 AS prev_quarter_total,
+       |       CAST(tc - prev_tc AS DOUBLE)/100.0 AS qoq_delta,
+       |       round(CAST(tc - prev_tc AS DOUBLE)
+       |             / CAST(nullif(prev_tc, 0) AS DOUBLE), 6) + 0.0 AS qoq_pct
+       |FROM fin_qlag
+       |ORDER BY department, gl_code, year, quarter""".stripMargin
+
   val finYoyTrendSql: String =
     s"""WITH $upsertCtes,
        |fin_monthly AS (
@@ -1860,6 +1917,7 @@ object Warehouse {
     "fin_common_size_staged" -> (finCommonSizeStaged _),
     "fin_trend_mom_staged" -> (finTrendMomStaged _),
     "fin_yoy_trend" -> (finYoyTrend _),
+    "fin_qoq_trend" -> (finQoqTrend _),
     "fin_forecast_linear" -> (finForecastLinear _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
@@ -1897,6 +1955,7 @@ object Warehouse {
     "fin_common_size_staged" -> finCommonSizeSql,
     "fin_trend_mom_staged" -> finTrendMomSql,
     "fin_yoy_trend" -> finYoyTrendSql,
+    "fin_qoq_trend" -> finQoqTrendSql,
     "fin_forecast_linear" -> finForecastLinearSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,

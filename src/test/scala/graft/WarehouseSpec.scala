@@ -315,6 +315,31 @@ class WarehouseSpec extends SparkSpec {
     assert(!zMar.isNullAt(5) && zMar.isNullAt(6), s"delta after NULL must be NULL: $zMar")
   }
 
+  test("fin_qoq_trend: quarters aggregate the monthly rollup, gap quarters yield NULL prev") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("fin_qoq_trend")(spark, sf).collect()
+    val m = SparkEntry.queries("fin_trend_mom")(spark, sf).collect()
+    assert(q.nonEmpty)
+    // quarterly totals = sum of the monthly report's totals per quarter
+    val qFromM = m.groupBy(r => (r.getString(0), r.getString(1), r.getInt(2),
+        (r.getInt(3) - 1) / 3 + 1))
+      .view.mapValues(g => g.map(r => math.round(r.getDouble(4) * 100)).sum).toMap
+    q.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      assert(math.round(r.getDouble(4) * 100) == qFromM(k), s"quarter total drift: $r")
+    }
+    assert(q.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .distinct.length == q.length)
+    // consecutive-quarter guard: prev only when the previous quarter exists
+    val keys = q.map(r => ((r.getString(0), r.getString(1)),
+      r.getInt(2) * 4 + r.getInt(3))).toSet
+    q.foreach { r =>
+      val prevQ = r.getInt(2) * 4 + r.getInt(3) - 1
+      val hasPrev = keys(((r.getString(0), r.getString(1)), prevQ))
+      assert(!r.isNullAt(5) == hasPrev, s"prev-quarter guard: $r")
+    }
+  }
+
   test("fin_anomaly_mad: catches the masked spike the z-score misses; exact med/MAD") {
     import spark.implicits._
     // 10 gently-varying months + a small spike (2000) + a huge one (100000):
