@@ -1163,7 +1163,68 @@ object TrainPrep {
       |FROM ag JOIN tt ON ag.lang = tt.lang
       |ORDER BY ag.lang, bucket""".stripMargin
 
+  // ---------------------------------------------------- corpus_vocab_growth
+  /** Vocabulary GROWTH curve (Heaps' law read): the corpus cut into 10
+    * doc_id-order buckets, per bucket the doc count, the number of
+    * words seen for the FIRST time, the cumulative vocabulary, and the
+    * new-words-per-doc rate — "is this corpus still adding vocabulary
+    * or saturating", the signal behind dedup aggressiveness and
+    * how much more crawl is worth buying (corpus_ngram_novelty
+    * attributes first-introduction per DOC; this publishes the curve).
+    *
+    * Exactness: a word's first appearance is min(doc_id) — an integer;
+    * the bucket is exact integer division doc_id·10 div N (never a
+    * float quotient — a boundary doc must bucket identically in both
+    * engines); the rate is one division of exact integers.
+    *
+    * Scale: ONE vocab-keyed shuffle (word → min doc, map-side
+    * combined) + a doc-count scan, both collapsing to ≤10 rows before
+    * the running sum (a global window over a FIXED 10-row frame — the
+    * orders_pareto post-aggregate exception, never data-scaled). */
+  def corpusVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val db = docs.select(col("doc_id")).crossJoin(broadcast(nd))
+      .select(expr("CAST(doc_id * 10 div nd AS INT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val fw = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val wb = fw.crossJoin(broadcast(nd))
+      .select(expr("CAST(first_doc * 10 div nd AS INT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    val w10 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    db.join(wb, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("vocab_cum", sum(col("new_words")).over(w10))
+      .withColumn("words_per_doc",
+        round(col("new_words").cast("double") / col("n_docs").cast("double"), 4)
+          + 0.0)
+      .orderBy(col("bucket"))
+  }
+
+  val corpusVocabGrowthSql: String =
+    """WITH nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |fw AS (SELECT word, min(doc_id) AS first_doc FROM wd GROUP BY word),
+      |db AS (SELECT CAST(doc_id * 10 // (SELECT n FROM nd) AS INT) AS bucket,
+      |              count(*) AS n_docs
+      |       FROM documents GROUP BY bucket),
+      |wb AS (SELECT CAST(first_doc * 10 // (SELECT n FROM nd) AS INT) AS bucket,
+      |              count(*) AS new_words
+      |       FROM fw GROUP BY bucket)
+      |SELECT db.bucket, n_docs,
+      |       CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+      |       CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY db.bucket
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+      |       round(CAST(coalesce(new_words, 0) AS DOUBLE)
+      |             / CAST(n_docs AS DOUBLE), 4) + 0.0 AS words_per_doc
+      |FROM db LEFT JOIN wb ON db.bucket = wb.bucket
+      |ORDER BY db.bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_length_hist" -> (corpusLengthHist _),
     "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
     "corpus_source_report" -> (corpusSourceReport _),
@@ -1193,6 +1254,7 @@ object TrainPrep {
     "corpus_pipeline_funnel" -> corpusPipelineFunnelSql,
     "corpus_source_report" -> corpusSourceReportSql,
     "corpus_length_hist" -> corpusLengthHistSql,
+    "corpus_vocab_growth" -> corpusVocabGrowthSql,
     "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,

@@ -363,6 +363,26 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("corpus_vocab_growth: conservation, monotone cum, bucket 0 introduces its own words") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("corpus_vocab_growth")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 9), "all ten buckets present")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "every doc in one bucket")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == vocab, "every word introduced exactly once")
+    assert(rows.last.getLong(3) == vocab, "cum ends at the full vocabulary")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) >= a.getLong(3), "cum is monotone")
+    }
+    // bucket 0's new words = its own distinct words (nothing seen before it)
+    val n = docs.agg(max(col("doc_id")) + 1).first().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 10 < n)
+      .select(explode(split(col("text"), " ")).as("w")).distinct().count()
+    assert(rows.head.getLong(2) == b0, "bucket 0 introduces exactly its vocabulary")
+  }
+
   test("decontaminate: both probe joins broadcast — the corpus side never shuffles") {
     val plan = SparkEntry.queries("corpus_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
