@@ -567,6 +567,58 @@ object Analytics {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // --------------------------------------------------- event_transition_time
+  /** DWELL-TIME matrix over the transition graph: for every
+    * (event_type → next_type) edge the transition count and the
+    * average/min/max seconds users sit between the two events —
+    * event_transitions tells which paths users take, this tells where
+    * they STALL (the Markov dwell-time read; events_funnel_time is the
+    * same metric confined to the 3-step conversion path).
+    *
+    * Exactness: deltas are exact integer µs; sums in DECIMAL(38,0)/
+    * HUGEINT (the events_funnel_time overflow argument); avg is ONE
+    * division of identically-cast exact integers, min/max one division
+    * by the 10⁶ constant.
+    *
+    * Scale: the SAME per-user lead window as event_transitions (fine
+    * user_id key, partitions = one user's history) + ONE map-side-
+    * combined aggregate onto ≤|types|² rows. */
+  def eventTransitionTime(spark: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val dt = col("next_ts") - col("ts_us")
+    Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(d(dt)).as("s_us"), min(dt).as("mn_us"), max(dt).as("mx_us"))
+      .select(col("event_type"), col("next_type"), col("n_transitions"),
+        (round(col("s_us").cast("double")
+          / (col("n_transitions") * lit(1000000L)).cast("double"), 6) + 0.0)
+          .as("avg_s"),
+        (round(col("mn_us").cast("double") / 1000000.0, 6) + 0.0).as("min_s"),
+        (round(col("mx_us").cast("double") / 1000000.0, 6) + 0.0).as("max_s"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val eventTransitionTimeSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |adj AS (SELECT user_id, event_type, ts_us,
+      |               lead(event_type) OVER w AS next_type,
+      |               lead(ts_us) OVER w AS next_ts
+      |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT event_type, next_type, count(*) AS n_transitions,
+      |       round(CAST(sum(CAST(next_ts - ts_us AS HUGEINT)) AS DOUBLE)
+      |             / CAST(count(*) * 1000000 AS DOUBLE), 6) + 0.0 AS avg_s,
+      |       round(CAST(min(next_ts - ts_us) AS DOUBLE)/1000000.0, 6) + 0.0 AS min_s,
+      |       round(CAST(max(next_ts - ts_us) AS DOUBLE)/1000000.0, 6) + 0.0 AS max_s
+      |FROM adj WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY event_type, next_type""".stripMargin
+
   // -------------------------------------------------------- skew_salted_agg
   /** The Salt module's two-phase salted aggregation as a driver-gated
     * query: per-type value totals where each (type) group is first
@@ -1483,6 +1535,7 @@ object Analytics {
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
+    "event_transition_time" -> (eventTransitionTime _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
@@ -1515,6 +1568,7 @@ object Analytics {
     "scd2_intervals" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
+    "event_transition_time" -> eventTransitionTimeSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,

@@ -323,6 +323,19 @@ class AnalyticsSpec extends SparkSpec {
     dau.foreach { case (d, m) => assert(m >= d && d >= 1) }
   }
 
+  test("event_transition_time agrees with event_transitions' counts, stats ordered") {
+    val t = SparkEntry.queries("event_transition_time")(spark, sf).collect()
+    val base = SparkEntry.queries("event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t.nonEmpty && t.length == base.size, "same edge set as event_transitions")
+    t.foreach { r =>
+      assert(base((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"count drift vs event_transitions: $r")
+      val (avg, mn, mx) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn >= 0.0 && mn <= avg + 1e-6 && avg <= mx + 1e-6, s"min<=avg<=max: $r")
+    }
+  }
+
   test("events_funnel_time agrees with the registered funnel's stage counts") {
     import org.apache.spark.sql.functions._
     val funnel = SparkEntry.queries("events_funnel")(spark, sf).collect()
