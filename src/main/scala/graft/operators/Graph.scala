@@ -273,12 +273,71 @@ object Graph {
       |SELECT part_a, rank, part_b, c AS n_common, jaccard
       |FROM rk WHERE rank <= 5 ORDER BY part_a, rank""".stripMargin
 
+  // ------------------------------------------------------- graph_degree_dist
+  /** DEGREE DISTRIBUTION of the co-purchase graph: parts bucketed by
+    * floor(log2(distinct co-purchase partners)) with count, share, and
+    * degree mass — the first chart anyone draws over a graph (power-law
+    * vs uniform decides whether hub-aware strategies like the
+    * graph_triangles degree-ordering or skew salting are worth it; the
+    * corpus_length_hist bucketing on graph degrees).
+    *
+    * Exactness: degree is an exact integer count of distinct partners;
+    * the bucket is len(binary(n))−1 (no transcendental), the share one
+    * division of exact integers.
+    *
+    * Scale: the family's staged per-order distinct + per-order-bounded
+    * pair quadratic (never corpus-quadratic), one degree shuffle, then
+    * a ≤~30-row bucket rollup STAGED for its two consumers (output +
+    * 1-row total, trade_flow_matrix's shape). */
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val li = stageBarrier(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val pairs = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("degree"))
+    val agg = stageBarrier(deg
+      .withColumn("bucket", (length(bin(col("degree"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("degree")).as("sum_degree")))
+    val tot = agg.agg(sum(col("n_parts")).as("tp"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)").as("bucket_lo"),
+        col("n_parts"),
+        (round(col("n_parts").cast("double") / col("tp").cast("double"), 6) + 0.0)
+          .as("share"),
+        col("sum_degree"))
+      .orderBy(col("bucket"))
+  }
+
+  val graphDegreeDistSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |dg AS (SELECT p, count(*) AS degree FROM (
+      |         SELECT pa AS p FROM pr UNION ALL SELECT pb AS p FROM pr) ends
+      |       GROUP BY p),
+      |ag AS (SELECT CAST(length(format('{:b}', degree)) - 1 AS INT) AS bucket,
+      |              count(*) AS n_parts, CAST(sum(degree) AS BIGINT) AS sum_degree
+      |       FROM dg GROUP BY bucket),
+      |tt AS (SELECT sum(n_parts) AS tp FROM ag)
+      |SELECT bucket, CAST(1 AS BIGINT) << bucket AS bucket_lo, n_parts,
+      |       round(CAST(n_parts AS DOUBLE)/CAST(tp AS DOUBLE), 6) + 0.0 AS share,
+      |       sum_degree
+      |FROM ag CROSS JOIN tt ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist" -> (graphDegreeDist _),
     "graph_similar_parts" -> (graphSimilarParts _),
     "graph_triangles" -> (graphTriangles _),
     "graph_part_rank" -> (graphPartRank _))
 
   def oracles: Map[String, String] = Map(
+    "graph_degree_dist" -> graphDegreeDistSql,
     "graph_similar_parts" -> graphSimilarPartsSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_part_rank" -> graphPartRankSql)

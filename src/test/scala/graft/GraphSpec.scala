@@ -75,4 +75,26 @@ class GraphSpec extends SparkSpec {
       .map(_.toSeq).toSet
     assert(rows.map(_.toSeq).toSet == again)
   }
+
+  test("graph_degree_dist: vertex/edge-mass conservation, shares sum to 1, buckets exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_degree_dist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the graph independently: distinct undirected co-purchase pairs
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    val nEdges = pairs.count()
+    val nVerts = pairs.select(explode(array(col("a"), col("b"))).as("p"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nVerts, "every co-purchased part bucketed once")
+    assert(rows.map(_.getLong(4)).sum == 2 * nEdges, "degree mass = 2|E| (handshake)")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 1e-4, "shares sum to 1")
+    rows.foreach { r =>
+      val (b, lo, np, sd) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(lo == (1L << b) && sd >= np * lo && sd < np * (lo << 1), s"bucket: $r")
+    }
+  }
 }
