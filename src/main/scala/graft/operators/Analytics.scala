@@ -1317,6 +1317,77 @@ object Analytics {
       |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- events_burst_detect
+  /** RATE-burst detection: hours where an event type's COUNT spikes
+    * above 3σ of its hourly rate — events_value_anomaly flags weird
+    * VALUES, this flags weird VOLUMES (the incident/bot-traffic signal;
+    * one-sided by convention — a dip is a different alert). The
+    * baseline includes SILENT hours via an explicit type×hour spine
+    * (without it a bursty-quiet stream's mean is computed only over
+    * busy hours and real bursts vanish) — the spine is calendar-bounded
+    * (|types|·observed hour range), never data-scaled.
+    *
+    * Exactness: counts are exact integers; the |z|>3 test is the
+    * fin_anomaly cross-multiplied form (n−1)·(n·c−s)² > 9·n·(n·q−s²)
+    * over DECIMAL(38,0)/HUGEINT with the one-sided n·c−s > 0 guard —
+    * no float ever decides membership; the hour index is exact integer
+    * division of µs (never a float quotient at an hour boundary).
+    *
+    * Scale: one (type, hour) map-side-combined count shuffle; the
+    * spine-completed frame is STAGED once for its two consumers (stats
+    * + the flag join); stats collapse to |types| rows and broadcast
+    * back — the fact side never reshuffles. */
+  def eventsBurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(ts_us div 3600000000 AS BIGINT)").as("hr"))
+    val cnt = e.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+    val rng = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val full = stageBarrier(spine.join(cnt, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("c"), lit(0L)).as("c")))
+    val stats = full.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s"), sum(d(col("c")) * d(col("c"))).as("q"))
+    val (n, x, s, q) = (d(col("n")), d(col("c")), d(col("s")), d(col("q")))
+    val dev = n * x - s
+    full.join(broadcast(stats), Seq("event_type"))
+      .filter(dev > 0 && (n - lit(1)) * dev * dev > lit(9) * n * (n * q - s * s))
+      .select(col("event_type"), col("hr").as("hour_idx"),
+        col("c").as("n_events"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_per_hour"),
+        col("n").cast("long").as("n_hours"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val eventsBurstDetectSql: String =
+    """WITH e AS (SELECT event_type,
+      |             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
+      |cnt AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY event_type, hr),
+      |rng AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+      |spine AS (SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS hr
+      |          FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN rng r),
+      |filled AS (SELECT s.event_type, s.hr, coalesce(c.c, 0) AS c
+      |           FROM spine s LEFT JOIN cnt c
+      |             ON s.event_type = c.event_type AND s.hr = c.hr),
+      |st AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+      |              sum(CAST(c AS HUGEINT) * c) AS q
+      |       FROM filled GROUP BY event_type)
+      |SELECT f.event_type, f.hr AS hour_idx, CAST(f.c AS BIGINT) AS n_events,
+      |       CAST(t.s AS DOUBLE)/CAST(t.n AS DOUBLE) AS mean_per_hour,
+      |       CAST(t.n AS BIGINT) AS n_hours
+      |FROM filled f JOIN st t USING (event_type)
+      |WHERE CAST(t.n AS HUGEINT) * f.c - t.s > 0
+      |  AND (CAST(t.n AS HUGEINT) - 1)
+      |        * (CAST(t.n AS HUGEINT) * f.c - t.s)
+      |        * (CAST(t.n AS HUGEINT) * f.c - t.s)
+      |      > 9 * CAST(t.n AS HUGEINT)
+      |        * (CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s)
+      |ORDER BY f.event_type, hour_idx""".stripMargin
+
   // ----------------------------------------------------- supplier_scorecard
   /** Per-supplier operational KPI panel: discounted revenue, return
     * rate (returnflag = 'R' share), mean order-to-ship delay, and
@@ -1536,6 +1607,7 @@ object Analytics {
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
     "event_transition_time" -> (eventTransitionTime _),
+    "events_burst_detect" -> (eventsBurstDetect _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
@@ -1569,6 +1641,7 @@ object Analytics {
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
     "event_transition_time" -> eventTransitionTimeSql,
+    "events_burst_detect" -> eventsBurstDetectSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,

@@ -323,6 +323,26 @@ class AnalyticsSpec extends SparkSpec {
     dau.foreach { case (d, m) => assert(m >= d && d >= 1) }
   }
 
+  test("events_burst_detect: one-sided above-mean flags; silent hours depress the mean") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_burst_detect")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) > r.getDouble(3), s"burst must be above the mean: $r")
+      assert(r.getLong(4) > 0)
+    }
+    // the spine makes every type share the same hour count (global range)
+    assert(rows.map(_.getLong(4)).distinct.length <= 1, "shared spine hour count")
+    // flagged (type, hour) cells are a subset of the observed count frame
+    val e = graft.sources.Tables.eventsUs(spark, sf)
+      .select(col("event_type"), expr("CAST(ts_us div 3600000000 AS BIGINT)").as("hr"))
+      .groupBy(col("event_type"), col("hr")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(e.get((r.getString(0), r.getLong(1))).contains(r.getLong(2)),
+        s"flagged cell must carry the observed count: $r")
+    }
+  }
+
   test("event_transition_time agrees with event_transitions' counts, stats ordered") {
     val t = SparkEntry.queries("event_transition_time")(spark, sf).collect()
     val base = SparkEntry.queries("event_transitions")(spark, sf).collect()
