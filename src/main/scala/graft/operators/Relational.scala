@@ -383,6 +383,84 @@ object Relational {
       |SELECT event_id, user_id, ts_us, click_ts_us, click_value
       |FROM w WHERE tag=1 ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------ asof_join_nearest
+  /** NEAREST-direction as-of join (pandas merge_asof direction=
+    * 'nearest'): each purchase matched to the click with the smallest
+    * |Δt| on either side — asof_join's backward-only pick is right for
+    * "state at time t"; nearest is right for correlating two clocks
+    * that drift both ways (sensor alignment, click attribution with
+    * logging skew).
+    *
+    * Same one-shuffle union+window shape as asof_join: ONE user_id
+    * sort carries BOTH directional passes — backward = running last
+    * click in [−∞, 0] (equal-ts clicks sort before the purchase, so
+    * backward owns Δ = 0), forward = running first click in
+    * (0, +∞] (strictly later by the same ordering). The pick is
+    * integer-µs comparison, ties → backward (documented, both engines
+    * identical); direction is emitted so downstream can audit skew
+    * balance. Never a range join, never a cross product. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        col("event_id").as("oid"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        col("event_id").as("oid"), col("event_id"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("oid"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = ord.rowsBetween(0, Window.unboundedFollowing)
+    val back = col("back_ts"); val fwd = col("fwd_ts")
+    val nearest = when(back.isNull && fwd.isNull, lit(null).cast("long"))
+      .when(back.isNull, fwd)
+      .when(fwd.isNull, back)
+      .when(col("ts_us") - back <= fwd - col("ts_us"), back)
+      .otherwise(fwd)
+    clicks.unionByName(purchases)
+      .withColumn("back_ts",
+        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(wB))
+      .withColumn("fwd_ts",
+        first(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(wF))
+      .filter(col("tag") === 1)
+      .withColumn("click_ts_us", nearest)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_ts_us"),
+        abs(col("ts_us") - col("click_ts_us")).as("delta_us"),
+        when(col("click_ts_us").isNull, lit(null).cast("string"))
+          .when(col("click_ts_us") <= col("ts_us"), lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS tag, event_id AS oid,
+      |         CAST(NULL AS BIGINT) AS event_id FROM events WHERE event_type='click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 1, event_id, event_id
+      |  FROM events WHERE event_type='purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN tag=0 THEN ts_us END IGNORE NULLS)
+      |      OVER (win ROWS UNBOUNDED PRECEDING) AS back_ts,
+      |    first_value(CASE WHEN tag=0 THEN ts_us END IGNORE NULLS)
+      |      OVER (win ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, oid)),
+      |p AS (
+      |  SELECT event_id, user_id, ts_us,
+      |    CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+      |         WHEN back_ts IS NULL THEN fwd_ts
+      |         WHEN fwd_ts IS NULL THEN back_ts
+      |         WHEN ts_us - back_ts <= fwd_ts - ts_us THEN back_ts
+      |         ELSE fwd_ts END AS click_ts_us
+      |  FROM w WHERE tag = 1)
+      |SELECT event_id, user_id, ts_us, click_ts_us,
+      |       abs(ts_us - click_ts_us) AS delta_us,
+      |       CASE WHEN click_ts_us IS NULL THEN NULL
+      |            WHEN click_ts_us <= ts_us THEN 'backward'
+      |            ELSE 'forward' END AS direction
+      |FROM p ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- sessionize
   /** Gap-based sessionization (30 min): lag → new-session flag → running
     * sum → per-session aggregate. Scale: both windows and the final
@@ -1056,6 +1134,7 @@ object Relational {
     "string_agg" -> (stringAgg _),
     "json_extract" -> (jsonExtract _),
     "asof_join" -> (asofJoin _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "sessionize" -> (sessionize _),
     "range_join" -> (rangeJoin _),
     "range_window" -> (rangeWindow _),
@@ -1088,6 +1167,7 @@ object Relational {
     "string_agg" -> stringAggSql,
     "json_extract" -> jsonExtractSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_nearest" -> asofJoinNearestSql,
     "sessionize" -> sessionizeSql,
     "range_join" -> rangeJoinSql,
     "range_window" -> rangeWindowSql,

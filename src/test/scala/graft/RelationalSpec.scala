@@ -90,6 +90,35 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(!_.isNullAt(3)))
   }
 
+  test("asof_join_nearest: dominates backward asof, directions honest, ties backward") {
+    val near = run("asof_join_nearest").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val back = run("asof_join").collect()
+    assert(near.nonEmpty && near.size == back.length, "same purchase set")
+    back.foreach { b =>
+      val n = near(b.getLong(0))
+      if (!b.isNullAt(3)) {
+        assert(!n.isNullAt(3), s"nearest lost a match: $n")
+        // nearest |Δ| never exceeds the backward |Δ|
+        val backDelta = b.getLong(2) - b.getLong(3)
+        assert(n.getLong(4) <= backDelta, s"nearest worse than backward: $n vs $b")
+        // a backward-direction pick IS the backward match
+        if (n.getString(5) == "backward")
+          assert(n.getLong(3) == b.getLong(3), s"backward pick drifts: $n vs $b")
+      }
+    }
+    near.values.filter(!_.isNullAt(3)).foreach { r =>
+      val dirOk = r.getString(5) match {
+        case "backward" => r.getLong(3) <= r.getLong(2)
+        case "forward"  => r.getLong(3) > r.getLong(2)
+        case _          => false
+      }
+      assert(dirOk, s"direction label inconsistent: $r")
+    }
+    assert(near.values.exists(r => !r.isNullAt(3) && r.getString(5) == "forward"),
+      "some purchase should match forward (click-less prefixes exist)")
+  }
+
   test("sessionize: sessions start at 1 and events sum to total") {
     val rows = run("sessionize").collect()
     val byUser = rows.groupBy(_.getLong(0))
