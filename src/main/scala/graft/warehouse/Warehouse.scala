@@ -975,8 +975,11 @@ object Warehouse {
     * final per-(dept, GL) aggregate share one 2-key shuffle; every
     * group's series is tiny (months), so 100 TB parallelizes across
     * groups. */
-  def finForecastLinear(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = upserted(spark, dir)
+  def finForecastLinear(spark: SparkSession, dir: String): DataFrame =
+    finForecastLinearFrom(upserted(spark, dir))
+
+  private[graft] def finForecastLinearFrom(up: DataFrame): DataFrame = {
+    val monthly = up
       .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
       .agg(sum(cents(col("amount"))).as("tc"))
       .withColumn("m_idx", col("year") * 12 + col("month") - 1)
@@ -1004,33 +1007,40 @@ object Warehouse {
       .orderBy(col("department"), col("gl_code"))
   }
 
-  val finForecastLinearSql: String =
-    s"""WITH $upsertCtes,
-       |fin_monthly AS (
+  /** The OLS-fit CTE chain over an upserted-shaped source CTE — ONE
+    * builder shared by the registered finForecastLinearSql and
+    * fin_forecast_eval's truncated-series leg (the ngramDupsCtes drift
+    * rule). Ends at `${p}lines`. */
+  private def linearLinesCtes(src: String, p: String): String =
+    s"""${p}monthly AS (
        |  SELECT department, gl_code, year, month,
        |         sum(CAST(round(amount*100) AS BIGINT)) AS tc,
        |         year*12 + month - 1 AS m_idx
-       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
-       |shifted AS (
+       |  FROM $src GROUP BY department, gl_code, year, month),
+       |${p}shifted AS (
        |  SELECT *, m_idx - min(m_idx) OVER (PARTITION BY department, gl_code) AS x
-       |  FROM fin_monthly),
-       |fitted AS (
+       |  FROM ${p}monthly),
+       |${p}fitted AS (
        |  SELECT department, gl_code,
        |         count(*) AS n, sum(x) AS sx, sum(tc) AS sy,
        |         sum(x * tc) AS sxy, sum(x * x) AS sxx,
        |         min(m_idx) AS m0, max(x) AS xmax
-       |  FROM shifted GROUP BY department, gl_code),
-       |lines AS (
+       |  FROM ${p}shifted GROUP BY department, gl_code),
+       |${p}lines AS (
        |  SELECT *,
        |         n*sxy - sx*sy AS snum, n*sxx - sx*sx AS den,
        |         sy*sxx - sx*sxy AS inum, xmax + 1 AS xf, m0 + xmax + 1 AS fidx
-       |  FROM fitted WHERE n >= 2 AND n*sxx - sx*sx > 0)
+       |  FROM ${p}fitted WHERE n >= 2 AND n*sxx - sx*sx > 0)""".stripMargin
+
+  val finForecastLinearSql: String =
+    s"""WITH $upsertCtes,
+       |${linearLinesCtes("fin_upserted", "fin_")}
        |SELECT department, gl_code, n AS n_months,
        |       CAST(fidx // 12 AS INT) AS forecast_year,
        |       CAST(fidx % 12 + 1 AS INT) AS forecast_month,
        |       round(CAST(snum AS DOUBLE) / den / 100.0, 6) + 0.0 AS slope,
        |       round(CAST(inum + snum * xf AS DOUBLE) / den / 100.0, 4) + 0.0 AS forecast
-       |FROM lines ORDER BY department, gl_code""".stripMargin
+       |FROM fin_lines ORDER BY department, gl_code""".stripMargin
 
   /** fin_ytd_cumulative: YTD running total per (department, category). */
   def finYtdCumulative(spark: SparkSession, dir: String): DataFrame =
@@ -1324,22 +1334,28 @@ object Warehouse {
       .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
   }
 
-  val finEwmaSql: String =
-    s"""WITH $upsertCtes,
-       |fin_monthly AS (
+  /** The yearly-restarted EWMA closed-form chain over an
+    * upserted-shaped source CTE — shared by finEwmaSql and
+    * fin_forecast_eval (drift rule). Ends at `${p}t` (tc, rn, num). */
+  private def ewmaTCtes(src: String, p: String): String =
+    s"""${p}monthly AS (
        |  SELECT department, gl_code, year, month,
        |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
-       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
-       |fin_rn AS (
+       |  FROM $src GROUP BY department, gl_code, year, month),
+       |${p}rn AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY department, gl_code, year
        |                                    ORDER BY month) AS INT) AS rn
-       |  FROM fin_monthly),
-       |fin_t AS (
+       |  FROM ${p}monthly),
+       |${p}t AS (
        |  SELECT *, sum(CASE WHEN rn = 1 THEN tc
        |                     ELSE tc * CAST(pow(2, rn - 2) AS BIGINT) END)
        |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
        |                  ROWS UNBOUNDED PRECEDING) AS num
-       |  FROM fin_rn)
+       |  FROM ${p}rn)""".stripMargin
+
+  val finEwmaSql: String =
+    s"""WITH $upsertCtes,
+       |${ewmaTCtes("fin_upserted", "fin_")}
        |SELECT department, gl_code, year, month,
        |       CAST(tc AS DOUBLE)/100.0 AS total,
        |       CAST(num AS DOUBLE) / (100.0 * pow(2, rn - 1)) AS ewma,
@@ -1410,27 +1426,33 @@ object Warehouse {
       .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
   }
 
-  val finForecastBrownSql: String =
-    s"""WITH $upsertCtes,
-       |fin_monthly AS (
+  /** Brown's double-smoothing closed-form chain over an upserted-shaped
+    * source CTE — shared by finForecastBrownSql and fin_forecast_eval
+    * (drift rule). Ends at `${p}t2` (tc, rn, t1, t2). */
+  private def brownT2Ctes(src: String, p: String): String =
+    s"""${p}monthly AS (
        |  SELECT department, gl_code, year, month,
        |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
-       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
-       |fin_rn AS (
+       |  FROM $src GROUP BY department, gl_code, year, month),
+       |${p}rn AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY department, gl_code, year
        |                                    ORDER BY month) AS INT) AS rn
-       |  FROM fin_monthly),
-       |fin_t AS (
+       |  FROM ${p}monthly),
+       |${p}t AS (
        |  SELECT *, sum(CASE WHEN rn = 1 THEN tc
        |                     ELSE tc * CAST(pow(2, rn - 2) AS BIGINT) END)
        |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
        |                  ROWS UNBOUNDED PRECEDING) AS t1
-       |  FROM fin_rn),
-       |fin_t2 AS (
+       |  FROM ${p}rn),
+       |${p}t2 AS (
        |  SELECT *, sum(CASE WHEN rn = 1 THEN 2 * t1 ELSE t1 END)
        |            OVER (PARTITION BY department, gl_code, year ORDER BY rn
        |                  ROWS UNBOUNDED PRECEDING) AS t2
-       |  FROM fin_t)
+       |  FROM ${p}t)""".stripMargin
+
+  val finForecastBrownSql: String =
+    s"""WITH $upsertCtes,
+       |${brownT2Ctes("fin_upserted", "fin_")}
        |SELECT department, gl_code, year, month,
        |       CAST(tc AS DOUBLE)/100.0 AS total,
        |       CAST(4*t1 - t2 AS DOUBLE) / (100.0 * pow(2, rn)) AS level,
@@ -1439,6 +1461,168 @@ object Warehouse {
        |       rn AS n_months
        |FROM fin_t2
        |ORDER BY department, gl_code, year, month""".stripMargin
+
+  // ------------------------------------------------------ fin_forecast_eval
+  /** fin_forecast_eval: one-step BACKTEST of the three registered
+    * forecasters — hold out each (department, GL)'s LAST observed month,
+    * refit linear / EWMA / Brown on the truncated history, and score the
+    * held-out month: per method the shared eligible population, MAE,
+    * and signed bias — the eval-as-a-query pattern (ann_recall_report /
+    * corpus_langid_eval / dedup_band_eval) applied to the financial
+    * family, answering "which forecaster should this ledger trust".
+    *
+    * Eligible population: keys whose held-out month is CALENDAR-
+    * consecutive to the last truncated month within the same year
+    * (month ≥ 2) — exactly the slot all three methods forecast
+    * one-step (linear's fidx lands there iff consecutive; EWMA/Brown
+    * restart yearly, so their level/one-step forecasts exist only
+    * same-year) — and that pass linear's n ≥ 2 / positive-variance fit
+    * filter; the INNER joins enforce this identically in both engines,
+    * and the one shared population makes the three MAEs comparable.
+    *
+    * Exactness: each prediction is the registered derivation's own
+    * deterministic double (shared *From builders on the Spark side,
+    * shared SQL chain builders in the mirror — the drift rule); errors
+    * round to integer CENTS before summing, so the MAE/bias
+    * accumulators are exact integers under any partial-agg order and
+    * each output is ONE division of identically-cast exact integers.
+    *
+    * Scale: the statements derivation runs ONCE (staged), the truncated
+    * frame is staged for its three consumers; everything after the
+    * three monthly rollups is chart-bounded; the final panel is 3 rows
+    * exploded from one aggregate (the events_funnel_time shape). */
+  def finForecastEval(spark: SparkSession, dir: String): DataFrame =
+    finForecastEvalFrom(upserted(spark, dir))
+
+  private[graft] def finForecastEvalFrom(up0: DataFrame): DataFrame = {
+    val up = stageBarrier(up0)
+    val monthly = stageBarrier(up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc"))
+      .withColumn("m_idx", col("year") * 12 + col("month") - 1))
+    val lastM = monthly.groupBy(col("department"), col("gl_code"))
+      .agg(max(col("m_idx")).as("lm_idx"))
+    val held = monthly.join(broadcast(lastM), Seq("department", "gl_code"))
+      .filter(col("m_idx") === col("lm_idx") && col("month") >= 2)
+      .select(col("department"), col("gl_code"),
+        col("year").as("h_year"), col("month").as("h_month"),
+        dollars(col("tc")).as("actual"))
+    val truncUp = stageBarrier(up
+      .join(broadcast(lastM), Seq("department", "gl_code"))
+      .filter(col("year") * 12 + col("month") - 1 < col("lm_idx"))
+      .drop("lm_idx"))
+    val lin = finForecastLinearFrom(truncUp)
+      .select(col("department"), col("gl_code"),
+        col("forecast_year"), col("forecast_month"),
+        col("forecast").as("pred_linear"))
+    val wLast = Window.partitionBy(col("department"), col("gl_code"), col("year"))
+      .orderBy(col("month").desc)
+    val ew = finEwmaFrom(truncUp)
+      .withColumn("rl", row_number().over(wLast)).filter(col("rl") === 1)
+      .select(col("department"), col("gl_code"),
+        col("year").as("e_year"), col("month").as("e_month"),
+        col("ewma").as("pred_ewma"))
+    val br = finForecastBrownFrom(truncUp)
+      .withColumn("rl", row_number().over(wLast)).filter(col("rl") === 1)
+      .select(col("department"), col("gl_code"),
+        col("year").as("b_year"), col("month").as("b_month"),
+        col("fcst_next").as("pred_brown"))
+    def errC(pred: Column): Column =
+      round((pred - col("actual")) * 100).cast("long")
+    val joined = held
+      .join(lin, Seq("department", "gl_code"))
+      .filter(col("forecast_year") === col("h_year") &&
+        col("forecast_month") === col("h_month"))
+      .join(ew, Seq("department", "gl_code"))
+      .filter(col("e_year") === col("h_year") &&
+        col("e_month") === col("h_month") - 1)
+      .join(br, Seq("department", "gl_code"))
+      .filter(col("b_year") === col("h_year") &&
+        col("b_month") === col("h_month") - 1)
+      .select(errC(col("pred_linear")).as("el"), errC(col("pred_ewma")).as("ee"),
+        errC(col("pred_brown")).as("eb"))
+    val a = joined.agg(count(lit(1)).as("n"),
+      sum(abs(col("el"))).as("al"), sum(col("el")).as("sl"),
+      sum(abs(col("ee"))).as("ae"), sum(col("ee")).as("se"),
+      sum(abs(col("eb"))).as("ab"), sum(col("eb")).as("sb"))
+    def leg(m: String, sAbs: Column, sSig: Column): Column =
+      struct(lit(m).as("method"), col("n").as("n_keys"),
+        sAbs.as("sa"), sSig.as("ss"))
+    a.select(explode(array(
+        leg("brown", col("ab"), col("sb")),
+        leg("ewma", col("ae"), col("se")),
+        leg("linear", col("al"), col("sl")))).as("r"))
+      .select(col("r.method").as("method"), col("r.n_keys").as("n_keys"),
+        (round(col("r.sa").cast("double")
+          / (col("r.n_keys") * lit(100L)).cast("double"), 4) + 0.0).as("mae"),
+        (round(col("r.ss").cast("double")
+          / (col("r.n_keys") * lit(100L)).cast("double"), 4) + 0.0).as("bias"))
+      .orderBy(col("method"))
+  }
+
+  val finForecastEvalSql: String =
+    s"""WITH $upsertCtes,
+       |ev_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc,
+       |         year*12 + month - 1 AS m_idx
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |ev_last AS (SELECT department, gl_code, max(m_idx) AS lm_idx
+       |            FROM ev_monthly GROUP BY department, gl_code),
+       |ev_held AS (
+       |  SELECT m.department, m.gl_code, m.year AS h_year, m.month AS h_month,
+       |         CAST(m.tc AS DOUBLE)/100.0 AS actual
+       |  FROM ev_monthly m JOIN ev_last l
+       |    ON m.department = l.department AND m.gl_code = l.gl_code
+       |  WHERE m.m_idx = l.lm_idx AND m.month >= 2),
+       |ev_trunc AS (
+       |  SELECT u.* FROM fin_upserted u JOIN ev_last l
+       |    ON u.department = l.department AND u.gl_code = l.gl_code
+       |  WHERE u.year*12 + u.month - 1 < l.lm_idx),
+       |${linearLinesCtes("ev_trunc", "lin_")},
+       |lin_pred AS (
+       |  SELECT department, gl_code,
+       |         CAST(fidx // 12 AS INT) AS fy, CAST(fidx % 12 + 1 AS INT) AS fm,
+       |         round(CAST(inum + snum * xf AS DOUBLE) / den / 100.0, 4) + 0.0 AS pred
+       |  FROM lin_lines),
+       |${ewmaTCtes("ev_trunc", "ew_")},
+       |ew_pred AS (
+       |  SELECT department, gl_code, year, month,
+       |         CAST(num AS DOUBLE) / (100.0 * pow(2, rn - 1)) AS pred
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY department, gl_code, year
+       |                                     ORDER BY month DESC) AS rl FROM ew_t)
+       |  WHERE rl = 1),
+       |${brownT2Ctes("ev_trunc", "br_")},
+       |br_pred AS (
+       |  SELECT department, gl_code, year, month,
+       |         CAST(6*t1 - 2*t2 AS DOUBLE) / (100.0 * pow(2, rn)) AS pred
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY department, gl_code, year
+       |                                     ORDER BY month DESC) AS rl FROM br_t2)
+       |  WHERE rl = 1),
+       |ev_joined AS (
+       |  SELECT CAST(round((lp.pred - h.actual)*100) AS BIGINT) AS el,
+       |         CAST(round((ep.pred - h.actual)*100) AS BIGINT) AS ee,
+       |         CAST(round((bp.pred - h.actual)*100) AS BIGINT) AS eb
+       |  FROM ev_held h
+       |  JOIN lin_pred lp ON lp.department = h.department AND lp.gl_code = h.gl_code
+       |                  AND lp.fy = h.h_year AND lp.fm = h.h_month
+       |  JOIN ew_pred ep ON ep.department = h.department AND ep.gl_code = h.gl_code
+       |                 AND ep.year = h.h_year AND ep.month = h.h_month - 1
+       |  JOIN br_pred bp ON bp.department = h.department AND bp.gl_code = h.gl_code
+       |                 AND bp.year = h.h_year AND bp.month = h.h_month - 1),
+       |ev_agg AS (
+       |  SELECT count(*) AS n, sum(abs(el)) AS al, sum(el) AS sl,
+       |         sum(abs(ee)) AS ae, sum(ee) AS se,
+       |         sum(abs(eb)) AS ab, sum(eb) AS sb
+       |  FROM ev_joined)
+       |SELECT method, n AS n_keys,
+       |       round(CAST(sa AS DOUBLE)/CAST(n*100 AS DOUBLE), 4) + 0.0 AS mae,
+       |       round(CAST(ss AS DOUBLE)/CAST(n*100 AS DOUBLE), 4) + 0.0 AS bias
+       |FROM (
+       |  SELECT 'brown' AS method, n, ab AS sa, sb AS ss FROM ev_agg
+       |  UNION ALL SELECT 'ewma', n, ae, se FROM ev_agg
+       |  UNION ALL SELECT 'linear', n, al, sl FROM ev_agg)
+       |ORDER BY method""".stripMargin
 
   /** fin_dept_correlation: Pearson correlation of monthly net totals
     * between every department pair — "which departments move together",
@@ -1919,6 +2103,7 @@ object Warehouse {
     "fin_yoy_trend" -> (finYoyTrend _),
     "fin_qoq_trend" -> (finQoqTrend _),
     "fin_forecast_linear" -> (finForecastLinear _),
+    "fin_forecast_eval" -> (finForecastEval _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
@@ -1957,6 +2142,7 @@ object Warehouse {
     "fin_yoy_trend" -> finYoyTrendSql,
     "fin_qoq_trend" -> finQoqTrendSql,
     "fin_forecast_linear" -> finForecastLinearSql,
+    "fin_forecast_eval" -> finForecastEvalSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,

@@ -340,6 +340,29 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("fin_forecast_eval: planted pure trend — linear exact, Brown beats EWMA") {
+    import spark.implicits._
+    // amounts 100·m for months 1..6; hold out month 6 (=600):
+    //   linear refit on 1..5 is exact (err 0);
+    //   EWMA level s5 = 406.25 lags the trend (err -193.75);
+    //   Brown 3s'-2s'' = 568.75 tracks it better (err -31.25).
+    val up = (1 to 6).map(m => ("F", "0001", 2024, m, 100.0 * m))
+      .toDF("department", "gl_code", "year", "month", "amount")
+    val rows = Warehouse.finForecastEvalFrom(up).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("brown", "ewma", "linear"))
+    rows.foreach(r => assert(r.getLong(1) == 1))
+    val m = rows.map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("linear") == ((0.0, 0.0)), s"linear must be exact: ${m("linear")}")
+    assert(m("ewma") == ((193.75, -193.75)), s"ewma lag: ${m("ewma")}")
+    assert(m("brown") == ((31.25, -31.25)), s"brown trend-aware: ${m("brown")}")
+    // gate corpus: shared population, |bias| <= mae (triangle inequality)
+    val gate = SparkEntry.queries("fin_forecast_eval")(spark, sf).collect()
+    assert(gate.length == 3 && gate.map(_.getLong(1)).distinct.length == 1)
+    gate.foreach { r =>
+      assert(r.getLong(1) > 0 && math.abs(r.getDouble(3)) <= r.getDouble(2) + 1e-6, s"$r")
+    }
+  }
+
   test("fin_anomaly_mad: catches the masked spike the z-score misses; exact med/MAD") {
     import spark.implicits._
     // 10 gently-varying months + a small spike (2000) + a huge one (100000):
