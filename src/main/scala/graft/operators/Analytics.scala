@@ -1584,7 +1584,191 @@ object Analytics {
       |       round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM t), 6) + 0.0 AS share
       |FROM gg GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------- parts_abc_class
+  /** ABC classification of the part catalog by discounted revenue — the
+    * inventory-management read (A ≈ top-80% of revenue, B next 15%,
+    * C tail) that decides cycle-count frequency and stocking policy.
+    * Output is the 3-row class panel: part counts, part share, revenue,
+    * revenue share per class. A part's class comes from its EXACT global
+    * cumulative revenue position under the total (revenue DESC, partkey)
+    * order; the boundary part that crosses 80%/95% goes to the next
+    * class on BOTH engines (integer cross-multiplied comparison
+    * cum·100 ≤ tot·k — never a float threshold).
+    *
+    * Scale: the naive form is a GLOBAL cumulative-sum window (one
+    * reducer sorts every part — dies at 100×). Instead the
+    * rank_stats_eqdepth discipline applied to cumulative SUMS: one
+    * approx_percentile sketch buckets parts into ~n/B equi-depth bands
+    * (boundaries only place rows in bands — any boundaries yield the
+    * same final cums, so sketch approximation cannot change one output
+    * bit); per-band totals (≤B rows) give each band its exact revenue
+    * offset; the running sum inside a band is a band-partitioned
+    * window over ~n/B rows. double() is monotone, so cross-band order
+    * is strict and equal revenues land in one band. Revenue sums are
+    * exact DECIMAL(38,0)/HUGEINT revUnits end-to-end; the shares are
+    * the boundary divisions. */
+  def partsAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val pr = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(Relational.revUnits(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,0)")).as("rev")))
+    val probs = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+    val bnds = pr.agg(
+      percentile_approx(col("rev").cast("double"), probs, lit(10000)).as("bnds"))
+    val bucketed = pr.crossJoin(broadcast(bnds))
+      .withColumn("bkt",
+        size(filter(col("bnds"), b => b > col("rev").cast("double"))).cast("int"))
+      .drop("bnds")
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("bkt")).agg(sum(col("rev")).as("brev"))
+      .withColumn("off", coalesce(sum(col("brev")).over(wOff),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("tot", sum(col("brev")).over(Window.partitionBy()))
+      .select(col("bkt"), col("off"), col("tot"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("rev").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classed = bucketed
+      .join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("rev")).over(wIn))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+    val wAll = Window.partitionBy()
+    classed.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cls"))
+      .withColumn("np_tot", sum(col("n_parts")).over(wAll))
+      .withColumn("rev_tot", sum(col("rev_cls")).over(wAll))
+      .select(col("cls"), col("n_parts"),
+        (round(col("n_parts").cast("double") / col("np_tot").cast("double"), 6)
+          + 0.0).as("share_parts"),
+        (col("rev_cls").cast("double") / 1000000.0).as("revenue"),
+        (round(col("rev_cls").cast("double") / col("rev_tot").cast("double"), 6)
+          + 0.0).as("share_rev"))
+      .orderBy(col("cls"))
+  }
+
+  val partsAbcClassSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |        * (10000 - CAST(round(l_discount*10000) AS BIGINT)) AS HUGEINT)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT pk, rev,
+      |        sum(rev) OVER (ORDER BY rev DESC, pk
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        (SELECT sum(rev) FROM pr) AS tot
+      |      FROM pr),
+      |cl AS (SELECT CASE WHEN cum*100 <= tot*80 THEN 'A'
+      |                   WHEN cum*100 <= tot*95 THEN 'B'
+      |                   ELSE 'C' END AS cls, rev FROM c),
+      |agg AS (SELECT cls, count(*) AS n_parts, sum(rev) AS rev_cls FROM cl GROUP BY cls),
+      |t AS (SELECT sum(n_parts) AS np_tot, sum(rev_cls) AS rev_tot FROM agg)
+      |SELECT cls, n_parts,
+      |       round(CAST(n_parts AS DOUBLE) / CAST(np_tot AS DOUBLE), 6) + 0.0 AS share_parts,
+      |       CAST(rev_cls AS DOUBLE) / 1000000.0 AS revenue,
+      |       round(CAST(rev_cls AS DOUBLE) / CAST(rev_tot AS DOUBLE), 6) + 0.0 AS share_rev
+      |FROM agg, t ORDER BY cls""".stripMargin
+
+  // ------------------------------------------------------ customer_lifecycle
+  /** Monthly growth accounting of the customer base (the "quick ratio"
+    * decomposition popularized by Social Capital's growth-accounting
+    * framework): per month the customers that are NEW (first-ever
+    * order), RETAINED (also ordered the previous month), RESURRECTED
+    * (ordered before, but not the previous month), and CHURNED
+    * (ordered the previous month, silent this month — attributed to
+    * the month they went silent), plus active = new+retained+
+    * resurrected and quick ratio = (new+resurrected)/churned. This is
+    * the standard "is growth real or churn-masked" executive read over
+    * the same orders fact orders_rfm/retention_cohort segment.
+    *
+    * Scale: one map-side-combined distinct over (custkey, month) —
+    * output ≤ customers × active months — staged once for its two
+    * consumers (the max-month probe and the window); one custkey-
+    * partitioned lag/lead window (partition = a customer's active
+    * months, never data-scaled); churn emission is the rolling-MAU
+    * interval-delta trick (a +1/'churned' row at m+1 when the next
+    * active month isn't consecutive) so no calendar explode ever
+    * happens; a month-keyed rollup to ≤|months| rows. The global last
+    * month is a broadcast 1-row aggregate — churn is CENSORED there
+    * (silence after the observation window ends is not churn). Exact
+    * integers end-to-end; the quick ratio is the one boundary
+    * division, NULL on zero-churn months. */
+  def customerLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val cm = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("int").as("m"))
+        .distinct())
+    val maxM = cm.agg(max(col("m")).as("max_m"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("m"))
+    val st = cm
+      .withColumn("prev_m", lag(col("m"), 1).over(w))
+      .withColumn("next_m", lead(col("m"), 1).over(w))
+      .crossJoin(broadcast(maxM))
+      .select(explode(array(
+        struct(col("m"),
+          when(col("prev_m").isNull, lit("new"))
+            .when(col("prev_m") === col("m") - 1, lit("retained"))
+            .otherwise(lit("resurrected")).as("st")),
+        struct((col("m") + 1).as("m"),
+          when((col("next_m").isNull || col("next_m") > col("m") + 1) &&
+            col("m") + 1 <= col("max_m"), lit("churned")).as("st"))))
+        .as("x"))
+      .select(col("x.m").as("m"), col("x.st").as("st"))
+      .filter(col("st").isNotNull)
+    st.groupBy(col("m"))
+      .agg(
+        sum(when(col("st") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("st") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("st") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("st") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .select(col("m").as("month_id"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        (col("n_new") + col("n_retained") + col("n_resurrected")).as("n_active"),
+        when(col("n_churned") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("n_new") + col("n_resurrected")).cast("double")
+            / col("n_churned").cast("double"), 6) + 0.0).as("quick_ratio"))
+      .orderBy(col("month_id"))
+  }
+
+  val customerLifecycleSql: String =
+    """WITH cm AS (SELECT DISTINCT o_custkey AS ck,
+      |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT) AS m FROM orders),
+      |mx AS (SELECT max(m) AS max_m FROM cm),
+      |lb AS (SELECT ck, m,
+      |         lag(m)  OVER (PARTITION BY ck ORDER BY m) AS prev_m,
+      |         lead(m) OVER (PARTITION BY ck ORDER BY m) AS next_m
+      |       FROM cm),
+      |st AS (
+      |  SELECT m, CASE WHEN prev_m IS NULL THEN 'new'
+      |                 WHEN prev_m = m - 1 THEN 'retained'
+      |                 ELSE 'resurrected' END AS st
+      |  FROM lb
+      |  UNION ALL
+      |  SELECT m + 1 AS m, 'churned' AS st FROM lb, mx
+      |  WHERE (next_m IS NULL OR next_m > m + 1) AND m + 1 <= max_m),
+      |agg AS (
+      |  SELECT m AS month_id,
+      |    CAST(sum(CASE WHEN st='new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN st='retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN st='resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |    CAST(sum(CASE WHEN st='churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      |  FROM st GROUP BY m)
+      |SELECT month_id, n_new, n_retained, n_resurrected, n_churned,
+      |       n_new + n_retained + n_resurrected AS n_active,
+      |       CASE WHEN n_churned = 0 THEN NULL
+      |            ELSE round(CAST(n_new + n_resurrected AS DOUBLE)
+      |                       / CAST(n_churned AS DOUBLE), 6) + 0.0 END AS quick_ratio
+      |FROM agg ORDER BY month_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_lifecycle" -> (customerLifecycle _),
+    "parts_abc_class" -> (partsAbcClass _),
     "supplier_scorecard" -> (supplierScorecard _),
     "orders_customer_hhi" -> (ordersCustomerHhi _),
     "events_heatmap" -> (eventsHeatmap _),
@@ -1617,6 +1801,8 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "customer_lifecycle" -> customerLifecycleSql,
+    "parts_abc_class" -> partsAbcClassSql,
     "supplier_scorecard" -> supplierScorecardSql,
     "orders_customer_hhi" -> ordersCustomerHhiSql,
     "events_heatmap" -> eventsHeatmapSql,

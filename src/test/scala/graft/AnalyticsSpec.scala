@@ -42,6 +42,65 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("parts_abc_class: bucketed cums equal the global-window classification") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = SparkEntry.queries("parts_abc_class")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4, "part shares sum to 1")
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4, "rev shares sum to 1")
+    // the boundary part rolls forward, so A <= 80% and A+B <= 95% exactly
+    assert(rows(0).getDouble(4) <= 0.80 + 1e-9)
+    assert(rows(0).getDouble(4) + rows(1).getDouble(4) <= 0.95 + 1e-9)
+    // naive single-window twin (fine at spec scale) must agree exactly
+    val pr = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .cast("decimal(38,0)").as("rev"))
+      .groupBy("pk").agg(sum("rev").as("rev"))
+    val tot = pr.agg(sum("rev")).collect().head.getDecimal(0)
+    val w = Window.orderBy(col("rev").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = pr.withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("cls", when(col("cum") * 100 <= lit(tot) * 80, "A")
+        .when(col("cum") * 100 <= lit(tot) * 95, "B").otherwise("C"))
+      .groupBy("cls").agg(count(lit(1)).as("n"), sum("rev").as("r"))
+      .orderBy("cls").collect()
+    assert(naive.length == rows.length)
+    rows.zip(naive).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), s"class ${a.getString(0)} count")
+      assert(math.abs(a.getDouble(3) - b.getDecimal(2).doubleValue / 1e6) < 1e-6)
+    }
+  }
+
+  test("customer_lifecycle: growth accounting conserves the customer base") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("customer_lifecycle")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    // every customer is NEW exactly once
+    assert(rows.map(_.getLong(1)).sum == nCust, "sum(new) = distinct customers")
+    // month-to-month conservation: actives at m-1 either retain or churn at m
+    val byM = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val maxM = byM.keys.max
+    byM.foreach { case (m, (_, _, _, _, active)) =>
+      if (active > 0 && m < maxM) {
+        assert(byM.contains(m + 1), s"month ${m + 1} missing after active month $m")
+        val (_, ret1, _, chn1, _) = byM(m + 1)
+        assert(ret1 + chn1 == active, s"month ${m + 1}: retained+churned != active(m-1)")
+      }
+    }
+    // unchurned accounting: entries minus exits = actives at the last month
+    val lastActive = byM(byM.keys.max)._5
+    val (sNew, sRes, sChn) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(sNew + sRes - sChn == lastActive, "new + resurrected - churned = final actives")
+  }
+
   test("orders_gap_dist: gap count conserves (orders - customers), shares sum to 1") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("orders_gap_dist")(spark, sf).collect()
