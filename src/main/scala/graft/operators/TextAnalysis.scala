@@ -378,7 +378,74 @@ object TextAnalysis {
        |FROM cf JOIN tt USING (lang)
        |ORDER BY cf.lang, cf.pred_lang""".stripMargin
 
+  // ------------------------------------------------------- text_readability
+  /** Flesch reading-ease + Flesch–Kincaid grade per document (Flesch
+    * '48, Kincaid '75) — the classic readability screen a curation
+    * pipeline runs next to the Gopher-style signals (text_quality's
+    * ratios say "is this prose-shaped"; this says "what register").
+    * Syllables use the standard vowel-run approximation: maximal
+    * [aeiouy]+ runs in the lowercased text (spaces break runs, so the
+    * whole-document regexp count equals the per-word sum — no explode
+    * needed); sentences are [.!?]+ runs floored at 1.
+    *
+    * Scale: scan-fused map-only regexp counting — zero shuffles, zero
+    * joins; the three counts are exact integers and each formula is
+    * the identical literal arithmetic chain on both engines (integer
+    * ratios are each ONE IEEE division; the decimal constants parse to
+    * the same doubles under strtod). The band CASE compares the
+    * ROUNDED score so both engines band identically. Empty docs
+    * (0 words) yield NULL metrics, never a division error. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val w = size(regexp_extract_all(t, lit("[^ ]+"), lit(0))).cast("long")
+    val sy = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long")
+    val se = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), w.as("n_words"), se.as("n_sentences"), sy.as("n_syllables"))
+    val flesch = round(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+      - lit(84.6) * (col("n_syllables") / col("n_words")), 4) + 0.0
+    val grade = round(lit(0.39) * (col("n_words") / col("n_sentences"))
+      + lit(11.8) * (col("n_syllables") / col("n_words")) - lit(15.59), 4) + 0.0
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+      when(col("n_words") === 0, lit(null).cast("double")).otherwise(flesch).as("flesch"),
+      when(col("n_words") === 0, lit(null).cast("double")).otherwise(grade).as("fk_grade"))
+      .withColumn("band",
+        when(col("flesch").isNull, lit(null).cast("string"))
+          .when(col("flesch") >= 90.0, "5_very_easy")
+          .when(col("flesch") >= 70.0, "4_easy")
+          .when(col("flesch") >= 50.0, "3_standard")
+          .when(col("flesch") >= 30.0, "2_difficult")
+          .otherwise("1_very_hard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textReadabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    CASE WHEN n_words = 0 THEN NULL
+      |         ELSE round(206.835 - 1.015 * (n_words / n_sentences)
+      |                    - 84.6 * (n_syllables / n_words), 4) + 0.0 END AS flesch,
+      |    CASE WHEN n_words = 0 THEN NULL
+      |         ELSE round(0.39 * (n_words / n_sentences)
+      |                    + 11.8 * (n_syllables / n_words) - 15.59, 4) + 0.0 END AS fk_grade
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade,
+      |  CASE WHEN flesch IS NULL THEN NULL
+      |       WHEN flesch >= 90.0 THEN '5_very_easy'
+      |       WHEN flesch >= 70.0 THEN '4_easy'
+      |       WHEN flesch >= 50.0 THEN '3_standard'
+      |       WHEN flesch >= 30.0 THEN '2_difficult'
+      |       ELSE '1_very_hard' END AS band
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "corpus_quality_gate" -> (corpusQualityGate _),
     "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
@@ -392,6 +459,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "corpus_quality_gate" -> corpusQualityGateSql,
     "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,

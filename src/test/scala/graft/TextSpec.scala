@@ -6,6 +6,39 @@ import graft.functions.Text
 /** Semantic checks for the text suite beyond oracle parity. */
 class TextSpec extends SparkSpec {
 
+  test("text_readability: formula/band wiring exact, whole-doc syllable count = per-word sum") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, sy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s >= 1, "sentence count floored at 1")
+      if (w == 0) { assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)) }
+      else {
+        val f = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)
+        assert(math.abs(r.getDouble(4) - f) < 1e-3, s"flesch wiring doc ${r.getLong(0)}")
+        val g = 0.39 * (w.toDouble / s) + 11.8 * (sy.toDouble / w) - 15.59
+        assert(math.abs(r.getDouble(5) - g) < 1e-3, s"grade wiring doc ${r.getLong(0)}")
+        val fl = r.getDouble(4)
+        val expect =
+          if (fl >= 90) "5_very_easy" else if (fl >= 70) "4_easy"
+          else if (fl >= 50) "3_standard" else if (fl >= 30) "2_difficult"
+          else "1_very_hard"
+        assert(r.getString(6) == expect, s"band doc ${r.getLong(0)}")
+      }
+    }
+    // spaces break vowel runs, so the whole-doc regexp count must equal
+    // the per-word sum (the claim that lets the op skip the explode)
+    val perWord = graft.sources.Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).as("whole"),
+        aggregate(transform(split(lower(col("text")), " "),
+          wd => size(regexp_extract_all(wd, lit("[aeiouy]+"), lit(0)))),
+          lit(0), (acc, x) => acc + x).as("summed"))
+      .collect()
+    perWord.foreach(r => assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("quality_gate: keep is the AND of its gates, repetition gate mirrors text_repetition") {
     val rows = SparkEntry.queries("corpus_quality_gate")(spark, sf).collect()
     assert(rows.nonEmpty)
