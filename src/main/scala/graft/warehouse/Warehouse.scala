@@ -1898,23 +1898,91 @@ object Warehouse {
       .orderBy(col("sheet"), col("pos"))
   }
 
-  val finBalanceSheetSql: String =
-    s"""WITH ${Statements.balanceCtes},
+  /** Shared categorized-balance CTE chain (the state machine above as
+    * SQL): every balance-sheet mirror composes from this single builder
+    * so the categorization cannot drift between fin_balance_sheet and
+    * fin_bs_ratios. Exposes `bs_lines(sheet, pos, gl_code, category,
+    * descr, sc)` with sc in exact integer cents. */
+  val balanceLinesCtes: String =
+    s"""${Statements.balanceCtes},
        |bs_cat AS (
        |  SELECT *,
        |    sum(CASE WHEN upper(trim(descr)) LIKE 'TOTAL ASSETS%' THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS na,
        |    sum(CASE WHEN upper(trim(descr)) LIKE 'TOTAL LIABILITIES%' THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY sheet ORDER BY pos ROWS UNBOUNDED PRECEDING) AS nl
-       |  FROM bs_rows)
-       |SELECT sheet, pos, lpad(trim(label), 4, '0') AS gl_code,
-       |       CASE WHEN nl >= 1 THEN 'Equity' WHEN na >= 1 THEN 'Liability'
-       |            ELSE 'Assets' END AS category,
-       |       descr AS description, sc / 100.0 AS amount
-       |FROM bs_cat
-       |WHERE trim(descr) <> '' AND upper(trim(descr)) NOT LIKE 'TOTAL %'
-       |  AND regexp_matches(trim(label), '^[0-9]{1,4}$$')
-       |ORDER BY sheet, pos""".stripMargin
+       |  FROM bs_rows),
+       |bs_lines AS (
+       |  SELECT sheet, pos, lpad(trim(label), 4, '0') AS gl_code,
+       |         CASE WHEN nl >= 1 THEN 'Equity' WHEN na >= 1 THEN 'Liability'
+       |              ELSE 'Assets' END AS category,
+       |         descr, sc
+       |  FROM bs_cat
+       |  WHERE trim(descr) <> '' AND upper(trim(descr)) NOT LIKE 'TOTAL %'
+       |    AND regexp_matches(trim(label), '^[0-9]{1,4}$$'))""".stripMargin
+
+  val finBalanceSheetSql: String =
+    s"""WITH $balanceLinesCtes
+       |SELECT sheet, pos, gl_code, category, descr AS description,
+       |       sc / 100.0 AS amount
+       |FROM bs_lines ORDER BY sheet, pos""".stripMargin
+
+  // -------------------------------------------------------- fin_bs_ratios
+  /** Balance-sheet ratio panel per sheet: total Assets / Liabilities /
+    * Equity, the accounting-equation residual A − L − E (the audit
+    * check — a clean statement nets to the Equity rows the state
+    * machine classified), debt-to-equity L/E, equity ratio E/A and
+    * liability share L/A — the solvency read a finance team runs off
+    * the same statement the reference's balance-sheet parser ingests
+    * (Code.gs:211-235 gives the categories; this is the analysis the
+    * docs' "reconciliation and downstream analytics" promise implies).
+    *
+    * Scale: consumes the fin_balance_sheet derivation (same ONE window
+    * shuffle on sheet) and rolls up to ≤|sheets| rows with conditional
+    * integer-cents sums — map-side combined, exact; each ratio is one
+    * IEEE division of identically-cast exact integers, NULL where the
+    * denominator is zero. The mirror composes from balanceLinesCtes,
+    * so the categorization cannot drift from fin_balance_sheet's. */
+  def finBsRatios(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("amount") * 100).cast("long")
+    def cat(name: String) = sum(when(col("category") === name, c).otherwise(0L))
+    val agg = finBalanceSheet(spark, dir)
+      .groupBy(col("sheet"))
+      .agg(cat("Assets").as("ac"), cat("Liability").as("lc"), cat("Equity").as("ec"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6) + 0.0)
+    agg.select(col("sheet"),
+      (col("ac").cast("double") / 100.0).as("assets"),
+      (col("lc").cast("double") / 100.0).as("liabilities"),
+      (col("ec").cast("double") / 100.0).as("equity"),
+      ((col("ac") - col("lc") - col("ec")).cast("double") / 100.0).as("residual"),
+      ratio(col("lc"), col("ec")).as("debt_to_equity"),
+      ratio(col("ec"), col("ac")).as("equity_ratio"),
+      ratio(col("lc"), col("ac")).as("liability_share"))
+      .orderBy(col("sheet"))
+  }
+
+  val finBsRatiosSql: String =
+    s"""WITH $balanceLinesCtes,
+       |agg AS (
+       |  SELECT sheet,
+       |    sum(CASE WHEN category = 'Assets' THEN sc ELSE 0 END) AS ac,
+       |    sum(CASE WHEN category = 'Liability' THEN sc ELSE 0 END) AS lc,
+       |    sum(CASE WHEN category = 'Equity' THEN sc ELSE 0 END) AS ec
+       |  FROM bs_lines GROUP BY sheet)
+       |SELECT sheet,
+       |  CAST(ac AS DOUBLE) / 100.0 AS assets,
+       |  CAST(lc AS DOUBLE) / 100.0 AS liabilities,
+       |  CAST(ec AS DOUBLE) / 100.0 AS equity,
+       |  CAST(ac - lc - ec AS DOUBLE) / 100.0 AS residual,
+       |  CASE WHEN ec = 0 THEN NULL
+       |       ELSE round(CAST(lc AS DOUBLE) / CAST(ec AS DOUBLE), 6) + 0.0 END AS debt_to_equity,
+       |  CASE WHEN ac = 0 THEN NULL
+       |       ELSE round(CAST(ec AS DOUBLE) / CAST(ac AS DOUBLE), 6) + 0.0 END AS equity_ratio,
+       |  CASE WHEN ac = 0 THEN NULL
+       |       ELSE round(CAST(lc AS DOUBLE) / CAST(ac AS DOUBLE), 6) + 0.0 END AS liability_share
+       |FROM agg ORDER BY sheet""".stripMargin
 
   // ------------------------------------------------------- fin_load_audit
 
@@ -2115,6 +2183,7 @@ object Warehouse {
     "fin_anomaly_mad" -> (finAnomalyMad _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
+    "fin_bs_ratios" -> (finBsRatios _),
     "fin_header_detect" -> (finHeaderDetect _),
     "fin_load_audit" -> (finLoadAudit _)
   )
@@ -2154,6 +2223,7 @@ object Warehouse {
     "fin_anomaly_mad" -> finAnomalyMadSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
+    "fin_bs_ratios" -> finBsRatiosSql,
     "fin_header_detect" -> finHeaderDetectSql,
     "fin_load_audit" -> finLoadAuditSql
   )

@@ -64,6 +64,27 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSet == Set("Assets", "Liability", "Equity"))
   }
 
+  test("fin_bs_ratios: totals agree with fin_balance_sheet, ratio wiring exact") {
+    val bs = SparkEntry.queries("fin_balance_sheet")(spark, sf).collect()
+    val byCat = bs.groupBy(r => (r.getString(0), r.getString(3)))
+      .view.mapValues(_.map(r => math.round(r.getDouble(5) * 100)).sum).toMap
+    val rows = SparkEntry.queries("fin_bs_ratios")(spark, sf).collect()
+    assert(rows.length == bs.map(_.getString(0)).distinct.length, "one row per sheet")
+    rows.foreach { r =>
+      val sheet = r.getString(0)
+      def cat(c: String) = byCat.getOrElse((sheet, c), 0L)
+      assert(math.round(r.getDouble(1) * 100) == cat("Assets"))
+      assert(math.round(r.getDouble(2) * 100) == cat("Liability"))
+      assert(math.round(r.getDouble(3) * 100) == cat("Equity"))
+      assert(math.round(r.getDouble(4) * 100) ==
+        cat("Assets") - cat("Liability") - cat("Equity"), s"residual $sheet")
+      if (cat("Equity") != 0)
+        assert(math.abs(r.getDouble(5)
+          - cat("Liability").toDouble / cat("Equity")) < 1e-4, s"d2e $sheet")
+      else assert(r.isNullAt(5), "zero equity must yield NULL, not a division")
+    }
+  }
+
   test("reconciliation flags exactly the N/A-bearing groups") {
     val rows = SparkEntry.queries("fin_reconciliation")(spark, sf).collect()
     assert(rows.nonEmpty)
