@@ -378,6 +378,94 @@ object TextAnalysis {
        |FROM cf JOIN tt USING (lang)
        |ORDER BY cf.lang, cf.pred_lang""".stripMargin
 
+  // -------------------------------------------------------- text_winnow_fp
+  /** Winnowing fingerprint profile per document (Schleimer, Wilkerson &
+    * Aiken SIGMOD'03 — the MOSS local fingerprinting): over the word-
+    * 3-shingle md5 sequence, each sliding window of w=4 positions
+    * selects its minimum hash (RIGHTMOST on ties, the paper's rule);
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprints. Winnowing guarantees any shared run of ≥ w+k−1
+    * words yields a shared fingerprint — the position-aware upgrade
+    * over text_shingle_fp's single global minimum, and the candidate
+    * generator MOSS-style overlap detection builds on. Reported:
+    * shingle/window/selection counts, selection density (expected
+    * ~2/(w+1) on random text), and the min/max selected hash.
+    *
+    * Scale: scan-fused map-only array work per doc (the ShingleMd5s
+    * native kernel feeds an O(n·w) HOF argmin chain — w=4 string
+    * compares per window, no explode, no shuffle); the rollup is the
+    * per-doc projection itself. md5 hex strings order identically in
+    * both engines; the rightmost tie-break is the aggregate's <=
+    * override in Spark and list_reverse + list_position in the
+    * mirror — bit-identical selections (spec re-simulates the paper's
+    * algorithm in plain Scala and matches counts exactly). */
+  def textWinnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("h"))
+      .withColumn("n", size(col("h")))
+      .withColumn("nw", greatest(col("n") - (W - 1), lit(1)))
+    // distinct selections as "pos:hash" strings (engines can't distinct
+    // struct lists uniformly); min/max selected hash need no distinct —
+    // duplicates never change a min/max — so they fold the window minima
+    val selStr = array_distinct(transform(
+      sequence(lit(1), col("nw")),
+      s => {
+        val arg = aggregate(
+          sequence(s, least(s + (W - 1), col("n"))),
+          struct(lit("g").as("mh"), lit(0).as("mp")),
+          (acc, j) => when(element_at(col("h"), j) <= acc.getField("mh"),
+            struct(element_at(col("h"), j).as("mh"), j.as("mp")))
+            .otherwise(acc))
+        concat(arg.getField("mp").cast("string"), lit(":"), arg.getField("mh"))
+      }))
+    val winMin = transform(sequence(lit(1), col("nw")),
+      s => array_min(slice(col("h"), s, lit(W))))
+    base
+      .withColumn("sel", when(col("n") === 0, array().cast("array<string>"))
+        .otherwise(selStr))
+      .withColumn("wm", when(col("n") === 0, array().cast("array<string>"))
+        .otherwise(winMin))
+      .select(col("doc_id"), col("n").as("n_shingles"),
+        when(col("n") === 0, 0).otherwise(col("nw")).cast("int").as("n_windows"),
+        size(col("sel")).as("n_selected"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(round(size(col("sel")).cast("double")
+            / col("nw").cast("double"), 6) + 0.0).as("density"),
+        array_min(col("wm")).as("sel_min"),
+        array_max(col("wm")).as("sel_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textWinnowFpSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    [md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+      |     for i in range(0, len(words)-2)] AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
+      |dims AS (SELECT doc_id, h, len(h) AS n, greatest(len(h) - 3, 1) AS nw FROM sh),
+      |sel AS (
+      |  SELECT doc_id, n, nw,
+      |    CASE WHEN n = 0 THEN [] ELSE list_distinct([
+      |      CAST(s + least(s + 3, n) - s + 1 - list_position(
+      |             list_reverse(h[s : least(s + 3, n)]),
+      |             list_min(h[s : least(s + 3, n)])) AS VARCHAR)
+      |      || ':' || list_min(h[s : least(s + 3, n)])
+      |      for s in range(1, nw + 1)]) END AS sels,
+      |    CASE WHEN n = 0 THEN []
+      |         ELSE [list_min(h[s : least(s + 3, n)]) for s in range(1, nw + 1)]
+      |    END AS wm
+      |  FROM dims)
+      |SELECT doc_id, n AS n_shingles,
+      |  CASE WHEN n = 0 THEN 0 ELSE CAST(nw AS INT) END AS n_windows,
+      |  CAST(len(sels) AS INT) AS n_selected,
+      |  CASE WHEN n = 0 THEN NULL
+      |       ELSE round(CAST(len(sels) AS DOUBLE) / CAST(nw AS DOUBLE), 6) + 0.0
+      |  END AS density,
+      |  list_min(wm) AS sel_min,
+      |  list_max(wm) AS sel_max
+      |FROM sel ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- text_readability
   /** Flesch reading-ease + Flesch–Kincaid grade per document (Flesch
     * '48, Kincaid '75) — the classic readability screen a curation
@@ -446,6 +534,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> (textReadability _),
+    "text_winnow_fp" -> (textWinnowFp _),
     "corpus_quality_gate" -> (corpusQualityGate _),
     "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
@@ -460,6 +549,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
+    "text_winnow_fp" -> textWinnowFpSql,
     "corpus_quality_gate" -> corpusQualityGateSql,
     "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,

@@ -6,6 +6,39 @@ import graft.functions.Text
 /** Semantic checks for the text suite beyond oracle parity. */
 class TextSpec extends SparkSpec {
 
+  test("text_winnow_fp: matches a literal re-simulation of the paper's algorithm") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_winnow_fp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val hs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.shingleHashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val w = 4
+    hs.foreach { case (id, h) =>
+      val r = rows(id)
+      val n = h.length
+      assert(r.getInt(1) == n)
+      if (n == 0) assert(r.getInt(3) == 0)
+      else {
+        // literal winnowing: each window picks its min, rightmost on ties
+        val sel = (0 until math.max(n - w + 1, 1)).map { s =>
+          val win = h.slice(s, math.min(s + w, n))
+          val m = win.min
+          val p = s + win.lastIndexOf(m)
+          (p, m)
+        }.distinct
+        assert(r.getInt(3) == sel.length, s"doc $id n_selected")
+        assert(r.getString(5) == sel.map(_._2).min, s"doc $id sel_min")
+        assert(r.getString(6) == sel.map(_._2).max, s"doc $id sel_max")
+        // the winnowing coverage guarantee: selected positions are never
+        // more than w apart (every window contributed a selection)
+        val ps = sel.map(_._1).sorted
+        ps.zip(ps.drop(1)).foreach { case (a, b) => assert(b - a <= w, s"doc $id gap") }
+      }
+    }
+  }
+
   test("text_readability: formula/band wiring exact, whole-doc syllable count = per-word sum") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
