@@ -465,7 +465,10 @@ object Relational {
   /** Gap-based sessionization (30 min): lag → new-session flag → running
     * sum → per-session aggregate. Scale: both windows and the final
     * groupBy share one shuffle on user_id. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The sessionized-events frame both session queries consume:
+    * (user_id, session_id, n_events, start_us, end_us, sum_cents).
+    * Both windows and the rollup share ONE user_id shuffle. */
+  private[operators] def sessions(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -478,9 +481,67 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
            min(col("ts_us")).as("start_us"),
            max(col("ts_us")).as("end_us"),
-           dollars(sum(cents(col("value")))).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
+           sum(cents(col("value"))).as("sum_cents"))
   }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessions(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"), dollars(col("sum_cents")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  // ---------------------------------------------------- events_session_stats
+  /** Session-duration panel over the sessionize derivation: sessions
+    * bucketed by floor(log2(duration_sec + 1)) with counts, share,
+    * event totals and events-per-session — the engagement-depth
+    * distribution behind the raw session list (drive-by single-hit
+    * traffic vs long workflows), and the sanity check on the 30-min
+    * gap parameter (mass piling into the top bucket says the gap is
+    * splitting real sessions).
+    *
+    * Scale: the same ONE user_id shuffle as sessionize (the shared
+    * `sessions` builder), then a map-side-combined rollup to ≤~40 log2
+    * buckets — the bucket floor is the transcendental-free
+    * len(binary(d+1))−1 idiom (exact integers, no cross-engine log());
+    * the bucket frame is staged once for its two consumers (output +
+    * the broadcast 1-row total); duration is exact integer µs→s
+    * division; share/avg are the boundary divisions. */
+  def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val agg = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      sessions(spark, dir)
+        .withColumn("dsec", expr("(end_us - start_us) DIV 1000000"))
+        .withColumn("bucket", (length(bin(col("dsec") + 1)) - 1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("sum_events")))
+    val tot = agg.agg(sum(col("n_sessions")).as("nt"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)") - 1)
+          .as("dur_lo_sec"),
+        col("n_sessions"),
+        (round(col("n_sessions").cast("double") / col("nt").cast("double"), 6)
+          + 0.0).as("share"),
+        col("sum_events"),
+        (round(col("sum_events").cast("double") / col("n_sessions").cast("double"), 4)
+          + 0.0).as("avg_events"))
+      .orderBy(col("bucket"))
+  }
+
+  // lazy: composes from sessionCtes, declared below (object-init order)
+  lazy val eventsSessionStatsSql: String =
+    s"""WITH $sessionCtes,
+      |d AS (SELECT (end_us - start_us) // 1000000 AS dsec, n_events FROM sess),
+      |k AS (SELECT CAST(length(format('{:b}', dsec + 1)) - 1 AS INT) AS bucket,
+      |             n_events FROM d),
+      |ag AS (SELECT bucket, count(*) AS n_sessions,
+      |              CAST(sum(n_events) AS BIGINT) AS sum_events
+      |       FROM k GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS nt FROM ag)
+      |SELECT bucket, (CAST(1 AS BIGINT) << bucket) - 1 AS dur_lo_sec, n_sessions,
+      |  round(CAST(n_sessions AS DOUBLE) / CAST(nt AS DOUBLE), 6) + 0.0 AS share,
+      |  sum_events,
+      |  round(CAST(sum_events AS DOUBLE) / CAST(n_sessions AS DOUBLE), 4) + 0.0 AS avg_events
+      |FROM ag, t ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------------------ range_join
   /** Nearest-within-tolerance range join: each purchase finds its
@@ -530,18 +591,26 @@ object Relational {
       |      FROM c)
       |SELECT p_id, e_id, dt_us FROM r WHERE rn = 1 ORDER BY p_id""".stripMargin
 
-  val sessionizeSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+  /** Shared sessionization CTE chain — both session mirrors compose from
+    * this one builder (the drift rule): exposes `sess(user_id,
+    * session_id, n_events, start_us, end_us, sum_cents)`. */
+  val sessionCtes: String =
+    """e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
       |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
       |                     THEN 1 ELSE 0 END AS is_new
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
-      |SELECT user_id, session_id, count(*) AS n_events,
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m),
+      |sess AS (SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
-      |FROM s GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+      |FROM s GROUP BY user_id, session_id)""".stripMargin
+
+  val sessionizeSql: String =
+    s"""WITH $sessionCtes
+      |SELECT user_id, session_id, n_events, start_us, end_us,
+      |  CAST(sum_cents AS DOUBLE)/100.0 AS sum_value
+      |FROM sess ORDER BY user_id, session_id""".stripMargin
 
   // ------------------------------------------------------- range_window
   /** RANGE-framed window: each order's sum of same-customer order value
@@ -1136,6 +1205,7 @@ object Relational {
     "asof_join" -> (asofJoin _),
     "asof_join_nearest" -> (asofJoinNearest _),
     "sessionize" -> (sessionize _),
+    "events_session_stats" -> (eventsSessionStats _),
     "range_join" -> (rangeJoin _),
     "range_window" -> (rangeWindow _),
     "dedup_exact_keyed" -> (dedupExactKeyed _)
@@ -1169,6 +1239,7 @@ object Relational {
     "asof_join" -> asofJoinSql,
     "asof_join_nearest" -> asofJoinNearestSql,
     "sessionize" -> sessionizeSql,
+    "events_session_stats" -> eventsSessionStatsSql,
     "range_join" -> rangeJoinSql,
     "range_window" -> rangeWindowSql,
     "dedup_exact_keyed" -> dedupExactKeyedSql

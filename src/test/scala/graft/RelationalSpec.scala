@@ -130,6 +130,26 @@ class RelationalSpec extends SparkSpec {
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("events_session_stats: conserves sessions and events, bucket bounds exact") {
+    val sess = run("sessionize").collect()
+    val rows = run("events_session_stats").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == sess.length, "session counts conserve")
+    assert(rows.map(_.getLong(4)).sum == sess.map(_.getLong(2)).sum, "event counts conserve")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares sum to 1")
+    rows.foreach { r =>
+      assert(r.getLong(1) == (1L << r.getInt(0)) - 1, "dur_lo = 2^bucket - 1")
+      assert(r.getDouble(5) >= 1.0, "every session has at least one event")
+    }
+    // bucket membership spot-check against the raw session durations
+    val durBuckets = sess.map { s =>
+      val d = (s.getLong(4) - s.getLong(3)) / 1000000L
+      64 - java.lang.Long.numberOfLeadingZeros(d + 1) - 1
+    }
+    val expect = durBuckets.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(expect(r.getInt(0)) == r.getLong(2), s"bucket ${r.getInt(0)}"))
+  }
+
   test("dedup_exact_keyed keeps exactly one row per customer") {
     val rows = run("dedup_exact_keyed").collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
