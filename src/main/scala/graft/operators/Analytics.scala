@@ -1584,6 +1584,64 @@ object Analytics {
       |       round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM t), 6) + 0.0 AS share
       |FROM gg GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------- events_ohlc_bars
+  /** OHLC bar resampling: per (event_type, hour) the open/high/low/close
+    * of `value` plus event count and summed volume — the market-data
+    * downsample shape (time-series → fixed bars) every telemetry or
+    * price pipeline runs; fin_sparse_fill/fin_interpolate operate on
+    * monthly bars, this produces them from raw events.
+    *
+    * Open/close are the value at the first/last event of the bar under
+    * the TOTAL (ts, event_id) order — computed as one min/max over a
+    * (ts, event_id, value) struct (lexicographic struct comparison is
+    * identical in Spark and DuckDB, and event_id uniqueness means the
+    * value field never decides), so no row_number window and no second
+    * pass: the whole bar is ONE map-side-combined aggregate on the
+    * (type, bar) key — the ideal 100 TB shape (bars are
+    * calendar-bounded, the shuffle carries ≤|types|·|hours| combined
+    * rows per map partition). Money stays exact integer cents until
+    * the boundary /100 casts. */
+  def eventsOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        cents(col("value")).as("vc"))
+      .withColumn("bar_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+    e.groupBy(col("event_type"), col("bar_us"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("vc"))).as("c"),
+        min(col("vc")).as("lo_c"), max(col("vc")).as("hi_c"),
+        count(lit(1)).as("n_events"), sum(col("vc")).as("sum_c"))
+      .select(col("event_type"), col("bar_us"),
+        dollars(col("o").getField("vc")).as("open"),
+        dollars(col("hi_c")).as("high"),
+        dollars(col("lo_c")).as("low"),
+        dollars(col("c").getField("vc")).as("close"),
+        col("n_events"),
+        dollars(col("sum_c")).as("volume"))
+      .orderBy(col("event_type"), col("bar_us"))
+  }
+
+  val eventsOhlcBarsSql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |                  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |b AS (SELECT *, ts_us - ts_us % 3600000000 AS bar_us FROM e),
+      |g AS (SELECT event_type, bar_us,
+      |        min({'ts': ts_us, 'id': event_id, 'vc': vc}) AS o,
+      |        max({'ts': ts_us, 'id': event_id, 'vc': vc}) AS c,
+      |        min(vc) AS lo_c, max(vc) AS hi_c,
+      |        count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_c
+      |      FROM b GROUP BY 1, 2)
+      |SELECT event_type, bar_us,
+      |  CAST(o.vc AS DOUBLE)/100.0 AS open,
+      |  CAST(hi_c AS DOUBLE)/100.0 AS high,
+      |  CAST(lo_c AS DOUBLE)/100.0 AS low,
+      |  CAST(c.vc AS DOUBLE)/100.0 AS close,
+      |  n_events,
+      |  CAST(sum_c AS DOUBLE)/100.0 AS volume
+      |FROM g ORDER BY event_type, bar_us""".stripMargin
+
   // -------------------------------------------------------- parts_abc_class
   /** ABC classification of the part catalog by discounted revenue — the
     * inventory-management read (A ≈ top-80% of revenue, B next 15%,
@@ -1768,6 +1826,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "customer_lifecycle" -> (customerLifecycle _),
+    "events_ohlc_bars" -> (eventsOhlcBars _),
     "parts_abc_class" -> (partsAbcClass _),
     "supplier_scorecard" -> (supplierScorecard _),
     "orders_customer_hhi" -> (ordersCustomerHhi _),
@@ -1802,6 +1861,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "customer_lifecycle" -> customerLifecycleSql,
+    "events_ohlc_bars" -> eventsOhlcBarsSql,
     "parts_abc_class" -> partsAbcClassSql,
     "supplier_scorecard" -> supplierScorecardSql,
     "orders_customer_hhi" -> ordersCustomerHhiSql,

@@ -42,6 +42,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_ohlc_bars: conserves events, OHLC ordered, open/close = first/last") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = SparkEntry.queries("events_ohlc_bars")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(6)).sum == graft.sources.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= h + 1e-9)
+      assert(o >= l - 1e-9 && o <= h + 1e-9, s"open inside [low, high]: $r")
+      assert(c >= l - 1e-9 && c <= h + 1e-9, s"close inside [low, high]: $r")
+    }
+    // naive first/last via an explicit window must agree on every bar
+    val w = Window.partitionBy(col("event_type"), col("bar_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val naive = graft.sources.Tables.eventsUs(spark, sf)
+      .withColumn("bar_us", col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
+      .withColumn("vc", round(col("value") * 100).cast("long").cast("double") / 100.0)
+      .withColumn("first_v", first(col("vc")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("last_v", last(col("vc")).over(
+        w.rowsBetween(0, Window.unboundedFollowing)))
+      .groupBy(col("event_type"), col("bar_us"))
+      .agg(min(col("first_v")).as("o"), max(col("last_v")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    rows.foreach { r =>
+      val (no, nc) = naive((r.getString(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - no) < 1e-6, s"open ${r.getString(0)}/${r.getLong(1)}")
+      assert(math.abs(r.getDouble(5) - nc) < 1e-6, s"close ${r.getString(0)}/${r.getLong(1)}")
+    }
+  }
+
   test("parts_abc_class: bucketed cums equal the global-window classification") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
