@@ -479,6 +479,32 @@ object EventStreams {
       .dropDuplicates("user_id", "hour")
       .groupBy(col("hour")).agg(count(lit(1)).as("n_users"))
 
+  /** Streaming twin of events_ohlc_bars: the identical one-pass
+    * struct-min/max OHLC aggregate under a watermarked tumbling
+    * window — the proof that the bar shape needs no sequential scan
+    * even live (open/close are mergeable min/max over the
+    * (ts, event_id, cents) struct, so partial bars combine exactly
+    * across micro-batches). State is one combined row per (type, bar),
+    * bounded by the watermark horizon. StreamingSpec pins complete-mode
+    * output row-equal to the registered batch query under chunked
+    * arrivals. Expects columns ts (timestamp), ts_us, event_id,
+    * event_type, value. */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("ts_us"), col("event_id"), col("vc"))).as("c"),
+        min(col("vc")).as("lo_c"), max(col("vc")).as("hi_c"),
+        count(lit(1)).as("n_events"), sum(col("vc")).as("sum_c"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        (col("o.vc").cast("double") / 100.0).as("open"),
+        (col("hi_c").cast("double") / 100.0).as("high"),
+        (col("lo_c").cast("double") / 100.0).as("low"),
+        (col("c.vc").cast("double") / 100.0).as("close"),
+        col("n_events"), (col("sum_c").cast("double") / 100.0).as("volume"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_uniques" -> (streamUniques _),
     "stream_topk_trend" -> (streamTopkTrend _),

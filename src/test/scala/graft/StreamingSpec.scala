@@ -8,6 +8,7 @@ import graft.streaming.EventStreams.Event
 
 /** MemoryStream payloads (top-level: encoders require stable types). */
 case class StreamEv(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+case class OhlcEv(event_id: Long, ts_us: Long, event_type: String, value: Double)
 
 /** Streaming specs: drive the streaming operators through MemoryStream
   * and assert they converge to their batch-equivalent answers. */
@@ -65,6 +66,37 @@ class StreamingSpec extends SparkSpec {
       val want = SparkEntry.queries("stream_uniques")(spark, sf)
         .select(col("window_start_us"), col("n_users")).collect()
       assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("streaming OHLC bars converge to the oracled batch events_ohlc_bars") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.eventsUs(spark, sf)
+      .select("event_id", "ts_us", "event_type", "value").collect()
+      .map(r => OhlcEv(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_.ts_us)
+    val stream = MemoryStream[OhlcEv]
+    val withTs = stream.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.ohlcStream(withTs)
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try {
+      // chunked arrivals: partial bars from batch 1 must merge exactly
+      // with batch 2's remainder (struct min/max is mergeable state)
+      val (a, b) = events.splitAt(events.length / 2)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val got = spark.table("ohlc")
+        .select(col("event_type"), unix_micros(col("bar_start")).as("bar_us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("volume"))
+        .orderBy("event_type", "bar_us").collect()
+      val want = SparkEntry.queries("events_ohlc_bars")(spark, sf).collect()
+      assert(got.length == want.length, s"${got.length} vs ${want.length} bars")
+      assert(got.sameElements(want))
     } finally q.stop()
   }
 
