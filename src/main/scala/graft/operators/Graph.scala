@@ -330,13 +330,84 @@ object Graph {
       |       sum_degree
       |FROM ag CROSS JOIN tt ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------- graph_assortativity
+  /** Degree ASSORTATIVITY of the co-purchase graph (Newman PRL'02): the
+    * Pearson correlation of endpoint degrees over edges — do hub parts
+    * co-purchase with other hubs (r>0, social-network-like) or with
+    * niche parts (r<0, catalog/star-like)? The one-number summary that
+    * decides with graph_degree_dist whether hub-aware strategies pay.
+    * Over the directed edge enumeration (each undirected edge in both
+    * orientations) x/y marginals coincide, so
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no square roots, every
+    * term an exact DECIMAL(38,0)/HUGEINT integer product (the
+    * fin_dept_correlation moment discipline on graph degrees), ONE
+    * cast per factor, NULL on regular graphs (zero degree variance).
+    *
+    * Scale: the family's staged per-order distinct + per-order-bounded
+    * pair quadratic; the distinct directed edge list and degree frame
+    * each stage once (ed feeds deg + the moment join; deg feeds both
+    * endpoint joins + the node count); the two degree joins are
+    * co-partitioned on the vertex key; everything collapses to ONE
+    * 1-row moment aggregate + a broadcast 1-row node count. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graphAssortativityFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
+
+  private[graft] def graphAssortativityFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
+    val ed = stageBarrier(
+      li.select(col("ok"), col("p").as("src"))
+        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct())
+    val deg = stageBarrier(ed.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val xy = ed
+      .join(deg.select(col("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), Seq("dst"))
+    val m = xy.agg(count(lit(1)).as("m2"),
+      sum(d38(col("x"))).as("sx"),
+      sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+      sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val m2 = d38(col("m2"))
+    val den = m2 * col("sxx") - col("sx") * col("sx")
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), expr("m2 DIV 2").cast("long").as("n_edges"),
+        when(den <= 0, lit(null).cast("double"))
+          .otherwise(round((m2 * col("sxy") - col("sx") * col("sx")).cast("double")
+            / den.cast("double"), 6) + 0.0).as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+      |dg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+      |xy AS (SELECT CAST(dx.d AS HUGEINT) AS x, CAST(dy.d AS HUGEINT) AS y
+      |       FROM ed JOIN dg dx ON ed.src = dx.src JOIN dg dy ON ed.dst = dy.src),
+      |m AS (SELECT count(*) AS m2, sum(x) AS sx, sum(x*x) AS sxx, sum(x*y) AS sxy
+      |      FROM xy),
+      |nn AS (SELECT count(*) AS n_nodes FROM dg)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN CAST(m2 AS HUGEINT)*sxx - sx*sx <= 0 THEN NULL
+      |       ELSE round(CAST(CAST(m2 AS HUGEINT)*sxy - sx*sx AS DOUBLE)
+      |                  / CAST(CAST(m2 AS HUGEINT)*sxx - sx*sx AS DOUBLE), 6) + 0.0
+      |  END AS assortativity
+      |FROM m, nn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_similar_parts" -> (graphSimilarParts _),
     "graph_triangles" -> (graphTriangles _),
     "graph_part_rank" -> (graphPartRank _))
 
   def oracles: Map[String, String] = Map(
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_degree_dist" -> graphDegreeDistSql,
     "graph_similar_parts" -> graphSimilarPartsSql,
     "graph_triangles" -> graphTrianglesSql,

@@ -24,6 +24,23 @@ class GraphSpec extends SparkSpec {
     assert(rows(1L)._1 == 10L && rows(11L)._1 == 1L)
   }
 
+  test("graph_assortativity: planted star is exactly -1, regular K4 is NULL") {
+    import spark.implicits._
+    // star: hub part 1 with 3 leaves, one order per edge — perfectly
+    // disassortative, Newman's r = -1 exactly
+    val star = Seq((101L, 1L), (101L, 11L), (102L, 1L), (102L, 12L),
+      (103L, 1L), (103L, 13L)).toDF("ok", "p")
+    val rs = Graph.graphAssortativityFrom(star).collect().head
+    assert(rs.getLong(0) == 4 && rs.getLong(1) == 3)
+    assert(math.abs(rs.getDouble(2) - (-1.0)) < 1e-9, s"star r = ${rs.getDouble(2)}")
+    // K4: all degrees equal -> zero degree variance -> NULL, not a
+    // division blow-up
+    val k4 = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)).toDF("ok", "p")
+    val rk = Graph.graphAssortativityFrom(k4).collect().head
+    assert(rk.getLong(0) == 4 && rk.getLong(1) == 6)
+    assert(rk.isNullAt(2), "regular graph must yield NULL assortativity")
+  }
+
   test("graph_triangles: planted K4 + tail path counts exactly") {
     import spark.implicits._
     // order 100: parts {1,2,3,4} -> K4 (4 triangles, 6 edges);
