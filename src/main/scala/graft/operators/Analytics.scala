@@ -1675,10 +1675,14 @@ object Analytics {
     val probs = array((1 until B).map(i => lit(i.toDouble / B)): _*)
     val bnds = pr.agg(
       percentile_approx(col("rev").cast("double"), probs, lit(10000)).as("bnds"))
-    val bucketed = pr.crossJoin(broadcast(bnds))
-      .withColumn("bkt",
-        size(filter(col("bnds"), b => b > col("rev").cast("double"))).cast("int"))
-      .drop("bnds")
+    // staged: bucketed feeds the band histogram AND the classed join —
+    // unstaged, the percentile sketch subtree would run once per consumer
+    // (the aliased-reuse miss the dedup/part_affinity staging fixed)
+    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      pr.crossJoin(broadcast(bnds))
+        .withColumn("bkt",
+          size(filter(col("bnds"), b => b > col("rev").cast("double"))).cast("int"))
+        .drop("bnds"))
     val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offs = bucketed.groupBy(col("bkt")).agg(sum(col("rev")).as("brev"))
       .withColumn("off", coalesce(sum(col("brev")).over(wOff),
