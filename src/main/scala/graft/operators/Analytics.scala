@@ -468,18 +468,23 @@ object Analytics {
     * user_id key with the same ordering, so the whole operator is ONE
     * shuffle and the second window reuses the first's sort. No state
     * grows with history length beyond the rows themselves. */
-  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  /** The SCD2 interval build on any change frame with (user_id,
+    * event_id, ts_us, event_type) — shared by scd2_intervals (full
+    * build) and scd2_merge (per-user incremental rebuild). */
+  private def scd2IntervalsFrom(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.eventsUs(spark, dir)
-      .withColumn("prev_attr", lag(col("event_type"), 1).over(w))
+    e.withColumn("prev_attr", lag(col("event_type"), 1).over(w))
       .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
       .select(col("user_id"), col("event_type").as("attr"),
         col("ts_us").as("valid_from_us"),
         lead(col("ts_us"), 1).over(w).as("valid_to_us"),
         row_number().over(w).as("version"),
         lead(col("ts_us"), 1).over(w).isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsFrom(Tables.eventsUs(spark, dir))
+      .orderBy(col("user_id"), col("version"))
 
   val scd2IntervalsSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -492,6 +497,52 @@ object Analytics {
       |FROM ch WHERE prev_attr IS NULL OR prev_attr <> event_type
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  // ------------------------------------------------------------- scd2_merge
+  /** Incremental SCD2 maintenance — the MERGE a nightly dimension load
+    * runs instead of rebuilding history: split the change stream at a
+    * deterministic threshold (the last ~10% of the observed time range
+    * is "tonight's batch"), keep every UNTOUCHED user's stored
+    * intervals as-is, and rebuild intervals ONLY for users present in
+    * the batch (their full raw history re-collapsed — late attribute
+    * flips can re-stitch any of their runs, so per-user rebuild is the
+    * correct minimal scope). Registered correctness contract: the
+    * merged result must equal the from-scratch scd2_intervals build
+    * row-for-row — the oracle IS scd2_intervals' SQL.
+    *
+    * Scale: the work that scales with the CORPUS (untouched users) is a
+    * pass-through — in production those rows come straight from the
+    * stored dimension table (user-bucketed, partition-pruned, zero
+    * recompute); only batch-user history re-scans, so nightly cost
+    * tracks batch size, not history size. In-query the "stored" side is
+    * derived once (no stored state at the gate — the fin_trend_mom vs
+    * _staged convention); the tagged frame stages ONCE for its three
+    * consumers (batch-user probe, old filter, affected-history semi
+    * join); `affected` is batch-sized and data-scaled, so the semi join
+    * is a plain shuffle join, never a broadcast hint. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    // integer DIV split point; the merge ≡ full-rebuild contract holds
+    // for ANY partition of events into (stored, batch), so the split
+    // only shapes the work distribution. The gate corpus has few,
+    // always-active users (every user has events in any time window),
+    // so the batch is the last-10%-window changes of a deterministic
+    // THIRD of users — guaranteeing both merge branches (pass-through
+    // and rebuild) are exercised at every SF; the spec pins that.
+    val thr = ev.agg(
+      expr("max(ts_us) - (max(ts_us) - min(ts_us)) DIV 10").as("thr"))
+    val tagged = stageBarrier(ev.crossJoin(broadcast(thr))
+      .withColumn("is_new",
+        col("ts_us") >= col("thr") && pmod(col("user_id"), lit(3L)) === 0L)
+      .drop("thr"))
+    val affected = tagged.filter(col("is_new")).select(col("user_id")).distinct()
+    val untouched = scd2IntervalsFrom(tagged.filter(!col("is_new")))
+      .join(affected, Seq("user_id"), "left_anti")
+    val rebuilt = scd2IntervalsFrom(tagged.join(affected, Seq("user_id"), "left_semi"))
+    untouched.unionByName(rebuilt).orderBy(col("user_id"), col("version"))
+  }
 
   // ------------------------------------------------------------ scd2_asof
   /** Point-in-time lookup over the SCD2 dimension: each user's attribute
@@ -1851,6 +1902,7 @@ object Analytics {
     "fin_sparse_fill" -> (finSparseFill _),
     "fin_interpolate" -> (finInterpolate _),
     "scd2_intervals" -> (scd2Intervals _),
+    "scd2_merge" -> (scd2Merge _),
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
     "event_transition_time" -> (eventTransitionTime _),
@@ -1888,6 +1940,8 @@ object Analytics {
     "fin_sparse_fill" -> finSparseFillSql,
     "fin_interpolate" -> finInterpolateSql,
     "scd2_intervals" -> scd2IntervalsSql,
+    // the merge's contract IS from-scratch equality: same oracle verbatim
+    "scd2_merge" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
     "event_transition_time" -> eventTransitionTimeSql,

@@ -108,6 +108,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scd2_merge: incremental merge equals the from-scratch build bit for bit") {
+    val full = SparkEntry.queries("scd2_intervals")(spark, sf).collect()
+    val merged = SparkEntry.queries("scd2_merge")(spark, sf).collect()
+    assert(full.length == merged.length)
+    full.zip(merged).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // the gate fixture must actually exercise BOTH branches: some users
+    // rebuilt (in the batch window), some passed through untouched
+    val thr = graft.sources.Tables.eventsUs(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr(
+        "max(ts_us) - (max(ts_us) - min(ts_us)) DIV 10")).collect().head.getLong(0)
+    val users = graft.sources.Tables.eventsUs(spark, sf)
+      .select("user_id", "ts_us").collect().groupBy(_.getLong(0))
+    val affected = users.count { case (u, es) =>
+      u % 3 == 0 && es.exists(_.getLong(1) >= thr)
+    }
+    assert(affected > 0 && affected < users.size,
+      s"split degenerate: $affected of ${users.size} users affected")
+  }
+
   test("customer_lifecycle: growth accounting conserves the customer base") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("customer_lifecycle")(spark, sf).collect()
