@@ -1192,7 +1192,59 @@ object Dedup {
       |ORDER BY source_a, source_b""".stripMargin
 
   // ------------------------------------------------------------------ maps
+  // --------------------------------------------------- dedup_winnow_pairs
+  /** MOSS-style overlap candidates from the winnowing fingerprints
+    * (Schleimer et al. SIGMOD'03 §5 — the matching step over winnowed
+    * k-gram fingerprints): document pairs sharing ≥2 selected
+    * fingerprint hashes, ranked by shared count. Winnowing guarantees
+    * any shared run of ≥ w+k−1 words contributes a shared fingerprint,
+    * so this finds PARTIAL overlap (quoted spans, plagiarized passages,
+    * shared boilerplate blocks) that whole-set Jaccard dilutes away and
+    * containment only catches when one doc is mostly inside the other —
+    * the third candidate generator in the dedup family, position-local
+    * where minhash/simhash are global.
+    *
+    * Scale: the fingerprint set is ~2/(w+1) of each doc's shingles
+    * (winnowing's density bound); candidates are bucket-keyed on the
+    * fingerprint hash with the standard stop-fingerprint cap (hashes in
+    * > MaxDf docs are template boilerplate and dropped — the hot-bucket
+    * discipline), so per-hash fan-out is ≤ MaxDf²/2 and total candidate
+    * work tracks TRUE overlap, never corpus². The exploded fingerprint
+    * frame and the rare-filtered frame each stage once (both are
+    * consumed twice — the aliased-self-join reuse lesson); top-50
+    * TakeOrdered bounds output under the total (shared, id, id) order. */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val MaxDf = 8
+    val fps = stageBarrier(TextAnalysis.winnowBase(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("wm"))).as("fp")))
+    val rare = stageBarrier(fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf),
+      Seq("fp")).select(col("fp"), col("doc_id")))
+    rare.select(col("fp"), col("doc_id").as("id_a"))
+      .join(rare.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  lazy val dedupWinnowPairsSql: String =
+    s"""WITH ${TextAnalysis.winnowDimsCtes},
+       |wsel AS (SELECT doc_id, list_distinct(${TextAnalysis.winnowWmExpr}) AS fps
+       |         FROM dims),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
+       |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 8),
+       |r AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |      FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT id_a, id_b, n_shared FROM p
+       |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1210,6 +1262,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

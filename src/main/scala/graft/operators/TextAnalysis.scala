@@ -399,12 +399,43 @@ object TextAnalysis {
     * override in Spark and list_reverse + list_position in the
     * mirror — bit-identical selections (spec re-simulates the paper's
     * algorithm in plain Scala and matches counts exactly). */
-  def textWinnowFp(spark: SparkSession, dir: String): DataFrame = {
-    val W = 4
-    val base = Tables.documents(spark, dir)
+  /** Winnow window size (shared by the profile and the dedup candidate
+    * generator). */
+  private[operators] val WinnowW = 4
+
+  /** (doc_id, h, n, nw, wm): the shingle-hash array, its dims, and the
+    * per-window minima list — the shared base both winnow consumers
+    * build on (text_winnow_fp's profile; dedup_winnow_pairs' distinct
+    * fingerprint set = array_distinct(wm)). */
+  private[operators] def winnowBase(spark: SparkSession, dir: String): DataFrame = {
+    val W = WinnowW
+    val winMin = transform(sequence(lit(1), col("nw")),
+      s => array_min(slice(col("h"), s, lit(W))))
+    Tables.documents(spark, dir)
       .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("h"))
       .withColumn("n", size(col("h")))
       .withColumn("nw", greatest(col("n") - (W - 1), lit(1)))
+      .withColumn("wm", when(col("n") === 0, array().cast("array<string>"))
+        .otherwise(winMin))
+  }
+
+  /** Mirror fragments shared by both winnow mirrors (the drift rule):
+    * the shingle/dims CTE prefix and the per-window-minima expression. */
+  private[operators] val winnowDimsCtes: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    [md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+      |     for i in range(0, len(words)-2)] AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
+      |dims AS (SELECT doc_id, h, len(h) AS n, greatest(len(h) - 3, 1) AS nw FROM sh)""".stripMargin
+  private[operators] val winnowWmExpr: String =
+    """CASE WHEN n = 0 THEN []
+      |         ELSE [list_min(h[s : least(s + 3, n)]) for s in range(1, nw + 1)]
+      |    END""".stripMargin
+
+  def textWinnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val W = WinnowW
+    val base = winnowBase(spark, dir)
     // distinct selections as "pos:hash" strings (engines can't distinct
     // struct lists uniformly); min/max selected hash need no distinct —
     // duplicates never change a min/max — so they fold the window minima
@@ -419,13 +450,9 @@ object TextAnalysis {
             .otherwise(acc))
         concat(arg.getField("mp").cast("string"), lit(":"), arg.getField("mh"))
       }))
-    val winMin = transform(sequence(lit(1), col("nw")),
-      s => array_min(slice(col("h"), s, lit(W))))
     base
       .withColumn("sel", when(col("n") === 0, array().cast("array<string>"))
         .otherwise(selStr))
-      .withColumn("wm", when(col("n") === 0, array().cast("array<string>"))
-        .otherwise(winMin))
       .select(col("doc_id"), col("n").as("n_shingles"),
         when(col("n") === 0, 0).otherwise(col("nw")).cast("int").as("n_windows"),
         size(col("sel")).as("n_selected"),
@@ -437,13 +464,8 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val textWinnowFpSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    [md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
-      |     for i in range(0, len(words)-2)] AS h
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w),
-      |dims AS (SELECT doc_id, h, len(h) AS n, greatest(len(h) - 3, 1) AS nw FROM sh),
+  lazy val textWinnowFpSql: String =
+    s"""WITH $winnowDimsCtes,
       |sel AS (
       |  SELECT doc_id, n, nw,
       |    CASE WHEN n = 0 THEN [] ELSE list_distinct([
@@ -452,9 +474,7 @@ object TextAnalysis {
       |             list_min(h[s : least(s + 3, n)])) AS VARCHAR)
       |      || ':' || list_min(h[s : least(s + 3, n)])
       |      for s in range(1, nw + 1)]) END AS sels,
-      |    CASE WHEN n = 0 THEN []
-      |         ELSE [list_min(h[s : least(s + 3, n)]) for s in range(1, nw + 1)]
-      |    END AS wm
+      |    $winnowWmExpr AS wm
       |  FROM dims)
       |SELECT doc_id, n AS n_shingles,
       |  CASE WHEN n = 0 THEN 0 ELSE CAST(nw AS INT) END AS n_windows,

@@ -10,6 +10,31 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("dedup_winnow_pairs: matches a full driver-side re-simulation of MOSS matching") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("dedup_winnow_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.shingleHashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def fps(h: Seq[String]): Set[String] =
+      if (h.isEmpty) Set.empty
+      else (0 until math.max(h.length - 3, 1))
+        .map(s => h.slice(s, math.min(s + 4, h.length)).min).toSet
+    val all = hs.map { case (id, h) => id -> fps(h) }
+    val df = all.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rare = all.map { case (id, s) => id -> s.filter(df(_) <= 8) }
+    val ids = rare.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      n = (rare(a) & rare(b)).size if n >= 2
+    } yield (a, b, n.toLong))
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(50)
+    assert(got.toSeq == expected, s"got ${got.length} vs expected ${expected.length}")
+    assert(got.nonEmpty, "the gate corpus must contain overlapping docs")
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and runs far away into " +
     "the deep green forest where tall trees grow beside a cold clear river"
   private val nearDup = base.replace("cold clear river", "cold muddy river")
