@@ -2014,6 +2014,117 @@ object Ann {
        |       rank_ivf, rank_pq
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- ann_sq_topk
+  /** Scalar-quantized (SQ8) search — the FAISS middle ground between
+    * binary signatures and product quantization: each dimension maps to
+    * one byte via a per-dim affine grid over the corpus [min, max], so
+    * a vector is 64 bytes (4× under float32, 8× under float64) while
+    * keeping per-dim resolution PQ's shared sub-codebooks give up and
+    * the 1-bit signature can't have at all. Candidates rank by the
+    * integer code dot product (asymmetric-free: the query quantizes on
+    * the same grid), top-C re-ranks by exact cosine — completing the
+    * quantization spectrum binary / SQ8 / PQ / IVF-PQ, every tier
+    * oracled.
+    *
+    * Exactness: the grid is decided ENTIRELY in integer space —
+    * milli-unit x, per-dim (mn, mx) exact integer extrema, code =
+    * clamp(((x−mn)·255) DIV (mx−mn)) — no float quantization step
+    * cross-engine; degenerate dims (mx=mn) code to 0. Candidates rank
+    * by the cosine of the RECONSTRUCTED vectors (ranking raw code dots
+    * would ignore the affine offset and the norm — a poor angle
+    * proxy): the reconstruction in integer units X_d = mn_d·255 +
+    * c_d·(mx_d−mn_d) (|X| ≤ ~5·10⁵ milli-grid) keeps every dot
+    * product term ≤ ~2.6·10¹¹ and 64-term sums ≤ ~1.7·10¹³ — UNDER
+    * 2^53, so the compiled VectorDot kernel sums them exactly in any
+    * order and score = dot(X,Q)/√dot(X,X) is one IEEE division+sqrt of
+    * exact integers, bit-identical cross-engine. The 64-row (mn, mx)
+    * collect is the bounded index-state discipline (Ann.scala:250-252).
+    * Scale: the candidate scan is map-only (20 reconstruction arrays
+    * broadcast), the exact two-level shard-then-final top-C avoids any
+    * whole-corpus single-query window, re-rank fetches ≤|Q|·C floats. */
+  def annSqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    val dimRows = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(round(col("x") * 1000).cast("long")).as("mn"),
+        max(round(col("x") * 1000).cast("long")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    if (dimRows.isEmpty) return bruteTopkFrom(e, q0)
+    val n = dimRows.head.getLong(3)
+    val mn = new Array[Long](64); val mx = new Array[Long](64)
+    dimRows.foreach { r => mn(r.getInt(0)) = r.getLong(1); mx(r.getInt(0)) = r.getLong(2) }
+    // integer SQ8 reconstruction per dim, emitted as doubles (≤ ~5e5 —
+    // exact) so the compiled VectorDot kernel scores candidates
+    val reconArr = expr("array(" + (0 until 64).map { d =>
+      if (mx(d) == mn(d)) s"CAST(${mn(d) * 255L}L AS DOUBLE)"
+      else s"CAST(${mn(d)}L * 255L + least(255L, greatest(0L, ((CAST(round(element_at(v, ${d + 1}) * 1000) AS BIGINT) - (${mn(d)}L)) * 255L) DIV ${mx(d) - mn(d)}L)) * ${mx(d) - mn(d)}L AS DOUBLE)"
+    }.mkString(", ") + ")")
+    val coded = e.select(col("vec_id"), reconArr.as("c"))
+    val qc = coded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"))
+    val cRe = pqRerank(n)
+    val score = Vectors.dot(col("qc"), col("c")) /
+      (sqrt(Vectors.dot(col("qc"), col("qc"))) * sqrt(Vectors.dot(col("c"), col("c"))))
+    val wShard = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(32L)))
+      .orderBy(col("sq").desc, col("vec_id"))
+    val wDot = Window.partitionBy(col("q_id")).orderBy(col("sq").desc, col("vec_id"))
+    val cand = broadcast(qc).join(coded, col("q_id") =!= col("vec_id"))
+      .withColumn("sq", score)
+      .withColumn("cs", row_number().over(wShard)).filter(col("cs") <= cRe)
+      .withColumn("crank", row_number().over(wDot)).filter(col("crank") <= cRe)
+      .select(col("q_id"), col("vec_id"), col("sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q0), Seq("q_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"),
+        (round(col("sq"), 4) + 0.0).as("sq_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  lazy val annSqTopkSql: String = {
+    val c = s"greatest(64, least(1024, (SELECT n FROM nn) // 32))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |d AS (SELECT i, min(CAST(round(v[i]*1000) AS BIGINT)) AS mn,
+       |             max(CAST(round(v[i]*1000) AS BIGINT)) AS mx
+       |      FROM e, range(1, 65) t(i) GROUP BY i),
+       |cd AS (SELECT vec_id,
+       |         list(CAST(CASE WHEN mx = mn THEN mn * 255
+       |              ELSE mn * 255 + least(255, greatest(0,
+       |                ((CAST(round(v[i]*1000) AS BIGINT) - mn) * 255) // (mx - mn)))
+       |                * (mx - mn)
+       |              END AS DOUBLE) ORDER BY i) AS c
+       |       FROM e, range(1, 65) t(i) JOIN d USING (i)
+       |       GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, c AS qc FROM cd WHERE vec_id < $NQueries),
+       |cnd AS (SELECT q_id, vec_id,
+       |          list_reduce([qc[i]*c[i] for i in range(1, 65)], (x, y) -> x + y)
+       |          / (sqrt(list_reduce([qc[i]*qc[i] for i in range(1, 65)], (x, y) -> x + y))
+       |           * sqrt(list_reduce([c[i]*c[i] for i in range(1, 65)], (x, y) -> x + y)))
+       |          AS sq
+       |        FROM q JOIN cd ON vec_id <> q_id),
+       |ck AS (SELECT q_id, vec_id, sq FROM (
+       |         SELECT q_id, vec_id, sq,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY sq DESC, vec_id) AS cr
+       |         FROM cnd) WHERE cr <= $c),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |rr AS (SELECT ck.q_id, ck.vec_id AS n_id, ck.sq,
+       |         $cosFoldSql AS cos
+       |       FROM ck JOIN e ON ck.vec_id = e.vec_id
+       |       JOIN qv ON qv.q_id = ck.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim,
+       |       CAST(round(sq, 4) AS DOUBLE) + 0.0 AS sq_score
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------- ann_hamming_topk
   /** Binary (sign) quantization + Hamming candidate ranking: each vector
     * compresses to ONE 64-bit signature — bit d set iff coordinate d is
@@ -2449,6 +2560,7 @@ object Ann {
     "embed_pca_top" -> (embedPcaTop _),
     "embed_label_dists" -> (embedLabelDists _),
     "embed_abtt_project" -> (embedAbttProject _),
+    "ann_sq_topk" -> (annSqTopk _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_probe_curve" -> (annProbeCurve _),
@@ -2474,6 +2586,7 @@ object Ann {
     "embed_pca_top" -> embedPcaTopSql,
     "embed_label_dists" -> embedLabelDistsSql,
     "embed_abtt_project" -> embedAbttProjectSql,
+    "ann_sq_topk" -> annSqTopkSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_probe_curve" -> annProbeCurveSql,

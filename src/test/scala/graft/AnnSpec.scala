@@ -61,6 +61,27 @@ class AnnSpec extends SparkSpec {
     assert(rows.map(r => math.abs(r.getDouble(1))).min > 9.0)
   }
 
+  test("ann_sq_topk: recall@10 >= 0.7 and >= hamming's (8 bits/dim beats 1), K rows/query") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val sq = neighbors("ann_sq_topk")
+    val ham = neighbors("ann_hamming_topk")
+    assert(truth.nonEmpty)
+    def avgRecall(got: Map[Long, Set[Long]]) = {
+      val rs = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val (rSq, rHam) = (avgRecall(sq), avgRecall(ham))
+    assert(rSq >= 0.7, s"sq recall@10 $rSq")
+    // 8 bits/dim must not lose to the 1-bit signature on the same corpus
+    assert(rSq >= rHam - 1e-9, s"sq $rSq < hamming $rHam")
+    sq.foreach { case (q, ns) => assert(ns.size == 10, s"query $q: ${ns.size} rows") }
+  }
+
   test("ann_hamming_topk: recall@10 >= 0.5 vs brute, K rows/query, deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
