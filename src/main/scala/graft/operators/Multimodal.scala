@@ -318,7 +318,69 @@ object Multimodal {
       |FROM ag JOIN tt ON ag.kind = tt.kind
       |ORDER BY ag.kind, bucket""".stripMargin
 
+  // -------------------------------------------------------- mm_caption_pairs
+  /** Multimodal training-pair manifest — the (media, caption) gate a
+    * LAION-style pair pipeline runs before contrastive training: each
+    * payload pairs with its caption text and passes three independent
+    * gates (payload size within bounds, caption token count within
+    * bounds, caption language = en), emitting keep + the FIRST failing
+    * gate as the reject reason (ordered size → caption → lang, so both
+    * engines name the same reason). The pair manifest — not the
+    * payload — is what downstream shuffles; media bytes never move for
+    * rejected rows.
+    *
+    * Scale: in production media and captions are separate tables paired
+    * by a co-partitioned doc_id equi-join; the gate fixture derives
+    * both from one documents scan, so the whole manifest is ONE
+    * map-only codegen'd projection — zero shuffles, and the gates are
+    * exact integer/string comparisons (no float thresholds). */
+  def mmCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = graft.functions.Text.nBpeTokens(col("text"))
+    d.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      octet_length(col("text").cast("binary")).as("byte_len"),
+      toks.as("n_tokens"),
+      col("lang"))
+      .withColumn("size_ok", col("byte_len") >= 50 && col("byte_len") <= 5000)
+      .withColumn("caption_ok", col("n_tokens") >= 5 && col("n_tokens") <= 512)
+      .withColumn("lang_ok", col("lang") === "en")
+      .withColumn("keep", col("size_ok") && col("caption_ok") && col("lang_ok"))
+      .withColumn("reject_reason",
+        when(col("keep"), lit(null).cast("string"))
+          .when(!col("size_ok"), "payload_size")
+          .when(!col("caption_ok"), "caption_length")
+          .otherwise("language"))
+      .select(col("doc_id"), col("kind"), col("byte_len"), col("n_tokens"),
+        col("lang"), col("keep"), col("reject_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmCaptionPairsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    strlen(text) AS byte_len,
+      |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens,
+      |    lang
+      |  FROM documents),
+      |g AS (SELECT *,
+      |        byte_len >= 50 AND byte_len <= 5000 AS size_ok,
+      |        n_tokens >= 5 AND n_tokens <= 512 AS caption_ok,
+      |        lang = 'en' AS lang_ok
+      |      FROM m)
+      |SELECT doc_id, kind, byte_len, n_tokens, lang,
+      |  size_ok AND caption_ok AND lang_ok AS keep,
+      |  CASE WHEN size_ok AND caption_ok AND lang_ok THEN NULL
+      |       WHEN NOT size_ok THEN 'payload_size'
+      |       WHEN NOT caption_ok THEN 'caption_length'
+      |       ELSE 'language' END AS reject_reason
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_pairs" -> (mmCaptionPairs _),
     "mm_size_hist" -> (mmSizeHist _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -328,6 +390,7 @@ object Multimodal {
     "mm_shard_pack" -> (mmShardPack _))
 
   def oracles: Map[String, String] = Map(
+    "mm_caption_pairs" -> mmCaptionPairsSql,
     "mm_size_hist" -> mmSizeHistSql,
     "mm_near_dup" -> mmNearDupSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -7,6 +7,27 @@ import graft.operators.Multimodal.MediaRow
 /** Multimodal plumbing specs (driver check is rows-only for binary). */
 class MultimodalSpec extends SparkSpec {
 
+  test("mm_caption_pairs: keep is the AND of its gates, reason names the first failure") {
+    val rows = SparkEntry.queries("mm_caption_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val (len, toks, lang) = (r.getInt(2).toLong, r.getInt(3), r.getString(4))
+      val sizeOk = len >= 50 && len <= 5000
+      val capOk = toks >= 5 && toks <= 512
+      val langOk = lang == "en"
+      val keep = sizeOk && capOk && langOk
+      assert(r.getBoolean(5) == keep, s"keep wiring doc ${r.getLong(0)}")
+      if (keep) { kept += 1; assert(r.isNullAt(6)) }
+      else {
+        val expect = if (!sizeOk) "payload_size"
+        else if (!capOk) "caption_length" else "language"
+        assert(r.getString(6) == expect, s"reason doc ${r.getLong(0)}")
+      }
+    }
+    assert(kept > 0 && kept < rows.length, "both branches exercised at gate data")
+  }
+
   test("mm_metadata extracts typed metadata without decoding") {
     val rows = SparkEntry.queries("mm_metadata")(spark, sf).collect()
     assert(rows.nonEmpty)
