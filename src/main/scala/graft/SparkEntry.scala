@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.queries ++ TpchExtra.queries ++ Analytics.queries ++
       graft.warehouse.Warehouse.queries ++
       TextAnalysis.queries ++ TextStats.queries ++ TrainPrep.queries ++
-      Dedup.queries ++ Ann.queries ++ Graph.queries ++
+      Bpe.queries ++ Dedup.queries ++ Ann.queries ++ Graph.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.oracles ++ TpchExtra.oracles ++ Analytics.oracles ++
       graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TextStats.oracles ++ TrainPrep.oracles ++
-      Dedup.oracles ++ Ann.oracles ++ Graph.oracles ++
+      Bpe.oracles ++ Dedup.oracles ++ Ann.oracles ++ Graph.oracles ++
       graft.streaming.EventStreams.oracles ++ Multimodal.oracles
       // mm_metadata / mm_features: binary + stub semantics, rows-only
       // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)
