@@ -1279,6 +1279,98 @@ object Warehouse {
        |WHERE mad4 > 0 AND dev2 * 2 > mad4 * 3
        |ORDER BY department, gl_code, year, month""".stripMargin
 
+  /** fin_cusum: CUSUM change-point screen per (department, GL) — Page
+    * '54's sequential test, the standard detector for a SUSTAINED level
+    * shift that per-month screens miss: fin_anomaly_zscore/_mad flag
+    * single wild months, but a series that drifts 10% and stays there
+    * never trips a per-month test — the cumulative sum of small
+    * same-sign deviations does. Two one-sided statistics per month:
+    * C±_m = max(0, C±_{m-1} ± (x_m − μ ∓ k)) with reference μ = the
+    * series mean, slack k = |μ|/20 (5% — deviations under it decay),
+    * alarm at h = 2|μ|.
+    *
+    * Exactness — the recurrence is NOT window-expressible, but its
+    * closed form is: C_m = P_m − min(0, min_{j≤m} P_j) where P is the
+    * plain prefix sum of the increments (the running minimum IS the
+    * last reset point). Increments are scaled by 20n to clear both
+    * divisions: y_hi = 20n·x − 20S − |S| and y_lo = 20S − |S| − 20n·x
+    * (S = Σx) are exact integer cents·20n, so prefix sums, running
+    * minima, and the alarm test C > 40n·|S|/n·... ≡ C > 40|S| compare
+    * exact integers — bit-identical cross-engine, with |P| ≤
+    * 41·n²·max|x| ≈ 10¹⁴ at 100× (inside int64; DuckDB promotes its
+    * window sums to HUGEINT and compares the same values). The reported
+    * cusum level is ONE exactly-rounded division (C / 20n·100 →
+    * dollars), NOT re-rounded: the 20000·n divisor makes exact .00005
+    * quotients common and the engines split round-half differently.
+    *
+    * Scale: one fact shuffle (the staged monthly rollup) + ONE exchange
+    * on (department, GL) carrying all five window passes (partition
+    * count/sum, two prefix sums, two running minima — same key, shared
+    * sort); partitions are calendar-bounded month series. No joins. */
+  def finCusum(spark: SparkSession, dir: String): DataFrame =
+    finCusumFrom(upserted(spark, dir))
+
+  private[graft] def finCusumFrom(up: DataFrame): DataFrame = {
+    val monthly = stageBarrier(up
+      .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
+      .agg(sum(cents(col("amount"))).as("tc")))
+    val wp = Window.partitionBy(col("department"), col("gl_code"))
+    val wo = wp.orderBy(col("year"), col("month"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("s", sum(col("tc")).over(wp))
+      .withColumn("y_hi",
+        lit(20) * col("n") * col("tc") - lit(20) * col("s") - abs(col("s")))
+      .withColumn("y_lo",
+        lit(20) * col("s") - abs(col("s")) - lit(20) * col("n") * col("tc"))
+      .withColumn("p_hi", sum(col("y_hi")).over(wo))
+      .withColumn("p_lo", sum(col("y_lo")).over(wo))
+      .withColumn("c_hi", col("p_hi") - least(lit(0L), min(col("p_hi")).over(wo)))
+      .withColumn("c_lo", col("p_lo") - least(lit(0L), min(col("p_lo")).over(wo)))
+      .select(col("department"), col("gl_code"), col("year"), col("month"),
+        dollars(col("tc")).as("total"),
+        (col("c_hi").cast("double") / (col("n") * lit(2000L)).cast("double")
+          + 0.0).as("cusum_hi"),
+        (col("c_lo").cast("double") / (col("n") * lit(2000L)).cast("double")
+          + 0.0).as("cusum_lo"),
+        (col("c_hi") > lit(40) * abs(col("s"))).as("alarm_hi"),
+        (col("c_lo") > lit(40) * abs(col("s"))).as("alarm_lo"))
+      .orderBy(col("department"), col("gl_code"), col("year"), col("month"))
+  }
+
+  val finCusumSql: String =
+    s"""WITH $upsertCtes,
+       |fin_monthly AS (
+       |  SELECT department, gl_code, year, month,
+       |         sum(CAST(round(amount*100) AS BIGINT)) AS tc
+       |  FROM fin_upserted GROUP BY department, gl_code, year, month),
+       |cu_st AS (
+       |  SELECT *, count(*) OVER wp AS n, sum(tc) OVER wp AS s
+       |  FROM fin_monthly WINDOW wp AS (PARTITION BY department, gl_code)),
+       |cu_y AS (
+       |  SELECT *, 20*n*tc - 20*s - abs(s) AS y_hi,
+       |            20*s - abs(s) - 20*n*tc AS y_lo FROM cu_st),
+       |cu_p AS (
+       |  SELECT *, sum(y_hi) OVER wo AS p_hi, sum(y_lo) OVER wo AS p_lo
+       |  FROM cu_y WINDOW wo AS (PARTITION BY department, gl_code
+       |    ORDER BY year, month ROWS UNBOUNDED PRECEDING)),
+       |cu_c AS (
+       |  SELECT *, p_hi - least(0, min(p_hi) OVER wo) AS c_hi,
+       |            p_lo - least(0, min(p_lo) OVER wo) AS c_lo
+       |  FROM cu_p WINDOW wo AS (PARTITION BY department, gl_code
+       |    ORDER BY year, month ROWS UNBOUNDED PRECEDING))
+       |SELECT department, gl_code, year, month,
+       |       CAST(tc AS DOUBLE)/100.0 AS total,
+       |       CAST(c_hi AS DOUBLE) / CAST(n * 2000 AS DOUBLE) + 0.0
+       |         AS cusum_hi,
+       |       CAST(c_lo AS DOUBLE) / CAST(n * 2000 AS DOUBLE) + 0.0
+       |         AS cusum_lo,
+       |       c_hi > 40 * abs(s) AS alarm_hi,
+       |       c_lo > 40 * abs(s) AS alarm_lo
+       |FROM cu_c
+       |ORDER BY department, gl_code, year, month""".stripMargin
+
   /** fin_ewma: exponentially-weighted moving average (α = 1/2) of the
     * monthly totals per (department, GL), restarted each year — the
     * smoothing view that weights recent months over old ones
@@ -2181,6 +2273,7 @@ object Warehouse {
     "fin_dept_correlation" -> (finDeptCorrelation _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_anomaly_mad" -> (finAnomalyMad _),
+    "fin_cusum" -> (finCusum _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
     "fin_bs_ratios" -> (finBsRatios _),
@@ -2221,6 +2314,7 @@ object Warehouse {
     "fin_dept_correlation" -> finDeptCorrelationSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_anomaly_mad" -> finAnomalyMadSql,
+    "fin_cusum" -> finCusumSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
     "fin_bs_ratios" -> finBsRatiosSql,

@@ -408,6 +408,45 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.finAnomalyMadFrom(const).collect().isEmpty)
   }
 
+  test("fin_cusum: prefix-min rewrite equals the literal recurrence; sustained shift alarms, spike does not") {
+    import spark.implicits._
+    // 20 flat-ish months then a sustained doubled regime: the shift no
+    // per-month screen sees (every month is individually unremarkable
+    // within its regime), but the deviations accumulate past h = 2|mu|
+    val amts = (1 to 20).map(m => 100.0 + (m % 3)) ++
+      (21 to 30).map(m => 200.0 + (m % 3))
+    val up = amts.zipWithIndex.map { case (a, i) =>
+      ("S", "0001", 2024 + i / 12, i % 12 + 1, a)
+    }.toDF("department", "gl_code", "year", "month", "amount")
+    val got = Warehouse.finCusumFrom(up).collect()
+    // driver-side literal recurrence in the same scaled integers
+    val cents = amts.map(a => math.round(a * 100))
+    val (n, s) = (cents.size.toLong, cents.sum)
+    var (chi, clo) = (0L, 0L)
+    val exp = cents.map { x =>
+      chi = math.max(0L, chi + (20 * n * x - 20 * s - math.abs(s)))
+      clo = math.max(0L, clo + (20 * s - math.abs(s) - 20 * n * x))
+      (chi / (n * 2000.0), clo / (n * 2000.0),
+        chi > 40 * math.abs(s), clo > 40 * math.abs(s))
+    }
+    assert(got.length == 30)
+    got.sortBy(r => (r.getInt(2), r.getInt(3))).zip(exp).foreach {
+      case (r, (ehi, elo, ahi, alo)) =>
+        assert(r.getDouble(5) == ehi && r.getDouble(6) == elo, s"$r")
+        assert(r.getBoolean(7) == ahi && r.getBoolean(8) == alo, s"$r")
+    }
+    // the shift is caught (alarm_hi fires somewhere in the new regime)...
+    assert(exp.drop(20).exists(_._3), "sustained shift must alarm")
+    assert(exp.take(20).forall(!_._3), "no upper alarm before the shift")
+    // ...while one isolated spike decays back without alarming
+    val spikeAmts = (1 to 23).map(m => 100.0 + (m % 3)) ++ Seq(140.0)
+    val spike = spikeAmts.zipWithIndex.map { case (a, i) =>
+      ("S", "0002", 2024 + i / 12, i % 12 + 1, a)
+    }.toDF("department", "gl_code", "year", "month", "amount")
+    assert(Warehouse.finCusumFrom(spike).collect()
+      .forall(r => !r.getBoolean(7) && !r.getBoolean(8)))
+  }
+
   test("fin_load_diff reports exactly the newest batch's effect on the fold") {
     val diff = graft.warehouse.Warehouse.finLoadDiff(spark, sf).collect()
     assert(diff.nonEmpty, "the synthetic revision batch must change something")
