@@ -1879,7 +1879,99 @@ object Analytics {
       |                       / CAST(n_churned AS DOUBLE), 6) + 0.0 END AS quick_ratio
       |FROM agg ORDER BY month_id""".stripMargin
 
+  // ------------------------------------------------------ customer_survival
+  /** Kaplan–Meier retention curve over customer lifetimes (Kaplan &
+    * Meier JASA'58) — customer_lifecycle's longitudinal twin: lifecycle
+    * publishes per-MONTH flow counts, this publishes per-TENURE survival
+    * "what fraction of customers are still active t months after their
+    * first order", correctly handling right censoring (a customer whose
+    * last order is within `CensorGapMonths` of the corpus end has not
+    * churned — they just haven't been observed long enough; counting
+    * them as churned biases every retention number down).
+    *
+    * Per customer: tenure T = last−first order month, event = churned
+    * iff last < corpus_max − gap. Per tenure t: d_t churned, c_t
+    * censored, at-risk n_t = Σ_{s≥t}(d_s+c_s) (suffix sum), hazard
+    * d_t/n_t, and S(t) = Π_{s≤t}(1 − d_s/n_s).
+    *
+    * Exactness: d/c/n are exact integers; each KM factor is 1 − ONE
+    * exactly-rounded division; the cumulative product folds the factor
+    * list in ascending-tenure order — Spark's cumulative collect_list +
+    * aggregate(…, 1.0, *) against DuckDB's windowed list() +
+    * list_reduce multiply the identical doubles in the identical order
+    * (1.0·f₁ ≡ f₁ exactly), so the curve is bit-identical.
+    *
+    * Scale: one orders shuffle (per-customer min/max, map-side
+    * combined, STAGED — it feeds both the max-month aggregate and the
+    * tenure rollup), a broadcast 1-row corpus max, then a ≤|months|-row
+    * panel; the suffix sum, factor list, and fold are global windows
+    * over that calendar-bounded panel (the orders_pareto post-aggregate
+    * exception — never data-scaled). */
+  val CensorGapMonths = 6
+
+  def customerSurvival(spark: SparkSession, dir: String): DataFrame =
+    customerSurvivalFrom(Tables.orders(spark, dir))
+
+  private[graft] def customerSurvivalFrom(orders: DataFrame): DataFrame = {
+    val mi = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      orders
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("int").as("m"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("fm"), max(col("m")).as("lm")))
+    val mx = mi.agg(max(col("lm")).as("max_m"))
+    val pa = mi.crossJoin(broadcast(mx))
+      .select((col("lm") - col("fm")).as("t"),
+        (col("lm") < col("max_m") - CensorGapMonths).cast("long").as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"),
+        count(lit(1)).as("tot"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pa.withColumn("n", sum(col("tot")).over(wDesc))
+      .withColumn("f",
+        lit(1.0) - col("d").cast("double") / col("n").cast("double"))
+      .withColumn("fs", collect_list(col("f")).over(wAsc))
+      .select(col("t").cast("int").as("tenure_months"),
+        col("n").as("n_risk"), col("d").as("n_churn"), col("c").as("n_censor"),
+        (col("d").cast("double") / col("n").cast("double") + 0.0).as("hazard"),
+        (expr("aggregate(fs, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)") + 0.0)
+          .as("km_survival"))
+      .orderBy(col("tenure_months"))
+  }
+
+  val customerSurvivalSql: String =
+    s"""WITH sv_mi AS (
+      |  SELECT o_custkey,
+      |         min(year(o_orderdate)*12 + month(o_orderdate)) AS fm,
+      |         max(year(o_orderdate)*12 + month(o_orderdate)) AS lm
+      |  FROM orders GROUP BY o_custkey),
+      |sv_mx AS (SELECT max(lm) AS max_m FROM sv_mi),
+      |sv_pa AS (
+      |  SELECT lm - fm AS t,
+      |         CAST(sum(CASE WHEN lm < max_m - $CensorGapMonths THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN lm < max_m - $CensorGapMonths THEN 0 ELSE 1 END)
+      |           AS BIGINT) AS c,
+      |         count(*) AS tot
+      |  FROM sv_mi, sv_mx GROUP BY t),
+      |sv_n AS (
+      |  SELECT *, CAST(sum(tot) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS n
+      |  FROM sv_pa),
+      |sv_f AS (SELECT *, 1.0 - CAST(d AS DOUBLE)/CAST(n AS DOUBLE) AS f FROM sv_n)
+      |SELECT CAST(t AS INT) AS tenure_months, n AS n_risk, d AS n_churn,
+      |       c AS n_censor,
+      |       CAST(d AS DOUBLE)/CAST(n AS DOUBLE) + 0.0 AS hazard,
+      |       list_reduce(list(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING),
+      |                   (a, b) -> a * b) + 0.0 AS km_survival
+      |FROM sv_f ORDER BY tenure_months""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_survival" -> (customerSurvival _),
     "customer_lifecycle" -> (customerLifecycle _),
     "events_ohlc_bars" -> (eventsOhlcBars _),
     "parts_abc_class" -> (partsAbcClass _),
@@ -1916,6 +2008,7 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "customer_survival" -> customerSurvivalSql,
     "customer_lifecycle" -> customerLifecycleSql,
     "events_ohlc_bars" -> eventsOhlcBarsSql,
     "parts_abc_class" -> partsAbcClassSql,

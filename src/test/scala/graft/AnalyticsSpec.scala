@@ -127,6 +127,38 @@ class AnalyticsSpec extends SparkSpec {
       s"split degenerate: $affected of ${users.size} users affected")
   }
 
+  test("customer_survival: hand-computed KM curve with censoring; curve invariants on sf") {
+    import spark.implicits._
+    def o(ck: Long, monthIdx: Int*) = monthIdx.zipWithIndex.map { case (k, i) =>
+      (ck * 100 + i, ck, java.sql.Timestamp.valueOf(
+        f"${2000 + (k - 1) / 12}-${(k - 1) % 12 + 1}%02d-15 00:00:00"))
+    }
+    // corpus max month = 24, censor gap 6: churned iff last month < 18
+    val orders = (o(1L, 1, 24) ++ o(2L, 1, 10) ++ o(3L, 2, 11) ++
+      o(4L, 5, 20) ++ o(5L, 1))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = graft.operators.Analytics.customerSurvivalFrom(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5)))).toMap
+    // t=0: d=1 n=5 S=.8 | t=9: d=2 n=4 S=.4 | t=15,23: censored, S flat
+    assert(got == Map(
+      0 -> ((5L, 1L, 0L, 1.0 - 1.0 / 5)),
+      9 -> ((4L, 2L, 0L, (1.0 - 1.0 / 5) * (1.0 - 2.0 / 4))),
+      15 -> ((2L, 0L, 1L, (1.0 - 1.0 / 5) * (1.0 - 2.0 / 4))),
+      23 -> ((1L, 0L, 1L, (1.0 - 1.0 / 5) * (1.0 - 2.0 / 4)))))
+    // registered corpus: S non-increasing in (0,1], n_risk a true suffix sum
+    val rows = SparkEntry.queries("customer_survival")(spark, sf).collect()
+    val byT = rows.sortBy(_.getInt(0))
+    assert(byT.nonEmpty && byT.head.getDouble(5) <= 1.0)
+    byT.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(5) <= a.getDouble(5) + 1e-15, s"S must not rise: $a $b")
+      assert(a.getLong(1) == b.getLong(1) + a.getLong(2) + a.getLong(3),
+        s"n_risk suffix recurrence: $a $b")
+    case _ => ()
+    }
+    assert(byT.forall(r => r.getDouble(5) > 0.0))
+  }
+
   test("customer_lifecycle: growth accounting conserves the customer base") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("customer_lifecycle")(spark, sf).collect()
