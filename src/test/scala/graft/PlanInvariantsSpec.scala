@@ -16,8 +16,9 @@ class PlanInvariantsSpec extends SparkSpec {
     import graft.operators._
     val parts = Seq(Relational.queries, TpchExtra.queries, Analytics.queries,
       graft.warehouse.Warehouse.queries, TextAnalysis.queries,
-      TextStats.queries, TrainPrep.queries, Dedup.queries, Ann.queries,
-      Graph.queries, graft.streaming.EventStreams.queries, Multimodal.queries)
+      TextStats.queries, TrainPrep.queries, Bpe.queries, Dedup.queries,
+      Ann.queries, Graph.queries, graft.streaming.EventStreams.queries,
+      Multimodal.queries)
     // Map ++ overwrites silently: a duplicate name would shrink the merge
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across operator modules")
