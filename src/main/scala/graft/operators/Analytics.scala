@@ -618,6 +618,117 @@ object Analytics {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // -------------------------------------------------- events_markov_steady
+  /** Stationary distribution of the event-type Markov chain — the
+    * completion of the transition family: event_transitions publishes
+    * the matrix, event_transition_time the dwell costs, this publishes
+    * where the chain SETTLES — "if users keep behaving like this, what
+    * share of activity ends up in each state" — read against the
+    * empirical mix (out_share), the gap is the drift the product is
+    * creating. π is computed by `MarkovSteps` unrolled power-iteration
+    * steps from the uniform start (the embed_pca_top discipline for
+    * inherently sequential algorithms: a fixed bounded number of
+    * rounds, each mirrored op-for-op).
+    *
+    * Exactness: transition counts are integers; each P(a,b) = n_ab/n_a
+    * is ONE exactly-rounded division; each step folds π(a)·P(a,b) in
+    * ascending-a order BOTH engines (array_sort(collect_list(struct)) +
+    * fold ≡ list(term ORDER BY a) + list_reduce, with 0.0+t₁ ≡ t₁), so
+    * all `MarkovSteps` iterations are bit-identical cross-engine.
+    * States with no outgoing transitions (none in this corpus, but the
+    * chain must stay stochastic if data changes) get the standard
+    * uniform dangling row — 1/|S| exact.
+    *
+    * Scale: ONE user-keyed lead window (event_transitions' shuffle) +
+    * a ≤|types|²-row staged matrix; every iteration is a join/aggregate
+    * over ≤|types|² rows — chart-bounded, never data-scaled. */
+  val MarkovSteps = 12
+
+  def eventsMarkovSteady(spark: SparkSession, dir: String): DataFrame =
+    eventsMarkovSteadyFrom(Tables.eventsUs(spark, dir))
+
+  private[graft] def eventsMarkovSteadyFrom(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val tr = stageBarrier(events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("event_type").as("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab")))
+    val states = stageBarrier(
+      tr.select(col("a").as("t")).union(tr.select(col("b").as("t"))).distinct())
+    val ns = states.count() // ≤ |event types|: bounded driver scalar
+    val srcTot = stageBarrier(tr.groupBy(col("a")).agg(sum(col("n_ab")).as("na")))
+    val pReal = tr.join(srcTot, Seq("a"))
+      .select(col("a"), col("b"),
+        (col("n_ab").cast("double") / col("na").cast("double")).as("p"))
+    val dangling = states.join(srcTot.select(col("a").as("t")), Seq("t"), "left_anti")
+      .select(col("t").as("a")).crossJoin(states.select(col("t").as("b")))
+      .select(col("a"), col("b"), lit(1.0 / ns).as("p"))
+    val pMat = stageBarrier(pReal.unionAll(dangling))
+    var pi = states.select(col("t"), lit(1.0 / ns).as("pi"))
+    for (_ <- 1 to MarkovSteps) {
+      pi = pMat.join(pi.withColumnRenamed("t", "a"), Seq("a"))
+        .select(col("b"), struct(col("a"), (col("pi") * col("p")).as("term")).as("s"))
+        .groupBy(col("b"))
+        .agg(expr("aggregate(array_sort(collect_list(s)), CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + x.term)").as("pi"))
+        .withColumnRenamed("b", "t")
+    }
+    val tot = tr.agg(sum(col("n_ab")).as("tot"))
+    states.join(srcTot.withColumnRenamed("a", "t"), Seq("t"), "left")
+      .join(pi, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("t").as("event_type"),
+        coalesce(col("na"), lit(0L)).as("n_out"),
+        (round(coalesce(col("na"), lit(0L)).cast("double")
+          / col("tot").cast("double"), 6) + 0.0).as("out_share"),
+        (round(coalesce(col("pi"), lit(0.0)), 6) + 0.0).as("steady_prob"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsMarkovSteadySql: String = {
+    def step(k: Int): String = {
+      val prev = if (k == 1) "mk_pi0" else s"mk_pi${k - 1}"
+      s"""mk_pi$k AS (
+         |  SELECT p.b AS t,
+         |         list_reduce(list(q.pi * p.p ORDER BY p.a), (x, y) -> x + y) AS pi
+         |  FROM mk_p p JOIN $prev q ON q.t = p.a GROUP BY p.b)""".stripMargin
+    }
+    s"""WITH mk_e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+       |             FROM events),
+       |mk_adj AS (SELECT event_type AS a,
+       |             lead(event_type) OVER (PARTITION BY user_id
+       |               ORDER BY ts_us, event_id) AS b
+       |           FROM mk_e),
+       |mk_t AS (SELECT a, b, count(*) AS n_ab FROM mk_adj
+       |         WHERE b IS NOT NULL GROUP BY a, b),
+       |mk_states AS (SELECT DISTINCT t FROM
+       |  (SELECT a AS t FROM mk_t UNION SELECT b FROM mk_t)),
+       |mk_ns AS (SELECT count(*) AS ns FROM mk_states),
+       |mk_src AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS na FROM mk_t GROUP BY a),
+       |mk_p AS (SELECT a, b, CAST(n_ab AS DOUBLE)/CAST(na AS DOUBLE) AS p
+       |         FROM mk_t JOIN mk_src USING (a)
+       |         UNION ALL
+       |         SELECT d.t AS a, s.t AS b, 1.0/(SELECT ns FROM mk_ns) AS p
+       |         FROM (SELECT t FROM mk_states
+       |               WHERE t NOT IN (SELECT a FROM mk_src)) d
+       |         CROSS JOIN mk_states s),
+       |mk_pi0 AS (SELECT t, 1.0/(SELECT ns FROM mk_ns) AS pi FROM mk_states),
+       |${(1 to MarkovSteps).map(step).mkString(",\n")},
+       |mk_tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS tot FROM mk_t)
+       |SELECT st.t AS event_type,
+       |       coalesce(na, 0) AS n_out,
+       |       round(CAST(coalesce(na, 0) AS DOUBLE)/CAST(tot AS DOUBLE), 6) + 0.0
+       |         AS out_share,
+       |       round(coalesce(pi, 0.0), 6) + 0.0 AS steady_prob
+       |FROM mk_states st LEFT JOIN mk_src ON mk_src.a = st.t
+       |LEFT JOIN mk_pi$MarkovSteps pp ON pp.t = st.t
+       |CROSS JOIN mk_tot
+       |ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------------- event_transition_time
   /** DWELL-TIME matrix over the transition graph: for every
     * (event_type → next_type) edge the transition count and the
@@ -1997,6 +2108,7 @@ object Analytics {
     "scd2_merge" -> (scd2Merge _),
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
+    "events_markov_steady" -> (eventsMarkovSteady _),
     "event_transition_time" -> (eventTransitionTime _),
     "events_burst_detect" -> (eventsBurstDetect _),
     "skew_salted_agg" -> (skewSaltedAgg _),
@@ -2037,6 +2149,7 @@ object Analytics {
     "scd2_merge" -> scd2IntervalsSql,
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
+    "events_markov_steady" -> eventsMarkovSteadySql,
     "event_transition_time" -> eventTransitionTimeSql,
     "events_burst_detect" -> eventsBurstDetectSql,
     "skew_salted_agg" -> skewSaltedAggSql,

@@ -159,6 +159,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(byT.forall(r => r.getDouble(5) > 0.0))
   }
 
+  test("events_markov_steady: matches an independent power iteration; planted 2-state chain hits its closed form") {
+    import spark.implicits._
+    // independent re-simulation on the registered corpus
+    val tr = SparkEntry.queries("event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    val na = tr.groupBy(_._1).map { case (a, rs) => a -> rs.map(_._3).sum }
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    for (_ <- 1 to graft.operators.Analytics.MarkovSteps) {
+      val nxt = tr.groupBy(_._2).map { case (b, rs) =>
+        b -> rs.sortBy(_._1).foldLeft(0.0) { case (acc, (a, _, n)) =>
+          acc + pi(a) * (n.toDouble / na(a).toDouble) }
+      }
+      pi = states.map(s => s -> nxt.getOrElse(s, 0.0)).toMap
+    }
+    def rnd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("events_markov_steady")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == states.toSet)
+    states.foreach(s => assert(got(s) == rnd6(pi(s)), s"state $s"))
+    // distribution: non-negative, sums to ~1 (chain is closed here)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // planted 2-state chain: P(A->B)=1/4, P(B->A)=1/2 -> pi = (2/3, 1/3)
+    // (A A A A B B) x4 then a closing A: A->B 4/16 = 1/4, B->A 4/8 = 1/2
+    val seq = (Seq.fill(4)(Seq("A", "A", "A", "A", "B", "B")).flatten :+ "A").toArray
+    val ev = seq.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, i.toLong * 1000000, t)
+    }.toSeq.toDF("user_id", "event_id", "ts_us", "event_type")
+    val planted = graft.operators.Analytics.eventsMarkovSteadyFrom(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(planted("A") - 2.0 / 3) < 0.01 &&
+      math.abs(planted("B") - 1.0 / 3) < 0.01, s"$planted")
+  }
+
   test("customer_lifecycle: growth accounting conserves the customer base") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("customer_lifecycle")(spark, sf).collect()
