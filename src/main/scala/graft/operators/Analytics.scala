@@ -328,6 +328,80 @@ object Analytics {
       |GROUP BY c.cohort_id, e.month_id - c.cohort_id
       |ORDER BY cohort_id, months_since""".stripMargin
 
+  // --------------------------------------------------- events_retention_curve
+  /** D1..D30 daily retention curve — the product-analytics standard
+    * next to the monthly retention_cohort triangle (orders): per day
+    * offset d, the users active EXACTLY d days after their first event
+    * over the users OBSERVABLE at d (first day + d inside the corpus —
+    * without the censoring denominator, late cohorts drag every D-N
+    * number down, the same bias customer_survival's KM handles for
+    * churn). retention_cohort answers "how does each cohort age";
+    * this answers "what is THE D1/D7/D30" with all cohorts pooled.
+    *
+    * Exactness: days are exact integer epoch-day indices (µs DIV
+    * 86400000000); numerator/denominator are exact integer counts; the
+    * rate is ONE unrounded exactly-rounded division (user-count
+    * denominators hit exact 1e-6 round-half boundaries — the fin_cusum
+    * lesson — so the raw quotient is the cross-engine-stable output).
+    *
+    * Scale: one distinct (user, day) shuffle (STAGED: feeds the
+    * first-day aggregate, the offset join, and the max-day scalar), one
+    * user-keyed min, a broadcast 1-row max; the denominator works on
+    * the ≤|days| first-day histogram × a 30-row spine. */
+  def eventsRetentionCurve(spark: SparkSession, dir: String): DataFrame =
+    eventsRetentionCurveFrom(Tables.eventsUs(spark, dir))
+
+  private[graft] def eventsRetentionCurveFrom(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val spark = events.sparkSession
+    val ud = stageBarrier(events
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct())
+    val fu = stageBarrier(ud.groupBy(col("user_id")).agg(min(col("day")).as("fd")))
+    val mx = ud.agg(max(col("day")).as("maxd"))
+    val num = ud.join(fu, Seq("user_id"))
+      .select((col("day") - col("fd")).as("d"))
+      .filter(col("d").between(1, 30))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_ret"))
+    val fh = fu.groupBy(col("fd")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 31).toDF("d")
+    val den = spine.crossJoin(broadcast(mx))
+      .join(fh, col("fd") <= col("maxd") - col("d"))
+      .groupBy(col("d")).agg(sum(col("n")).as("n_obs"))
+    spine.join(num, Seq("d"), "left").join(den, Seq("d"), "left")
+      .select(col("d").cast("int").as("day_offset"),
+        coalesce(col("n_ret"), lit(0L)).as("n_retained"),
+        coalesce(col("n_obs"), lit(0L)).as("n_observable"),
+        when(coalesce(col("n_obs"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_ret"), lit(0L)).cast("double")
+            / col("n_obs").cast("double") + 0.0).as("retention"))
+      .orderBy(col("day_offset"))
+  }
+
+  val eventsRetentionCurveSql: String =
+    """WITH rc_ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |              FROM events),
+      |rc_fu AS (SELECT user_id, min(day) AS fd FROM rc_ud GROUP BY user_id),
+      |rc_mx AS (SELECT max(day) AS maxd FROM rc_ud),
+      |rc_num AS (SELECT u.day - f.fd AS d, count(*) AS n_ret
+      |           FROM rc_ud u JOIN rc_fu f USING (user_id)
+      |           WHERE u.day - f.fd BETWEEN 1 AND 30 GROUP BY d),
+      |rc_fh AS (SELECT fd, count(*) AS n FROM rc_fu GROUP BY fd),
+      |rc_den AS (SELECT t.d, CAST(sum(h.n) AS BIGINT) AS n_obs
+      |           FROM range(1, 31) t(d)
+      |           JOIN rc_fh h ON h.fd <= (SELECT maxd FROM rc_mx) - t.d
+      |           GROUP BY t.d)
+      |SELECT CAST(t.d AS INT) AS day_offset,
+      |       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_retained,
+      |       coalesce(n_obs, 0) AS n_observable,
+      |       CASE WHEN coalesce(n_obs, 0) = 0 THEN NULL
+      |            ELSE CAST(coalesce(n_ret, 0) AS DOUBLE)
+      |                 / CAST(n_obs AS DOUBLE) + 0.0 END AS retention
+      |FROM range(1, 31) t(d)
+      |LEFT JOIN rc_num ON rc_num.d = t.d
+      |LEFT JOIN rc_den ON rc_den.d = t.d
+      |ORDER BY day_offset""".stripMargin
+
   // -------------------------------------------------------- fin_sparse_fill
   /** Month-gap filling: every (department, GL, year) gets all 12 months,
     * zero where the statements had no rows — the shape reporting needs
@@ -2102,6 +2176,7 @@ object Analytics {
     "events_funnel" -> (eventsFunnel _),
     "events_funnel_time" -> (eventsFunnelTime _),
     "retention_cohort" -> (retentionCohort _),
+    "events_retention_curve" -> (eventsRetentionCurve _),
     "fin_sparse_fill" -> (finSparseFill _),
     "fin_interpolate" -> (finInterpolate _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -2142,6 +2217,7 @@ object Analytics {
     "events_funnel" -> eventsFunnelSql,
     "events_funnel_time" -> eventsFunnelTimeSql,
     "retention_cohort" -> retentionCohortSql,
+    "events_retention_curve" -> eventsRetentionCurveSql,
     "fin_sparse_fill" -> finSparseFillSql,
     "fin_interpolate" -> finInterpolateSql,
     "scd2_intervals" -> scd2IntervalsSql,

@@ -159,6 +159,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(byT.forall(r => r.getDouble(5) > 0.0))
   }
 
+  test("events_retention_curve: hand-planted censored curve; pooled-cohort invariants on sf") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    def u(id: Long, days: Long*) =
+      days.map(d => (id, d * dayUs + id)) // unique ts per user
+    // corpus max day = 10; u4's cohort (day 9) is censored past d=1
+    val ev = (u(1, 0, 1, 7) ++ u(2, 0, 1) ++ u(3, 5, 6) ++ u(4, 9, 10))
+      .toDF("user_id", "ts_us")
+    val got = graft.operators.Analytics.eventsRetentionCurveFrom(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1) == ((4L, 4L, Some(1.0))))          // everyone returns at d1
+    assert(got(2) == ((0L, 3L, Some(0.0))))          // u4 not observable at d2
+    assert(got(7) == ((1L, 2L, Some(0.5))))          // only day-0 cohorts observable
+    assert(got(10) == ((0L, 2L, Some(0.0))))
+    assert(got(11) == ((0L, 0L, None)), "past the corpus: no denominator")
+    assert(got.size == 30)
+    // registered corpus: rates in [0,1], observable counts non-increasing
+    val rows = SparkEntry.queries("events_retention_curve")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(1) <= r.getLong(2), s"retained > observable: $r")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) <= a.getLong(2))
+      case _ => ()
+    }
+  }
+
   test("events_markov_steady: matches an independent power iteration; planted 2-state chain hits its closed form") {
     import spark.implicits._
     // independent re-simulation on the registered corpus
