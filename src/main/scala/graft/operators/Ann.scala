@@ -2673,34 +2673,45 @@ object Ann {
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val truth = annBruteTopk(spark, dir).select(col("q_id"), col("n_id"))
     val nPairs = lit(NQueries * K) // |Q|·K — both driver constants
-    def leg(name: String, df: DataFrame): DataFrame =
+    def leg(name: String, bytes: Int, df: DataFrame): DataFrame =
       df.select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .select(lit(name).as("method"), col("hits"),
+        .select(lit(name).as("method"), lit(bytes).as("index_bytes_per_vec"),
+          col("hits"),
           (round(col("hits").cast("double") / nPairs, 4) + 0.0).as("recall"))
-    leg("hamming", annHammingTopk(spark, dir))
-      .unionAll(leg("ivf", annIvfTopk(spark, dir)))
-      .unionAll(leg("ivfpq", annIvfPqTopk(spark, dir)))
-      .unionAll(leg("pq", annPqTopk(spark, dir)))
+    // bytes/vector of each index's candidate-scan state: raw floats 256
+    // (IVF-flat scans vectors), SQ8 one byte/dim, PQ/IVF-PQ 8-byte codes,
+    // binary one 64-bit signature — the r9 memory-recall frontier row set
+    leg("hamming", 8, annHammingTopk(spark, dir))
+      .unionAll(leg("ivf", 256, annIvfTopk(spark, dir)))
+      .unionAll(leg("ivfpq", 8, annIvfPqTopk(spark, dir)))
+      .unionAll(leg("ivfsq", 64, annIvfSqTopk(spark, dir)))
+      .unionAll(leg("pq", 8, annPqTopk(spark, dir)))
+      .unionAll(leg("sq", 64, annSqTopk(spark, dir)))
       .orderBy(col("method"))
   }
 
   lazy val annRecallReportSql: String = {
-    def leg(name: String, sql: String): String =
-      s"""SELECT '$name' AS method, count(*) AS hits,
+    def leg(name: String, bytes: Int, sql: String): String =
+      s"""SELECT '$name' AS method, CAST($bytes AS INT) AS index_bytes_per_vec,
+         |       count(*) AS hits,
          |       CAST(round(CAST(count(*) AS DOUBLE) / ${NQueries * K}, 4) AS DOUBLE) + 0.0 AS recall
          |FROM (SELECT * FROM ($sql) ${name}_t) m
          |WHERE EXISTS (SELECT 1 FROM truth t
          |              WHERE t.q_id = m.q_id AND t.n_id = m.n_id)""".stripMargin
     s"""WITH truth AS (SELECT q_id, n_id FROM ($annBruteTopkSql) bt)
-       |${leg("hamming", annHammingTopkSql)}
+       |${leg("hamming", 8, annHammingTopkSql)}
        |UNION ALL
-       |${leg("ivf", annIvfTopkSql)}
+       |${leg("ivf", 256, annIvfTopkSql)}
        |UNION ALL
-       |${leg("ivfpq", annIvfPqTopkSql)}
+       |${leg("ivfpq", 8, annIvfPqTopkSql)}
        |UNION ALL
-       |${leg("pq", annPqTopkSql)}
+       |${leg("ivfsq", 64, annIvfSqTopkSql)}
+       |UNION ALL
+       |${leg("pq", 8, annPqTopkSql)}
+       |UNION ALL
+       |${leg("sq", 64, annSqTopkSql)}
        |ORDER BY method""".stripMargin
   }
 
