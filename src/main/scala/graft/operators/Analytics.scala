@@ -692,6 +692,66 @@ object Analytics {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  // ----------------------------------------------------- parts_supply_risk
+  /** Sole-source procurement risk: the 25 highest-risk parts by
+    * supplier-concentration HHI over realized purchase revenue — the
+    * other axis of orders_customer_hhi (customer concentration = demand
+    * risk; supplier concentration per part = SUPPLY risk: a part whose
+    * spend all flows through one supplier is the part a single vendor
+    * failure stops). Ties at HHI = 1 (fully sole-sourced) rank by
+    * spend, so the list reads "biggest spend at single-supplier risk".
+    *
+    * Exactness: per-(part, supplier) revenue in exact integer revUnits
+    * (DECIMAL(38,0)/HUGEINT; squares ≤ ~10²⁶, inside 38 digits);
+    * HHI = Σs²/S² and top_share = max(s)/S are each ONE cast per
+    * factor + unrounded exactly-rounded divisions (the
+    * fin_dept_correlation discipline), so ordering and values are
+    * bit-identical cross-engine.
+    *
+    * Scale: one map-side-combined (part, supplier) shuffle, one part
+    * rollup, TakeOrdered 25 — no joins, no windows. */
+  def partsSupplyRisk(spark: SparkSession, dir: String): DataFrame =
+    partsSupplyRiskFrom(Tables.lineitem(spark, dir))
+
+  private[graft] def partsSupplyRiskFrom(lineitem: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val ps = lineitem
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(d38(Relational.revUnits(col("l_extendedprice"), col("l_discount"))))
+        .as("s"), count(lit(1)).as("nl"))
+    val sd = (c: Column) => c.cast("double")
+    ps.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("nl")).as("n_lines"),
+        sum(col("s")).as("stot"), sum(d38(col("s")) * d38(col("s"))).as("q"),
+        max(col("s")).as("top"))
+      .select(col("pk").as("partkey"), col("n_suppliers"), col("n_lines"),
+        (sd(col("stot")) / 1000000.0).as("revenue"),
+        (sd(col("top")) / sd(col("stot")) + 0.0).as("top_share"),
+        (sd(col("q")) / (sd(col("stot")) * sd(col("stot"))) + 0.0).as("hhi"))
+      .orderBy(col("hhi").desc, col("revenue").desc, col("partkey"))
+      .limit(25)
+  }
+
+  val partsSupplyRiskSql: String =
+    """WITH sr_ps AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |         sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (10000 - CAST(round(l_discount*10000) AS BIGINT)) AS HUGEINT))
+      |           AS s,
+      |         count(*) AS nl
+      |  FROM lineitem GROUP BY pk, sk),
+      |sr_p AS (
+      |  SELECT pk, count(*) AS n_suppliers, CAST(sum(nl) AS BIGINT) AS n_lines,
+      |         sum(s) AS stot, sum(s*s) AS q, max(s) AS top
+      |  FROM sr_ps GROUP BY pk)
+      |SELECT pk AS partkey, n_suppliers, n_lines,
+      |       CAST(stot AS DOUBLE)/1000000.0 AS revenue,
+      |       CAST(top AS DOUBLE)/CAST(stot AS DOUBLE) + 0.0 AS top_share,
+      |       CAST(q AS DOUBLE)/(CAST(stot AS DOUBLE)*CAST(stot AS DOUBLE)) + 0.0
+      |         AS hhi
+      |FROM sr_p
+      |ORDER BY hhi DESC, revenue DESC, partkey LIMIT 25""".stripMargin
+
   // -------------------------------------------------- events_markov_steady
   /** Stationary distribution of the event-type Markov chain — the
     * completion of the transition family: event_transitions publishes
@@ -2184,6 +2244,7 @@ object Analytics {
     "scd2_asof" -> (scd2Asof _),
     "event_transitions" -> (eventTransitions _),
     "events_markov_steady" -> (eventsMarkovSteady _),
+    "parts_supply_risk" -> (partsSupplyRisk _),
     "event_transition_time" -> (eventTransitionTime _),
     "events_burst_detect" -> (eventsBurstDetect _),
     "skew_salted_agg" -> (skewSaltedAgg _),
@@ -2226,6 +2287,7 @@ object Analytics {
     "scd2_asof" -> scd2AsofSql,
     "event_transitions" -> eventTransitionsSql,
     "events_markov_steady" -> eventsMarkovSteadySql,
+    "parts_supply_risk" -> partsSupplyRiskSql,
     "event_transition_time" -> eventTransitionTimeSql,
     "events_burst_detect" -> eventsBurstDetectSql,
     "skew_salted_agg" -> skewSaltedAggSql,

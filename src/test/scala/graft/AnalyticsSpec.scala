@@ -159,6 +159,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(byT.forall(r => r.getDouble(5) > 0.0))
   }
 
+  test("parts_supply_risk: planted exact HHI; sole-source parts rank by spend") {
+    import spark.implicits._
+    // part 1: suppliers at 3:1 revenue -> hhi = (9+1)/16; part 2 and 3
+    // sole-sourced with different spend -> hhi = 1.0, ranked by revenue
+    val li = Seq(
+      (1L, 10L, 300.0, 0.0), (1L, 11L, 100.0, 0.0),
+      (2L, 20L, 50.0, 0.0),
+      (3L, 30L, 500.0, 0.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = graft.operators.Analytics.partsSupplyRiskFrom(li).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L)) // hhi desc, rev desc
+    val byPk = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(byPk(1L) == ((2L, 400.0, 0.75, 10.0 / 16.0)))
+    assert(byPk(2L) == ((1L, 50.0, 1.0, 1.0)))
+    assert(byPk(3L) == ((1L, 500.0, 1.0, 1.0)))
+    // corpus invariants: hhi in (0,1], top_share^2 <= hhi <= top_share
+    SparkEntry.queries("parts_supply_risk")(spark, sf).collect().foreach { r =>
+      val (ts, h) = (r.getDouble(4), r.getDouble(5))
+      assert(h > 0.0 && h <= 1.0 && ts <= 1.0, s"$r")
+      assert(h <= ts + 1e-12 && h >= ts * ts - 1e-12, s"hhi bounds: $r")
+    }
+  }
+
   test("events_retention_curve: hand-planted censored curve; pooled-cohort invariants on sf") {
     import spark.implicits._
     val dayUs = 86400000000L
