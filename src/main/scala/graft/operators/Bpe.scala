@@ -63,18 +63,20 @@ object Bpe {
       |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
       |       ELSE concat(acc, array(s)) END)""".stripMargin
 
-  /** The trained chain: (merge table with `Rounds` rows, final symbol
-    * table (word, freq, syms) after all merges). `withFinal=false`
-    * skips constructing the last rewrite when only the merge table is
+  /** The trained chain: (merge table with `Rounds` rows, symbol-table
+    * states w_0..w_R — each staged once). `withFinal=false` skips
+    * constructing the last rewrite when only the merge table is
     * consumed (each stage barrier materializes eagerly — don't build
-    * frames nobody reads). */
+    * frames nobody reads; the states seq then ends at w_{R-1}). */
   private def chain(spark: SparkSession, dir: String,
-                    withFinal: Boolean): (DataFrame, DataFrame) = {
+                    withFinal: Boolean): (DataFrame, Seq[DataFrame]) = {
     val wf = words(Tables.documents(spark, dir))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var w = stageBarrier(wf.select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms")))
+    val states = Seq.newBuilder[DataFrame]
+    states += w
     val bests = Seq.newBuilder[DataFrame]
     for (r <- 1 to Rounds) {
       val pairs = w.select(col("freq"), explode(expr(
@@ -85,11 +87,13 @@ object Bpe {
       val best = stageBarrier(
         pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1))
       bests += best.select(lit(r).as("rnd"), col("a"), col("b"), col("cnt"))
-      if (r < Rounds || withFinal)
+      if (r < Rounds || withFinal) {
         w = stageBarrier(w.crossJoin(broadcast(best))
           .select(col("word"), col("freq"), expr(mergeFold).as("syms")))
+        states += w
+      }
     }
-    (bests.result().reduce(_ union _).orderBy(col("rnd")), w)
+    (bests.result().reduce(_ union _).orderBy(col("rnd")), states.result())
   }
 
   // ----------------------------------------------------------- text_bpe_train
@@ -155,7 +159,8 @@ b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""" + wNext
     * final symbol table (vocab-bounded, AQE picks the side), then a
     * ≤|langs|-row rollup. */
   def textBpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val (_, w8) = chain(spark, dir, withFinal = true)
+    val (_, states) = chain(spark, dir, withFinal = true)
+    val w8 = states.last
     val lf = words(Tables.documents(spark, dir), col("lang"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
     lf.join(w8.select(col("word"), size(col("syms")).as("n_syms")), Seq("word"))
@@ -188,13 +193,64 @@ SELECT lang, n_words, n_tokens, n_chars,
          AS chars_per_token
 FROM ag ORDER BY lang"""
 
+  // ------------------------------------------------------- text_bpe_curve
+  /** The training COMPRESSION curve: per merge round r = 0..`Rounds`
+    * the merged pair, corpus tokens after r merges, and chars/token —
+    * the published "is the vocab still buying compression" read that
+    * decides when to stop training (tokens_r is monotone non-increasing;
+    * the marginal gain per round is the stopping signal). Row 0 is the
+    * character baseline (no merges; chars/token exactly 1.0 when every
+    * symbol is one char).
+    *
+    * Exactness: every tokens_r is an integer sum over the staged round
+    * state; chars is the same constant integer each round; the ratio is
+    * ONE division of exact integers, unrounded (the fin_cusum
+    * round-half lesson). Scale: one ≤vocab-row aggregate per round on
+    * top of the already-staged chain states — the curve costs `Rounds`
+    * extra vocab scans, nothing corpus-scale beyond the shared chain. */
+  def textBpeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, states) = chain(spark, dir, withFinal = true)
+    val toks = states.zipWithIndex.map { case (w, r) =>
+      w.agg(sum(col("freq") * size(col("syms"))).as("n_tokens"),
+          sum(col("freq") * length(col("word"))).as("n_chars"))
+        .select(lit(r).as("rnd"), col("n_tokens"), col("n_chars"))
+    }.reduce(_ union _)
+    toks.join(merges, Seq("rnd"), "left")
+      .select(col("rnd"), col("a"), col("b"), col("cnt"), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double")
+          + 0.0).as("chars_per_token"))
+      .orderBy(col("rnd"))
+  }
+
+  val textBpeCurveSql: String = {
+    val rows = (0 to Rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS rnd,
+         |  CAST(sum(freq * len(syms)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(freq * length(word)) AS BIGINT) AS n_chars FROM w$r"""
+        .stripMargin
+    }.mkString(" UNION ALL ")
+    val merges = (1 to Rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS rnd, a, b, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(withFinal = true)},
+       |bc_tok AS ($rows),
+       |bc_mrg AS ($merges)
+       |SELECT t.rnd, a, b, cnt, n_tokens,
+       |       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 0.0
+       |         AS chars_per_token
+       |FROM bc_tok t LEFT JOIN bc_mrg m ON m.rnd = t.rnd
+       |ORDER BY t.rnd""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_curve" -> (textBpeCurve _),
     "text_bpe_fertility" -> (textBpeFertility _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_curve" -> textBpeCurveSql,
     "text_bpe_fertility" -> textBpeFertilitySql
   )
 }

@@ -91,6 +91,31 @@ class BpeSpec extends SparkSpec {
     assert(syms("baa") == List("b", "aa"))
   }
 
+  test("compression curve matches the reference rewrite per round; monotone; row 0 is the char baseline") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val wf = texts.flatMap(_.split(' ')).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    // per-round token totals from the reference
+    val exp = scala.collection.mutable.ArrayBuffer[Long](
+      wf.map { case (w, f) => f * w.length }.sum)
+    for (r <- 1 to Bpe.Rounds) {
+      val (_, syms) = referenceBpe(texts, r)
+      exp += wf.map { case (w, f) => f * syms(w).size }.sum
+    }
+    val got = Bpe.textBpeCurve(spark, sf).collect()
+    assert(got.length == Bpe.Rounds + 1)
+    got.foreach { r =>
+      assert(r.getLong(4) == exp(r.getInt(0)), s"round ${r.getInt(0)}")
+    }
+    assert(got.head.getDouble(5) == 1.0, "char baseline: one char per token")
+    assert(got.head.isNullAt(1), "round 0 has no merge")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(4) <= a.getLong(4), "tokens monotone non-increasing")
+    case _ => ()
+    }
+  }
+
   test("single-character words survive every round unchanged") {
     val (_, syms) = referenceBpe(Seq("a b ab ab ab cd cd"), 2)
     assert(syms("a") == List("a") && syms("b") == List("b"))
