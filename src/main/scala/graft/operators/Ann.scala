@@ -2062,7 +2062,12 @@ object Ann {
       if (mx(d) == mn(d)) s"CAST(${mn(d) * 255L}L AS DOUBLE)"
       else s"CAST(${mn(d)}L * 255L + least(255L, greatest(0L, ((CAST(round(element_at(v, ${d + 1}) * 1000) AS BIGINT) - (${mn(d)}L)) * 255L) DIV ${mx(d) - mn(d)}L)) * ${mx(d) - mn(d)}L AS DOUBLE)"
     }.mkString(", ") + ")")
-    val coded = e.select(col("vec_id"), reconArr.as("c"))
+    // staged: the non-equi candidate join is a BroadcastNestedLoopJoin,
+    // and an unstaged projection under it re-evaluates the 64-branch
+    // reconstruction once per JOINED PAIR (|Q|× per corpus row) instead
+    // of once per row — measured 4.2 s → ~1 s at sf0.1
+    val coded = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      e.select(col("vec_id"), reconArr.as("c")))
     val qc = coded.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("c").as("qc"))
     val cRe = pqRerank(n)
@@ -2187,6 +2192,10 @@ object Ann {
       if (mx(d) == mn(d)) s"CAST(${mn(d) * 255L}L AS DOUBLE)"
       else s"CAST(${mn(d)}L * 255L + least(255L, greatest(0L, ((CAST(round(element_at(r, ${d + 1}) * 1000) AS BIGINT) - (${mn(d)}L)) * 255L) DIV ${mx(d) - mn(d)}L)) * ${mx(d) - mn(d)}L AS DOUBLE)"
     }.mkString(", ") + ")")
+    // NOT staged (unlike ann_sq_topk's coded frame): the cell-keyed
+    // probes join gives each corpus row < 1 expected scoring partner
+    // (|Q|·nprobe / nlist), so re-evaluating the reconstruction there is
+    // cheaper than materializing 64 doubles/row — measured both ways
     val coded = res.select(col("vec_id"), col("cell"), reconArr.as("x"))
     val qRows = e.filter(col("vec_id") < NQueries).select(col("vec_id"), col("v"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
