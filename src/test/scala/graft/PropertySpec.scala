@@ -84,4 +84,31 @@ class PropertySpec extends SparkSpec {
         s"est $est vs true $trueJ (32 lanes, tolerance 2/sqrt(32))")
     }
   }
+
+  test("BPE mergeFold equals the reference greedy single-pass merge on random symbol lists") {
+    // random words over a 3-letter alphabet maximize overlap/adjacency
+    // edge cases ("aaa" runs, merged-token lookalikes)
+    val symGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "aa"))
+    val pairGen = for {
+      a <- Gen.oneOf("a", "b", "c", "ab", "aa")
+      b <- Gen.oneOf("a", "b", "c", "ab", "aa")
+    } yield (a, b)
+    val cases = samples(Gen.zip(symGen, pairGen), 120)
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer(syms.head)
+      for (s <- syms.tail)
+        if (out.last == a && s == b) out(out.size - 1) = a + b
+        else out += s
+      out.toList
+    }
+    val df = cases.zipWithIndex.map { case (((syms, (a, b))), i) =>
+      (i.toLong, syms, a, b)
+    }.toDF("i", "syms", "a", "b")
+    val got = df.selectExpr("i", s"${graft.operators.Bpe.mergeFold} AS m")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case (((syms, (a, b))), i) =>
+      assert(got(i.toLong) == refMerge(syms, a, b),
+        s"case $i: $syms merge ($a,$b)")
+    }
+  }
 }
