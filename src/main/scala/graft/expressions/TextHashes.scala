@@ -213,6 +213,65 @@ object TextHashes {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n, distinct, s))
   }
 
+  /** Winnowing (Schleimer, Wilkerson & Aiken SIGMOD'03) selection stats
+    * over the word-k-shingle md5 sequence in ONE compiled pass: each
+    * sliding window of w consecutive shingle hashes selects its minimum
+    * (RIGHTMOST on ties — the paper's rule, and the interpreted fold's
+    * `<=` override). Returns struct(n, nw, n_selected, sel_min, sel_max,
+    * fps):
+    *   n           shingle count,
+    *   nw          greatest(n − w + 1, 1) — the window count column,
+    *   n_selected  DISTINCT (position, hash) selections. Position
+    *               determines the hash, and selected positions are
+    *               NON-DECREASING across windows (window s+1 keeps
+    *               window s's pick p unless the new element beats it or
+    *               p fell out — either way the new pick is ≥ p), so the
+    *               global distinct count is the adjacent-change count,
+    *   sel_min/max min/max window minimum (null when n = 0),
+    *   fps         distinct window minima, first-occurrence order —
+    *               exactly array_distinct(wm).
+    * Bit-identical to the transform/aggregate HOF chain it replaces
+    * (same shingle md5s, same UTF8String binary `<=`, same guards);
+    * the HOF chain ran interpreted with a struct allocation per
+    * window element — the 4th instance of the kernel rule (SURVEY §4). */
+  def winnowStats(text: UTF8String, k: Int, w: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val h = shingleMd5s(text, k)
+    val n = h.numElements()
+    val nw = math.max(n - (w - 1), 1)
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, nw, 0, null, null, new GenericArrayData(Array.empty[Any])))
+    var selMin: UTF8String = null
+    var selMax: UTF8String = null
+    var nSel = 0
+    var lastPos = -1
+    val fps = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s < nw) {
+      val end = math.min(s + w, n)
+      var mp = s
+      var mh = h.getUTF8String(s)
+      var j = s + 1
+      while (j < end) {
+        val hj = h.getUTF8String(j)
+        if (hj.compareTo(mh) <= 0) { mh = hj; mp = j }
+        j += 1
+      }
+      if (mp != lastPos) { nSel += 1; lastPos = mp }
+      fps.add(mh)
+      if (selMin == null || mh.compareTo(selMin) < 0) selMin = mh
+      if (selMax == null || mh.compareTo(selMax) > 0) selMax = mh
+      s += 1
+    }
+    val fpArr = new Array[Any](fps.size)
+    val it = fps.iterator()
+    var i = 0
+    while (it.hasNext) { fpArr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nw, nSel, selMin, selMax, new GenericArrayData(fpArr)))
+  }
+
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
@@ -417,6 +476,26 @@ case class EntropyStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.entropyStats($c)")
   override protected def withNewChildInternal(newChild: Expression): EntropyStats =
+    copy(child = newChild)
+}
+
+/** winnow_stats(text, k, w): struct(n, nw, n_selected, sel_min, sel_max,
+  * fps) — the winnowing selection profile (see TextHashes.winnowStats). */
+case class WinnowStats(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("nw", IntegerType, nullable = false),
+    StructField("n_selected", IntegerType, nullable = false),
+    StructField("sel_min", StringType, nullable = true),
+    StructField("sel_max", StringType, nullable = true),
+    StructField("fps", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def prettyName: String = "winnow_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.winnowStats(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.winnowStats($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowStats =
     copy(child = newChild)
 }
 

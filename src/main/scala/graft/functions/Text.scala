@@ -65,6 +65,17 @@ object Text {
       GraftColumnBridge.expression(c), k))
   }
 
+  /** One-pass winnowing profile struct (n, nw, n_selected, sel_min,
+    * sel_max, fps) over the word-k-shingle md5s — native kernel twin of
+    * the per-window transform/aggregate argmin chain (rightmost-tie,
+    * bit-identical selections; TextSpec re-simulates the paper's
+    * algorithm against it). */
+  def winnowStats(c: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.WinnowStats(
+      GraftColumnBridge.expression(c), k, w))
+  }
+
   /** One-pass repetition stats struct (n_words, n_distinct_words,
     * n_bigrams, n_distinct_bigrams) — native kernel twin of the
     * words/shingles(2) array chain (pinned in ExpressionsSpec). */

@@ -1213,11 +1213,14 @@ object Dedup {
     * frame and the rare-filtered frame each stage once (both are
     * consumed twice — the aliased-self-join reuse lesson); top-50
     * TakeOrdered bounds output under the total (shared, id, id) order. */
+  /** Stop-fingerprint document-frequency cap (shared with the SQL
+    * mirror via interpolation — the shared-constant drift rule). */
+  private val MaxDf = 8
+
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
-    val MaxDf = 8
     val fps = stageBarrier(TextAnalysis.winnowBase(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(col("wm"))).as("fp")))
+      .select(col("doc_id"), explode(col("st.fps")).as("fp")))
     val rare = stageBarrier(fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf),
       Seq("fp")).select(col("fp"), col("doc_id")))
@@ -1235,7 +1238,7 @@ object Dedup {
        |wsel AS (SELECT doc_id, list_distinct(${TextAnalysis.winnowWmExpr}) AS fps
        |         FROM dims),
        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
-       |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 8),
+       |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $MaxDf),
        |r AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
        |      FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id

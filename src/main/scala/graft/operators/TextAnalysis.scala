@@ -403,21 +403,16 @@ object TextAnalysis {
     * generator). */
   private[operators] val WinnowW = 4
 
-  /** (doc_id, h, n, nw, wm): the shingle-hash array, its dims, and the
-    * per-window minima list — the shared base both winnow consumers
-    * build on (text_winnow_fp's profile; dedup_winnow_pairs' distinct
-    * fingerprint set = array_distinct(wm)). */
-  private[operators] def winnowBase(spark: SparkSession, dir: String): DataFrame = {
-    val W = WinnowW
-    val winMin = transform(sequence(lit(1), col("nw")),
-      s => array_min(slice(col("h"), s, lit(W))))
+  /** (doc_id, st): the one-pass compiled winnow profile struct both
+    * winnow consumers project from (text_winnow_fp's selection profile;
+    * dedup_winnow_pairs' distinct fingerprint set st.fps). The kernel
+    * replaces the per-window transform/aggregate argmin HOF chain —
+    * interpreted, a struct allocation per window element — with one
+    * codegen-spliced pass (the 4th kernel-rule instance; see
+    * TextHashes.winnowStats for the bit-identity argument). */
+  private[operators] def winnowBase(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("h"))
-      .withColumn("n", size(col("h")))
-      .withColumn("nw", greatest(col("n") - (W - 1), lit(1)))
-      .withColumn("wm", when(col("n") === 0, array().cast("array<string>"))
-        .otherwise(winMin))
-  }
+      .select(col("doc_id"), Text.winnowStats(col("text"), 3, WinnowW).as("st"))
 
   /** Mirror fragments shared by both winnow mirrors (the drift rule):
     * the shingle/dims CTE prefix and the per-window-minima expression. */
@@ -433,36 +428,18 @@ object TextAnalysis {
       |         ELSE [list_min(h[s : least(s + 3, n)]) for s in range(1, nw + 1)]
       |    END""".stripMargin
 
-  def textWinnowFp(spark: SparkSession, dir: String): DataFrame = {
-    val W = WinnowW
-    val base = winnowBase(spark, dir)
-    // distinct selections as "pos:hash" strings (engines can't distinct
-    // struct lists uniformly); min/max selected hash need no distinct —
-    // duplicates never change a min/max — so they fold the window minima
-    val selStr = array_distinct(transform(
-      sequence(lit(1), col("nw")),
-      s => {
-        val arg = aggregate(
-          sequence(s, least(s + (W - 1), col("n"))),
-          struct(lit("g").as("mh"), lit(0).as("mp")),
-          (acc, j) => when(element_at(col("h"), j) <= acc.getField("mh"),
-            struct(element_at(col("h"), j).as("mh"), j.as("mp")))
-            .otherwise(acc))
-        concat(arg.getField("mp").cast("string"), lit(":"), arg.getField("mh"))
-      }))
-    base
-      .withColumn("sel", when(col("n") === 0, array().cast("array<string>"))
-        .otherwise(selStr))
-      .select(col("doc_id"), col("n").as("n_shingles"),
-        when(col("n") === 0, 0).otherwise(col("nw")).cast("int").as("n_windows"),
-        size(col("sel")).as("n_selected"),
-        when(col("n") === 0, lit(null).cast("double"))
-          .otherwise(round(size(col("sel")).cast("double")
-            / col("nw").cast("double"), 6) + 0.0).as("density"),
-        array_min(col("wm")).as("sel_min"),
-        array_max(col("wm")).as("sel_max"))
+  def textWinnowFp(spark: SparkSession, dir: String): DataFrame =
+    winnowBase(spark, dir)
+      .select(col("doc_id"), col("st.n").as("n_shingles"),
+        when(col("st.n") === 0, 0).otherwise(col("st.nw")).cast("int")
+          .as("n_windows"),
+        col("st.n_selected").as("n_selected"),
+        when(col("st.n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("st.n_selected").cast("double")
+            / col("st.nw").cast("double"), 6) + 0.0).as("density"),
+        col("st.sel_min").as("sel_min"),
+        col("st.sel_max").as("sel_max"))
       .orderBy(col("doc_id"))
-  }
 
   lazy val textWinnowFpSql: String =
     s"""WITH $winnowDimsCtes,
