@@ -19,14 +19,37 @@ object SparkEntry {
       Bpe.queries ++ Dedup.queries ++ Ann.queries ++ Graph.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
+  /** Rewrite every CTE head `name AS (` to `name AS MATERIALIZED (`.
+    * DuckDB inlines CTEs by default, so a CTE referenced k times is
+    * re-derived k times — the composed ANN mirrors (index-build chains
+    * referenced by assignment, LUT, and re-rank steps) went
+    * combinatorial: ann_ivfpq_topk alone ran 724 s at sf0.01 inlined vs
+    * 1.0 s materialized, identical rows. MATERIALIZED is purely an
+    * execution-strategy hint — results are unchanged — and applying it
+    * uniformly keeps the correctness gate's DuckDB cost bounded by the
+    * SUM of CTE costs instead of their reference products.
+    * Exclusions: named-window clauses (`WINDOW w AS (`— not a CTE; the
+    * lookbehind + \b skip them) and the three RECURSIVE star-contraction
+    * queries (DuckDB restricts CTE hints inside WITH RECURSIVE; they
+    * run ~1.7 s inlined, nothing to win). Sibling-scope duplicate CTE
+    * names (the recall report's six embedded legs each define `e`/`un`)
+    * materialize fine; what does NOT is an outer CTE shadowed by an
+    * inner WITH of the same name — composed fragments therefore prefix
+    * their CTE names (ngramDupsCtes' `ngd_w`), and dev/check.py catches
+    * any reintroduction as a binder error. */
+  private def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    else sql.replaceAll("""(?<!WINDOW )\b(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   /** DuckDB-runnable equivalents over the same parquet tables. Keys absent
     * here get the driver's weaker rows-only check (see SURVEY.md §2). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TpchExtra.oracles ++ Analytics.oracles ++
+    (Relational.oracles ++ TpchExtra.oracles ++ Analytics.oracles ++
       graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TextStats.oracles ++ TrainPrep.oracles ++
       Bpe.oracles ++ Dedup.oracles ++ Ann.oracles ++ Graph.oracles ++
-      graft.streaming.EventStreams.oracles ++ Multimodal.oracles
+      graft.streaming.EventStreams.oracles ++ Multimodal.oracles)
       // mm_metadata / mm_features: binary + stub semantics, rows-only
       // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)
+      .map { case (k, v) => k -> materializeCtes(v) }
 }

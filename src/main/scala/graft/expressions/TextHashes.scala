@@ -284,6 +284,23 @@ object TextHashes {
     c
   }
 
+  /** Element-returning twin of sortedLongIntersectCount: the sorted
+    * common elements of two pre-sorted array<bigint> — the closing
+    * vertices of the triangles an oriented edge anchors
+    * (graph_similar_parts' per-edge credit generator). */
+  def sortedLongIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { out(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, c))
+  }
+
   /** Long twin of sortedIntersectCount (graph adjacency lists). */
   def sortedLongIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -440,6 +457,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       (a, b) => s"graft.expressions.TextHashes.sortedIntersectCount($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sorted_long_intersect(a, b): the sorted common elements of two
+  * pre-sorted array<bigint> — graph_similar_parts' triangle-credit
+  * generator (see TextHashes.sortedLongIntersect). */
+case class SortedLongIntersect(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedLongIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextHashes.sortedLongIntersect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
     copy(left = newLeft, right = newRight)
 }
 

@@ -179,18 +179,34 @@ object Ann {
   // ----------------------------------------------------------- ann_ivf_topk
   private val IvfProbe = 4 // cells probed per query
 
-  /** Data-sized cell count, UNCAPPED: ~64 vectors per cell on small
-    * corpora, bounded by 4·sqrt(n) at scale so cell size grows as
-    * sqrt(n)/4 while the cell count keeps growing with the corpus.
-    * Floor of 8 keeps the probe fraction high enough for useful recall
-    * on tiny spec corpora. (The r5 version capped nlist at 64 because
-    * assignment was a greatest()-over-structs expression whose size grew
-    * with nlist — at 100x data each probe degenerated toward a brute
-    * scan. The cap is gone: assignment is now the NearestCell /
-    * NearestSubCell kernels, whose generated code is one call regardless
-    * of nlist.) */
-  private def ivfLists(n: Long): Int =
-    math.max(8L, math.min(n / 64L, 4L * math.sqrt(n.toDouble).toLong)).toInt
+  /** Hard ceiling on the IVF cell count. Every index-build driver
+    * collect is bounded by it: coarse seeds ≤ ceil(MaxLists/c2) ≈ 64
+    * rows, sub-seeds ≤ MaxLists rows, and the Lloyd partial-sum frame ≤
+    * MaxLists×dim rows (~2 MB at dim 64) — CONSTANT in the corpus size,
+    * so a 10⁹-vector build holds the same driver state as a 10⁴ one.
+    * The trade is query-time scan cost, not recall: past the cap, cells
+    * grow as n/MaxLists, so each probe re-ranks more exact candidates —
+    * recall weakly INCREASES while probe cost grows linearly; deployers
+    * who need flat probe cost at 10⁹ vectors shard the corpus and build
+    * per-shard indexes (the standard IVF sharding story). Never binds
+    * below n = 1M, so every registered corpus (and the sf1 sweep) is
+    * unchanged. Interpolated into the SQL mirror — the shared-constant
+    * drift rule. */
+  private[graft] val MaxLists = 4096
+
+  /** Data-sized cell count: ~64 vectors per cell on small corpora,
+    * bounded by 4·sqrt(n) at scale so cell size grows as sqrt(n)/4
+    * while the cell count keeps growing with the corpus, hard-capped at
+    * MaxLists (driver-state bound above). Floor of 8 keeps the probe
+    * fraction high enough for useful recall on tiny spec corpora. (The
+    * r5 version capped nlist at 64 because assignment was a
+    * greatest()-over-structs expression whose size grew with nlist — at
+    * 100x data each probe degenerated toward a brute scan. That cap is
+    * gone: assignment is the NearestCell / NearestSubCell kernels,
+    * whose generated code is one call regardless of nlist.) */
+  private[graft] def ivfLists(n: Long): Int =
+    math.max(8L, math.min(MaxLists.toLong,
+      math.min(n / 64L, 4L * math.sqrt(n.toDouble).toLong))).toInt
 
   /** Unit-normalize, so argmax dot == argmax cosine in the kernels and
     * the probe ranking; an all-zero vector stays zero (dot 0 with
@@ -1065,7 +1081,7 @@ object Ann {
        |         CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT) AS c2,
        |         CAST(ceil(CAST(nlist AS DOUBLE)
        |                   / CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS INT)) AS INT) AS c1
-       |  FROM (SELECT n, greatest(8, least(n // 64,
+       |  FROM (SELECT n, greatest(8, least($MaxLists, n // 64,
        |                 4 * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS nlist
        |        FROM nn)),
        |coarse AS (

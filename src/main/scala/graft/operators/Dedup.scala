@@ -72,9 +72,13 @@ object Dedup {
        |        % ${graft.expressions.TextHashes.LaneP}))""".stripMargin
   }
 
-  private def bandedCteSql: String =
+  private def bandedCteSql: String = bandedCteSqlFrom("s")
+
+  /** `src` = the shingle-set CTE the banded keys read (parameterized so
+    * the prefixed ngramDupsCtes fragment can feed its own ngd_s). */
+  private def bandedCteSqlFrom(src: String): String =
     (0 until NgramBands).map { k =>
-      s"SELECT doc_id, $k AS band, ${laneMinSql(k, 0)} AS b0, ${laneMinSql(k, 1)} AS b1 FROM s"
+      s"SELECT doc_id, $k AS band, ${laneMinSql(k, 0)} AS b0, ${laneMinSql(k, 1)} AS b1 FROM $src"
     }.mkString("\n      |  UNION ALL ")
 
   /** Exact shingle Jaccard of two TEXT columns via the native kernel —
@@ -327,23 +331,28 @@ object Dedup {
       |UNION ALL SELECT * FROM within
       |ORDER BY contained_id, container_id""".stripMargin
 
+  // `ngd_w`, not `w`: this fragment lands at the TOP level of composed
+  // oracles (corpus_pipeline_funnel) that also embed subqueries with
+  // their own `WITH w` — legal shadowing inlined, but a duplicate-alias
+  // binder error once SparkEntry materializes CTEs, so the shared
+  // fragment takes the prefixed name (the pq_/pr_ hygiene rule).
   val ngramDupsCtes: String =
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |s AS (
+    s"""ngd_w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |ngd_s AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(
       |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
       |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
-      |  FROM w WHERE len(words) >= 3),
-      |b AS (
-      |  $bandedCteSql),
-      |p AS (
+      |  FROM ngd_w WHERE len(words) >= 3),
+      |ngd_b AS (
+      |  ${bandedCteSqlFrom("ngd_s")}),
+      |ngd_p AS (
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM b x JOIN b y
+      |  FROM ngd_b x JOIN ngd_b y
       |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id),
       |ngram_dups AS (
       |  SELECT DISTINCT id_b AS doc_id
-      |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s c ON p.id_b = c.doc_id
+      |  FROM ngd_p JOIN ngd_s a ON ngd_p.id_a = a.doc_id JOIN ngd_s c ON ngd_p.id_b = c.doc_id
       |  WHERE len(list_intersect(a.sh, c.sh))
       |          / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))) >= 0.9)""".stripMargin
 
@@ -711,8 +720,9 @@ object Dedup {
     math.max(BlockPlanes, needed)
   }
 
-  /** Embedding near-dup candidates: exact cosine within
-    * (label, hyperplane-bucket) blocks, unioned over 3 LSH tables.
+  /** Embedding near-dup candidates — see dedupEmbedding below: exact
+    * cosine within (label, hyperplane-bucket) blocks, unioned over 3
+    * LSH tables, bounded to PairCap partners per member.
     *
     * Scale: label alone is a FIXED-cardinality key — within-block pairs
     * are O(n²/|labels|), i.e. 100× data → 10,000× pairs. The hyperplane
@@ -721,15 +731,30 @@ object Dedup {
     * total pair work at O(n·B·tables). A τ-similar pair lands in the
     * same bucket of one table with prob (1-θ/π)^planes (θ = arccos τ),
     * so 3 tables keep recall ≈ 1-(1-(1-θ/π)^planes)³ ≈ 0.995 at τ=0.99.
-    * The only shuffle is on (label, table, bucket); duplicate candidate
-    * pairs collapse before the cosine is computed.
+    * The only shuffles are on (label, table, bucket) and the partner
+    * rank key; duplicate candidate pairs collapse as scalars.
     *
     * Oracle parity: buckets are deterministic sign(dot(v, plane))
     * expressions whose ±1 plane components (Ann.planeSign) are baked
     * into the SQL below from the SAME Scala function; the cosine is the
     * sequential double fold Vectors.dot mirrors (NOT DuckDB's
     * float-precision list_cosine_similarity). */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** Partners per member per table: the per-block pair expansion bound.
+    * A degenerately self-similar block of size b emits ≤ b·PairCap
+    * pairs instead of b²/2, and the id-ordered partner chains (rank
+    * rn ↔ rn+1 always pairs) keep every within-block clique CONNECTED,
+    * so the connected components a downstream dedup extracts are
+    * unchanged. Interpolated into the mirror (shared-constant rule). */
+  private[graft] val PairCap = 8
+
+  /** The (vec_id, label, v, t, block) bucketed frame both embedding-pair
+    * variants read. Staged behind a barrier: the subtree is shuffle-free,
+    * so this is NOT shuffle-stage reuse (the staged RDD is lazy) — the
+    * barrier's win is stopping Catalyst from re-deriving the bucket
+    * expressions into each side's join-key null filters, which
+    * re-evaluated the 3-table hyperplane projection per side (A/B at
+    * sf1: 41.7 s unstaged vs 33.4 s staged; sf0.1 1.16 vs 0.94). */
+  private def bucketedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     // two scalar jobs to size the index — the standard price of any
@@ -737,24 +762,57 @@ object Dedup {
     // the static oracle SQL exact at the correctness gate's scale
     val stats = e.agg(count(lit(1)), countDistinct(col("label"))).first()
     val planes = blockPlanes(stats.getLong(0), stats.getLong(1))
-    // staged behind a barrier. The subtree is shuffle-free, so this is
-    // NOT shuffle-stage reuse (the staged RDD is lazy; both join sides
-    // still walk the lineage) — the barrier's win is stopping Catalyst
-    // from re-deriving the bucket expressions into each side's join-key
-    // null filters, which re-evaluated the 3-table hyperplane projection
-    // per side (A/B at sf1: 41.7 s unstaged vs 33.4 s staged; sf0.1
-    // 1.16 vs 0.94)
-    val bucketed = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+    org.apache.spark.sql.GraftColumnBridge.stageBarrier(
       e.select(col("vec_id"), col("label"), col("v"),
         explode(array(BlockTables.map(t => struct(lit(t).as("t"),
           Ann.hyperplaneBucket(col("v"), t, planes).as("block"))): _*)).as("tb"))
         .select(col("vec_id"), col("label"), col("v"), col("tb.t"), col("tb.block")))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
+  }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // Bounded pair expansion (r10): the full within-block pair list is
+    // output-QUADRATIC on a degenerately self-similar corpus — LSH
+    // collocates near-identical vectors by design (identical vectors
+    // share every sign bucket no matter how many planes), so no
+    // bucketing knob fixes it; the r7 sf10 probe measured >600 s of
+    // real pair output while everything else scaled linearly. Each
+    // member now pairs with its next-PairCap block-mates in vec_id
+    // order: output ≤ n·PairCap·tables, chains keep cliques connected
+    // (components unchanged — DedupSpec pins both properties against
+    // the full-pair yardstick below), and the explode-then-equi-join
+    // shape does O(n·PairCap) WORK, never materializing the b² join.
+    val bucketed = bucketedEmbeddings(spark, dir)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"), col("t"), col("block"))
+    val ranked = bucketed
+      .withColumn("rn", row_number().over(wb.orderBy(col("vec_id"))))
+      .withColumn("bs", count(lit(1)).over(wb))
+    val probes = ranked.filter(col("rn") < col("bs"))
+      .select(col("label"), col("t"), col("block"),
+        col("vec_id").as("id_a"), col("v").as("av"),
+        explode(sequence(col("rn") + 1,
+          least(col("rn") + PairCap, col("bs")))).as("prn"))
+    val partners = ranked.select(col("label"), col("t"), col("block"),
+      col("rn").as("prn"), col("vec_id").as("id_b"), col("v").as("bv"))
     // cosine is computed map-side in the join projection, BEFORE the
-    // cross-table dedup: a pair costs <=3 fused dot products, while the
-    // old shape shuffled both 64-dim vectors per candidate through
-    // dropDuplicates — a vectors-sized exchange that went superlinear at
-    // sf1 (945 s); scalars-only dedup brought it back to linear
+    // cross-table dedup: a pair costs <=3 fused dot products and only
+    // scalars cross the dedup exchange (the r7 sf1 lesson)
+    probes.join(partners, Seq("label", "t", "block", "prn"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        (round(Vectors.cosine(col("av"), col("bv")), 4) + 0.0).as("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  /** Spec-only yardstick (UNREGISTERED): the exact full within-block
+    * pair list the bounded query above is verified against — every
+    * bounded pair must appear here with the identical cosine, and the
+    * connected components of both edge sets must coincide (DedupSpec).
+    * Quadratic on self-similar corpora by definition of its output, so
+    * it must never be a registered query (r9 verdict). */
+  private[graft] def dedupEmbeddingFullPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = bucketedEmbeddings(spark, dir)
+    val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
@@ -874,9 +932,16 @@ object Dedup {
        |        ${bucketSql(7)} AS b1,
        |        ${bucketSql(8)} AS b2
        |        FROM e),
-       |p AS (SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b, x.v AS av, y.v AS bv
-       |      FROM bkt x JOIN bkt y ON x.label = y.label AND x.vec_id < y.vec_id
-       |       AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2))
+       |lng AS (SELECT vec_id, label, v, t,
+       |          CASE t WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS blk
+       |        FROM bkt CROSS JOIN range(0, 3) tt(t)),
+       |rk AS (SELECT vec_id, label, v, t, blk,
+       |         row_number() OVER (PARTITION BY label, t, blk ORDER BY vec_id) AS rn
+       |       FROM lng),
+       |p AS (SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |             a.v AS av, b.v AS bv
+       |      FROM rk a JOIN rk b ON a.label = b.label AND a.t = b.t AND a.blk = b.blk
+       |       AND b.rn > a.rn AND b.rn <= a.rn + $PairCap)
        |SELECT label, id_a, id_b,
        |  CAST(round(
        |    list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)

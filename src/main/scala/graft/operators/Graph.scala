@@ -201,39 +201,111 @@ object Graph {
     * natural recommender candidate set and the bound that keeps the
     * pair space at |E|, never all-pairs).
     *
-    * Scale: the Jaccard numerator is the same compiled sorted-merge
-    * kernel as graph_triangles over the same staged adjacency arrays;
-    * candidates = edges (each scored ONCE, mirrored into both
-    * directions for ranking); the top-5 window partitions by part over
-    * its neighbor list — bounded by max degree, never corpus-scaled.
-    * jac = c/(da+db−c) is one double division of exact integers; both
-    * engines sort the identical doubles (tie-break part_b), so ranks
-    * hash-match. */
+    * Scale: the Jaccard numerator c(u,v) for a candidate edge equals
+    * that edge's TRIANGLE support, so it is computed by triangle
+    * enumeration over the (degree,id)-oriented adjacency (the
+    * graph_triangles orientation): out-lists are O(√m) even at hubs,
+    * each triangle is emitted once by the compiled sorted-merge
+    * intersect kernel on its lowest oriented edge and credits its three
+    * edges as SCALAR rows — no hub's full neighbor array is ever
+    * replicated per candidate edge (the r9 shape's Σdeg² transport).
+    * Candidates = edges (each scored once, mirrored into both
+    * directions for ranking); the top-5 window partitions by part —
+    * bounded by max degree, never corpus-scaled. jac = c/(da+db−c) is
+    * one double division of exact integers; both engines sort the
+    * identical doubles (tie-break part_b), so ranks hash-match. The
+    * mirror keeps the direct full-neighbor list_intersect form — same
+    * c by the support identity, single-node DuckDB has no transport. */
   def graphSimilarParts(spark: SparkSession, dir: String): DataFrame =
     graphSimilarPartsFrom(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
 
-  private[graft] def graphSimilarPartsFrom(pairs: DataFrame): DataFrame = {
+  private[graft] def graphSimilarPartsFrom(pairs: DataFrame): DataFrame =
+    graphSimilarPartsFrom(pairs, forceSparse = None)
+
+  /** `forceSparse`: spec hook pinning that both scoring strategies give
+    * identical output; production passes None and the density dial
+    * below decides. */
+  private[graft] def graphSimilarPartsFrom(
+      pairs: DataFrame, forceSparse: Option[Boolean]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.SortedLongIntersectCount
+    import graft.expressions.{SortedLongIntersect, SortedLongIntersectCount}
     val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
     val und = stageBarrier(
       li.select(col("ok"), col("p").as("u"))
         .join(li.select(col("ok"), col("p").as("v")), Seq("ok"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct())
-    val nbrAll = und.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
-    val adj = stageBarrier(nbrAll.groupBy(col("node"))
-      .agg(sort_array(collect_list(col("nbr"))).as("ns"), count(lit(1)).as("d")))
-    val scored = und
-      .join(adj.select(col("node").as("u"), col("ns").as("nu"), col("d").as("du")), Seq("u"))
-      .join(adj.select(col("node").as("v"), col("ns").as("nv"), col("d").as("dv")), Seq("v"))
-      .select(col("u"), col("v"), col("du"), col("dv"),
-        kcol(SortedLongIntersectCount(kexp(col("nu")), kexp(col("nv"))))
-          .cast("long").as("c"))
+    val dg = stageBarrier(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    // Density dial (two scalar jobs on already-staged frames — the
+    // dedupEmbedding planes precedent). A SPARSE graph (growing catalog,
+    // hub outliers — the 100 TB TPC-H shape: |E| ≈ 10·|orders| while
+    // |V| = |parts| keeps growing) is scored by triangle credits over
+    // the (degree,id)-oriented adjacency: out-lists are O(√m) even at
+    // hubs, so no hub's full neighbor array is ever replicated per
+    // candidate edge (the r9 plan's Σdeg² transport). A DENSE projection
+    // (fixed small catalog — the local testdata: 2000 parts, 60 % of
+    // complete) is scored per-edge by the compiled sorted-merge kernel
+    // on full V-BOUNDED adjacency arrays: triangle count approaches
+    // E·d̄ there and credit rows would dwarf the capped array transport.
+    // Both strategies produce the identical frame (GraphSpec pins it).
+    val dialRow = dg.agg(count(lit(1)), sum(col("d"))).first()
+    val nV = dialRow.getLong(0)
+    val nE = dialRow.getLong(1) / 2 // handshake: Σd = 2|E|
+    val sparse = forceSparse.getOrElse(nE * 8L < nV * nV)
+    val scoredBase =
+      if (sparse) {
+        // each triangle found ONCE on its lowest oriented edge (both
+        // other vertices sit in that edge's out-lists); its three
+        // undirected edges are credited as scalar rows
+        val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        val orn = stageBarrier(und
+          .join(dg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+          .join(dg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+          .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+            when(lower, col("v")).otherwise(col("u")).as("dst")))
+        val adj = stageBarrier(orn.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+        val triWs = orn
+          .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+          .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+          .select(col("src").as("a"), col("dst").as("b"),
+            explode(kcol(SortedLongIntersect(kexp(col("nu")),
+              kexp(coalesce(col("nv"), array().cast("array<bigint>")))))).as("w"))
+        // credits normalize to raw-id order (orientation is by
+        // (degree,id) rank, so a/b/w raw order is arbitrary) to meet
+        // und's u < v key
+        val credits = triWs.select(least(col("a"), col("b")).as("cu"),
+            greatest(col("a"), col("b")).as("cv"))
+          .unionAll(triWs.select(least(col("a"), col("w")).as("cu"),
+            greatest(col("a"), col("w")).as("cv")))
+          .unionAll(triWs.select(least(col("b"), col("w")).as("cu"),
+            greatest(col("b"), col("w")).as("cv")))
+          .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("c"))
+        und.join(credits.withColumnRenamed("cu", "u").withColumnRenamed("cv", "v"),
+            Seq("u", "v"), "left")
+          .join(dg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+          .join(dg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+          .select(col("u"), col("v"), col("du"), col("dv"),
+            coalesce(col("c"), lit(0L)).as("c"))
+      } else {
+        val nbrAll = und.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        val adj = stageBarrier(nbrAll.groupBy(col("node"))
+          .agg(sort_array(collect_list(col("nbr"))).as("ns"), count(lit(1)).as("d")))
+        und
+          .join(adj.select(col("node").as("u"), col("ns").as("nu"), col("d").as("du")), Seq("u"))
+          .join(adj.select(col("node").as("v"), col("ns").as("nv"), col("d").as("dv")), Seq("v"))
+          .select(col("u"), col("v"), col("du"), col("dv"),
+            kcol(SortedLongIntersectCount(kexp(col("nu")), kexp(col("nv"))))
+              .cast("long").as("c"))
+      }
+    val scored = scoredBase
     val both = scored
       .select(col("u").as("part_a"), col("v").as("part_b"),
         col("c"), col("du").as("da"), col("dv").as("db"))

@@ -522,6 +522,24 @@ class AnnSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(4)) > 0, "no mutual edges at all")
   }
 
+  test("index-build driver state is bounded by a corpus-independent constant") {
+    import graft.operators.Ann
+    // ivfLists is the ONLY data-sized index dimension; every build-time
+    // driver collect is ≤ nlist×dim rows (coarse seeds, sub-seeds, the
+    // Lloyd partial-sum frame). The MaxLists ceiling therefore bounds
+    // driver state at ~MaxLists×64×8 B regardless of corpus size.
+    assert(Ann.ivfLists(1000L * 1000 * 1000) == Ann.MaxLists)
+    assert(Ann.ivfLists(1000L * 1000 * 1000 * 1000) == Ann.MaxLists)
+    // monotone: more data never means fewer cells
+    val pts = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L).map(Ann.ivfLists)
+    pts.sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
+    // the cap never binds at any registered/test corpus size (oracles
+    // unchanged): sf0.01 ~500, sf0.1 ~5k, sf1 sweep ~50k vectors
+    for (n <- Seq(500L, 5000L, 50000L))
+      assert(Ann.ivfLists(n) ==
+        math.max(8L, math.min(n / 64L, 4L * math.sqrt(n.toDouble).toLong)).toInt)
+  }
+
   test("ann_probe_curve: monotone recall, nprobe=4 matches the registered IVF recall") {
     import org.apache.spark.sql.functions._
     val curve = SparkEntry.queries("ann_probe_curve")(spark, sf).collect()

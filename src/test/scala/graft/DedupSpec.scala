@@ -246,15 +246,38 @@ class DedupSpec extends SparkSpec {
       val expected = if (r.getDouble(2) >= 0.99) "drop" else "keep"
       assert(r.getString(3) == expected)
     }
-    // every dropped member's (rep, member) edge exists in the full pair
-    // list with the identical cosine — the star edge IS a pair
-    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+    // every dropped member's (rep, member) edge exists in the FULL pair
+    // yardstick with the identical cosine — the star edge IS a pair
+    val pairs = Dedup.dedupEmbeddingFullPairs(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
     reps.filter(_.getString(3) == "drop").foreach { r =>
       val key = (r.getLong(1), r.getLong(0))
       assert(pairs.get(key).contains(r.getDouble(2)),
         s"drop edge $key missing from the pair list")
     }
+  }
+
+  test("bounded embedding pairs: subset of the full pair list, same components, output linear") {
+    val full = Dedup.dedupEmbeddingFullPairs(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val got = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    assert(got.nonEmpty)
+    // 1. every bounded pair is a real pair with the identical cosine
+    got.foreach { case (k, c) =>
+      assert(full.get(k).contains(c), s"bounded pair $k not in the full list")
+    }
+    // 2. the id-ordered partner chains preserve connectivity: connected
+    // components of the bounded edge set == those of the full edge set
+    def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.starComponents(edges.toDF("a", "b"))._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(got.map(_._1).toSeq) == comps(full.keys.toSeq),
+      "bounded pairs changed the connected components")
+    // 3. the output bound is structural: per (member, table) at most
+    // PairCap partners, so |pairs| <= n * PairCap * 3 always
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(got.length <= n * Dedup.PairCap * 3)
   }
 
   test("containment: every FULL containment found; excerpt-in-wrapper case Jaccard misses") {

@@ -77,6 +77,55 @@ class GraphSpec extends SparkSpec {
     assert(leafPartners.toSet == Set(1L, 2L), s"leaf partners $leafPartners")
   }
 
+  test("graph_similar_parts: triangle-credit scoring == brute full-neighbor Jaccard, hub transport bounded") {
+    import spark.implicits._
+    // adversarial hub: part 1 co-occurs with EVERYTHING (the shape whose
+    // full neighbor array the r9 plan replicated per candidate edge),
+    // plus a clique order and chain orders for triangle variety
+    val pairs = (
+      (1 to 12).map(i => (200L + i, 1L)) ++                  // hub in 12 orders
+      (1 to 12).map(i => (200L + i, 20L + i.toLong)) ++      // each with a distinct leaf
+      Seq((301L, 2L), (301L, 3L), (301L, 4L), (301L, 5L),    // a K4 order
+        (302L, 2L), (302L, 3L), (302L, 1L))                  // overlap order incl. hub
+    ).toDF("ok", "p")
+    def run(sparse: Boolean) =
+      Graph.graphSimilarPartsFrom(pairs, forceSparse = Some(sparse)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val got = run(sparse = true)
+    // the density dial is an execution choice, never a semantic one:
+    // the dense (full-array kernel) branch returns the identical frame
+    assert(run(sparse = false).toSet == got.toSet,
+      "dense and sparse scoring strategies disagree")
+    // brute re-simulation: full neighbor sets, Jaccard over co-occurring
+    // pairs, top-5 by (jaccard desc, part_b) — the r9 semantics pinned
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = rows.groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+    val und = byOrder.flatMap(s => for (a <- s; b <- s if a < b) yield (a, b)).toSet
+    val nbr = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exp = und.toSeq.flatMap { case (u, v) =>
+      val c = (nbr(u) & nbr(v)).size.toLong
+      val j = BigDecimal(c.toDouble / (nbr(u).size + nbr(v).size - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((u, v, c, j), (v, u, c, j))
+    }.groupBy(_._1).flatMap { case (a, cands) =>
+      cands.sortBy(x => (-x._4, x._2)).take(5).zipWithIndex
+        .map { case ((_, b, c, j), i) => (a, i + 1, b, c, j) }
+    }.toSet
+    assert(got.toSet == exp, s"got ${got.toSet.diff(exp)} vs exp ${exp.diff(got.toSet)}")
+    // transport bound: the oriented out-list of ANY node (the only
+    // arrays the plan ships) is <= sqrt(2m) — the degree-orientation
+    // guarantee that kills the hub replication
+    val m = und.size
+    val dg = nbr.map { case (k, v) => k -> v.size }
+    def rank(x: Long) = (dg(x), x)
+    val outDeg = und.toSeq.map { case (a, b) =>
+      (if (Ordering[(Int, Long)].lt(rank(a), rank(b))) a else b) -> 1
+    }.groupBy(_._1).map(_._2.size)
+    assert(outDeg.max <= math.ceil(math.sqrt(2.0 * m)).toInt,
+      s"oriented out-degree ${outDeg.max} exceeds sqrt(2m)=${math.sqrt(2.0 * m)}")
+  }
+
   test("graph_part_rank: rank mass bounded and floors-only below the float fixpoint") {
     val rows = SparkEntry.queries("graph_part_rank")(spark, sf).collect()
     assert(rows.nonEmpty)
