@@ -816,9 +816,14 @@ object Analytics {
       .crossJoin(broadcast(tot))
       .select(col("t").as("event_type"),
         coalesce(col("na"), lit(0L)).as("n_out"),
-        (round(coalesce(col("na"), lit(0L)).cast("double")
-          / col("tot").cast("double"), 6) + 0.0).as("out_share"),
-        (round(coalesce(col("pi"), lit(0.0)), 6) + 0.0).as("steady_prob"))
+        // RAW quotients, no rounding (the fin_cusum lesson applied in
+        // events_retention_curve): out_share divides identical exact
+        // integers and every steady_prob fold step is bit-identical
+        // cross-engine (docstring above), so rounding adds only a
+        // round-half boundary an engine pair could split
+        (coalesce(col("na"), lit(0L)).cast("double")
+          / col("tot").cast("double") + 0.0).as("out_share"),
+        (coalesce(col("pi"), lit(0.0)) + 0.0).as("steady_prob"))
       .orderBy(col("event_type"))
   }
 
@@ -854,9 +859,9 @@ object Analytics {
        |mk_tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS tot FROM mk_t)
        |SELECT st.t AS event_type,
        |       coalesce(na, 0) AS n_out,
-       |       round(CAST(coalesce(na, 0) AS DOUBLE)/CAST(tot AS DOUBLE), 6) + 0.0
+       |       CAST(coalesce(na, 0) AS DOUBLE)/CAST(tot AS DOUBLE) + 0.0
        |         AS out_share,
-       |       round(coalesce(pi, 0.0), 6) + 0.0 AS steady_prob
+       |       coalesce(pi, 0.0) + 0.0 AS steady_prob
        |FROM mk_states st LEFT JOIN mk_src ON mk_src.a = st.t
        |LEFT JOIN mk_pi$MarkovSteps pp ON pp.t = st.t
        |CROSS JOIN mk_tot

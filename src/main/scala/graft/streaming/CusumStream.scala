@@ -4,8 +4,10 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live CUSUM state per series (the prefix-sum pair the batch rewrite
-  * proves sufficient: the running minimum IS the last reset point). */
-case class CusumState(pHi: Long, mnHi: Long, pLo: Long, mnLo: Long)
+  * proves sufficient: the running minimum IS the last reset point),
+  * plus the last folded period (year*12+month) — the in-order guard. */
+case class CusumState(pHi: Long, mnHi: Long, pLo: Long, mnLo: Long,
+                      lastP: Long)
 
 /** One monitored observation: series key, calendar position, exact
   * integer cents, and the TRAINED reference scalars (n months, sum
@@ -25,10 +27,18 @@ case class CusumObs(key: String, year: Int, month: Int, cents: Long,
   * carry (P, min P) and every month's CUSUM level falls out exactly.
   *
   * Within a micro-batch the iterator is sorted by (year, month); across
-  * batches arrival order is the warehouse's monthly-file order —
+  * batches arrival order is the warehouse's monthly-file order. A CUSUM
+  * is an ORDERED fold — a month arriving after a later month has been
+  * folded cannot be inserted without rewinding — so the state carries
+  * the last folded period and any observation at or before it is
+  * DROPPED, never folded: the levels stay exact, the late row is
+  * detectable by its absence from the emission (production routes the
+  * same predicate to a dead-letter; the batch query remains the
+  * re-statement path once the late file lands in the warehouse).
   * CusumStreamSpec replays the batch fixture in chunks and pins the
   * emitted levels and alarms row-equal to the registered fin_cusum
-  * (same scaled integers: y_hi = 20n·x − 20S − |S|, alarm at 40|S|). */
+  * (same scaled integers: y_hi = 20n·x − 20S − |S|, alarm at 40|S|),
+  * and pins that an out-of-order replay leaves the fold uncorrupted. */
 object CusumStream {
 
   def cusumStream(obs: Dataset[CusumObs]): Dataset[(String, Int, Int, Long, Long, Boolean, Boolean)] = {
@@ -37,18 +47,23 @@ object CusumStream {
       .flatMapGroupsWithState[CusumState, (String, Int, Int, Long, Long, Boolean, Boolean)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[CusumObs], state: GroupState[CusumState]) =>
-          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
-          val out = it.toSeq.sortBy(o => (o.year, o.month)).map { o =>
-            val yHi = 20L * o.n * o.cents - 20L * o.s - math.abs(o.s)
-            val yLo = 20L * o.s - math.abs(o.s) - 20L * o.n * o.cents
-            val pHi = st.pHi + yHi
-            val pLo = st.pLo + yLo
-            st = CusumState(pHi, math.min(st.mnHi, pHi),
-              pLo, math.min(st.mnLo, pLo))
-            val cHi = pHi - math.min(0L, st.mnHi)
-            val cLo = pLo - math.min(0L, st.mnLo)
-            (key, o.year, o.month, cHi, cLo,
-              cHi > 40L * math.abs(o.s), cLo > 40L * math.abs(o.s))
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, Long.MinValue))
+          val out = it.toSeq.sortBy(o => (o.year, o.month)).flatMap { o =>
+            val period = o.year.toLong * 12 + o.month
+            if (period <= st.lastP) None // late/duplicate: detect, don't fold
+            else {
+              val yHi = 20L * o.n * o.cents - 20L * o.s - math.abs(o.s)
+              val yLo = 20L * o.s - math.abs(o.s) - 20L * o.n * o.cents
+              val pHi = st.pHi + yHi
+              val pLo = st.pLo + yLo
+              st = CusumState(pHi, math.min(st.mnHi, pHi),
+                pLo, math.min(st.mnLo, pLo), period)
+              val cHi = pHi - math.min(0L, st.mnHi)
+              val cLo = pLo - math.min(0L, st.mnLo)
+              Some((key, o.year, o.month, cHi, cLo,
+                cHi > 40L * math.abs(o.s), cLo > 40L * math.abs(o.s)))
+            }
           }
           state.update(st)
           out.iterator

@@ -175,7 +175,25 @@ object EventStreams {
     * the naive global window bit-for-bit — the rank_stats_scalable
     * pattern applied to a prefix SCAN. The largest task holds one
     * chunk, never the corpus. */
-  private def lateAuditCore(e: DataFrame, chunkCol: Column, ord: Seq[Column]): DataFrame = {
+  private def lateAuditCore(e: DataFrame, chunkCol: Column, ord: Seq[Column]): DataFrame =
+    lateEventsCore(e, chunkCol, ord)
+      .groupBy(lateBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("bucket"))
+
+  /** The shared bucket CASE (batch report, delta twin, and live stream
+    * all bucket identically). */
+  private def lateBucketCol: Column =
+    when(col("late_us") === 0, "0_on_time")
+      .when(col("late_us") <= 60L * 1000000, "1_under_1m")
+      .when(col("late_us") <= 600L * 1000000, "2_under_10m")
+      .when(col("late_us") <= 3600L * 1000000, "3_under_1h")
+      .otherwise("4_over_1h")
+
+  /** Per-event lateness frame (chunk, late_us, …) under the two-pass
+    * exact prefix max — the shared base of the bucket report and the
+    * per-chunk delta twin. */
+  private def lateEventsCore(e: DataFrame, chunkCol: Column, ord: Seq[Column]): DataFrame = {
     val chunked = e.withColumn("chunk", chunkCol)
     val wLoc = Window.partitionBy(col("chunk")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -184,21 +202,86 @@ object EventStreams {
     val prefix = chunked.groupBy(col("chunk")).agg(max(col("ts_us")).as("cmax"))
       .withColumn("pfx", max(col("cmax")).over(wPfx))
       .select(col("chunk"), col("pfx"))
-    val late = local.join(broadcast(prefix), Seq("chunk"))
+    local.join(broadcast(prefix), Seq("chunk"))
       .withColumn("run_prev", greatest(coalesce(col("loc_prev"), lit(Long.MinValue)),
         coalesce(col("pfx"), lit(Long.MinValue))))
       .withColumn("late_us",
         when(col("run_prev") === Long.MinValue, 0L)
           .otherwise(greatest(lit(0L), col("run_prev") - col("ts_us"))))
-    late.groupBy(
-        when(col("late_us") === 0, "0_on_time")
-          .when(col("late_us") <= 60L * 1000000, "1_under_1m")
-          .when(col("late_us") <= 600L * 1000000, "2_under_10m")
-          .when(col("late_us") <= 3600L * 1000000, "3_under_1h")
-          .otherwise("4_over_1h").as("bucket"))
-      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
-      .orderBy(col("bucket"))
   }
+
+  /** stream_late_deltas: the live lateness audit's per-trigger EMISSION
+    * as a registered batch query — what lateAuditStream actually sends
+    * downstream. Each arrival-hour of the jittered stream is one
+    * micro-batch (batch_id = arrival hour index); per (batch_id,
+    * bucket) the delta row carries that trigger's count and max
+    * lateness, so the per-bucket running sums reproduce
+    * stream_late_audit_jitter's report exactly and StreamingSpec pins
+    * the LIVE operator fed hour-chunked arrivals emits these identical
+    * rows. Scale: the same two-pass chunked prefix max as the report
+    * (chunk == batch here), one extra grouping key — no new exchange
+    * shape. */
+  def streamLateDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us"))
+      .withColumn("arr", col("ts_us")
+        + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L)
+    lateEventsCore(e, expr(s"arr DIV $hourUs"), Seq(col("arr"), col("event_id")))
+      .groupBy(col("chunk").as("batch_id"), lateBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("batch_id"), col("bucket"))
+  }
+
+  val streamLateDeltasSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      |j AS (SELECT event_id, ts_us,
+      |        ts_us + (((event_id % 1009) * 2654435761) % 7200000000) - 3600000000 AS arr
+      |      FROM e),
+      |lat AS (
+      |  SELECT arr // 3600000000 AS batch_id,
+      |         coalesce(greatest(0,
+      |           max(ts_us) OVER (ORDER BY arr, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us), 0) AS late_us
+      |  FROM j)
+      |SELECT batch_id,
+      |       CASE WHEN late_us = 0 THEN '0_on_time'
+      |            WHEN late_us <= 60000000 THEN '1_under_1m'
+      |            WHEN late_us <= 600000000 THEN '2_under_10m'
+      |            WHEN late_us <= 3600000000 THEN '3_under_1h'
+      |            ELSE '4_over_1h' END AS bucket,
+      |       count(*) AS n, max(late_us) AS max_late_us
+      |FROM lat GROUP BY 1, 2 ORDER BY batch_id, bucket""".stripMargin
+
+  /** stream_replay_dedup: the batch face of streaming replay protection
+    * (dedupStream / dropDuplicatesWithinWatermark) as a registered
+    * query. A deterministic replay fixture — every event_id ≡ 0 (mod 7)
+    * arrives twice, the at-least-once-delivery shape — is audited per
+    * event-time hour: arrivals, unique event_ids (what the streaming
+    * dedup forwards; replays land inside the same hour, i.e. within the
+    * watermark horizon), and the replay count the dedup absorbed.
+    * StreamingSpec pins dedupStream's forwarded rows against n_unique.
+    * Scale: one map-side-combined aggregate on the hour key; the
+    * distinct is per (hour, event_id) — the same state key the
+    * streaming operator holds within its horizon. */
+  def streamReplayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us"))
+    val replayed = e.unionAll(e.filter(col("event_id") % 7 === 0))
+    replayed
+      .groupBy(expr(s"ts_us DIV $hourUs").as("hour_id"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        countDistinct(col("event_id")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("n_replays"))
+      .orderBy(col("hour_id"))
+  }
+
+  val streamReplayDedupSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      |r AS (SELECT * FROM e UNION ALL SELECT * FROM e WHERE event_id % 7 = 0)
+      |SELECT ts_us // 3600000000 AS hour_id, count(*) AS n_arrivals,
+      |       count(DISTINCT event_id) AS n_unique,
+      |       count(*) - count(DISTINCT event_id) AS n_replays
+      |FROM r GROUP BY 1 ORDER BY hour_id""".stripMargin
 
   val streamLateAuditSql: String =
     """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
@@ -513,6 +596,8 @@ object EventStreams {
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_late_audit" -> (streamLateAudit _),
     "stream_late_audit_jitter" -> (streamLateAuditJitter _),
+    "stream_late_deltas" -> (streamLateDeltas _),
+    "stream_replay_dedup" -> (streamReplayDedup _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -523,5 +608,7 @@ object EventStreams {
     "stream_session_agg" -> streamSessionAggSql,
     "stream_late_audit" -> streamLateAuditSql,
     "stream_late_audit_jitter" -> streamLateAuditJitterSql,
+    "stream_late_deltas" -> streamLateDeltasSql,
+    "stream_replay_dedup" -> streamReplayDedupSql,
     "interval_join" -> intervalJoinSql)
 }

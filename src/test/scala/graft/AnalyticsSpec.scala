@@ -228,12 +228,12 @@ class AnalyticsSpec extends SparkSpec {
       }
       pi = states.map(s => s -> nxt.getOrElse(s, 0.0)).toMap
     }
-    def rnd6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = SparkEntry.queries("events_markov_steady")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got.keySet == states.toSet)
-    states.foreach(s => assert(got(s) == rnd6(pi(s)), s"state $s"))
+    // RAW (unrounded) quotients since r10 — the re-simulation's fold is
+    // the identical ascending-a order, so equality is exact
+    states.foreach(s => assert(got(s) == pi(s), s"state $s: ${got(s)} vs ${pi(s)}"))
     // distribution: non-negative, sums to ~1 (chain is closed here)
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
     // planted 2-state chain: P(A->B)=1/4, P(B->A)=1/2 -> pi = (2/3, 1/3)

@@ -53,4 +53,36 @@ class CusumStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("out-of-order month is dropped, not folded: levels stay exact and the late row is absent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val amts = (1 to 12).map(m => 100.0 + (m % 3))
+    val cents = amts.map(a => math.round(a * 100))
+    val (n, s) = (cents.size.toLong, cents.sum)
+    def ob(i: Int) =
+      CusumObs("S|0001", 2024, i + 1, cents(i), n, s)
+    val inOrder = (0 until 12).map(ob)
+    def run(batches: Seq[Seq[CusumObs]], name: String) = {
+      val stream = MemoryStream[CusumObs]
+      val q = CusumStream.cusumStream(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { c => stream.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getInt(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val clean = run(inOrder.grouped(5).toSeq, "cusum_clean")
+    // months 1-8 arrive, then month 3 is REPLAYED late (plus a fresh
+    // month 9), then the rest — the regression the guard exists for
+    val withLate = run(Seq(inOrder.take(8),
+      Seq(ob(2).copy(cents = 999999L), ob(8)), inOrder.drop(9)), "cusum_late")
+    // the late month-3 re-arrival produced no row and corrupted nothing:
+    // the emission equals the clean in-order replay exactly
+    assert(withLate == clean, s"late replay corrupted the fold")
+    assert(clean.size == 12)
+  }
 }

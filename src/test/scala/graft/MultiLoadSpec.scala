@@ -27,6 +27,33 @@ class MultiLoadSpec extends SparkSpec {
     assert(ordered == shuffled)
   }
 
+  test("month-NAME-keyed late file folds identically to its number-keyed twin (Code.gs:264-274)") {
+    // the reference dedupe-keys the Final sheet on
+    // monthNameToNum_(month) || month — name-or-number tolerant, so an
+    // older workbook whose month column carries 'March' collides with a
+    // correction keyed 3. graft's fold keys on integer month; the
+    // reference's tolerance is the coalesce(monthNumber(name), month)
+    // normalization applied at ingest — this case proves a name-typed
+    // late wave folds bit-identically to its number-typed twin.
+    import graft.functions.Financial
+    val b = Warehouse.multiLoadBatches(spark, sf)
+    def lateWave(base: org.apache.spark.sql.DataFrame) = base
+      .withColumn("batch", col("batch") + 1000000L)
+      .withColumn("amount", col("amount") + 7.0)
+    // name-typed delivery: month travels as 'January'..'December', then
+    // re-enters the key space through the reference's normalization
+    val named = lateWave(b)
+      .withColumn("month_raw", Financial.monthName(col("month")))
+      .withColumn("month",
+        coalesce(Financial.monthNumber(col("month_raw")), col("month")))
+      .drop("month_raw")
+    val viaNames = canon(Warehouse.multiLoadFold(b.unionByName(named)))
+    val viaNumbers = canon(Warehouse.multiLoadFold(b.unionByName(lateWave(b))))
+    assert(viaNames == viaNumbers, "name-keyed wave diverged from number-keyed twin")
+    // and the late wave genuinely overwrote (not a vacuous equality)
+    assert(viaNames != canon(Warehouse.multiLoadFold(b)))
+  }
+
   test("latestPeriodBatch: newest-file mode is a special case of the fold") {
     val b = Warehouse.multiLoadBatches(spark, sf)
     val sel = Warehouse.latestPeriodBatch(b)

@@ -300,6 +300,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lateAuditStream fed arrival-hour micro-batches emits exactly the registered stream_late_deltas rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    // the registered fixture: the sf corpus under the same ±1 h hash
+    // jitter, micro-batch = arrival hour
+    val jit = graft.sources.Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("ts_us"))
+      .withColumn("arr", col("ts_us")
+        + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)) // arrival order: (arr, event_id)
+    val batches = jit.groupBy(_._3 / hourUs).toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, Long)]
+    val q = EventStreams.lateAuditStream(stream.toDS())
+      .writeStream.format("memory").queryName("latedeltas")
+      .outputMode("append").start()
+    val got = Seq.newBuilder[(Long, String, Long, Long)]
+    try {
+      var seen = 0L
+      batches.foreach { case (hid, evs) =>
+        // arrival key within the batch = the global (arr, event_id)
+        // rank, so the live fold replays the registered arrival order
+        stream.addData(evs.zipWithIndex.map { case ((_, ts, _), i) => (i.toLong, ts) })
+        q.processAllAvailable()
+        val all = spark.table("latedeltas").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        all.drop(seen.toInt).foreach { case (b, n, mx) => got += ((hid, b, n, mx)) }
+        seen = all.length.toLong
+      }
+      val want = SparkEntry.queries("stream_late_deltas")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.result().sorted == want.sorted,
+        s"live deltas != registered query (${got.result().size} vs ${want.size} rows)")
+    } finally q.stop()
+  }
+
+  test("dedupStream forwards exactly stream_replay_dedup's n_unique under the registered replay fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    val base = graft.sources.Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("ts_us"))
+      .collect().map(r => StreamEv(r.getLong(0), 0L, r.getLong(1), 0.0))
+    val replays = base.filter(_.event_id % 7 == 0)
+    val stream = MemoryStream[StreamEv]
+    val q = EventStreams.dedupStream(
+        stream.toDF().withColumn("ts", timestamp_micros(col("ts_us"))))
+      .writeStream.format("memory").queryName("replaydedup").outputMode("append").start()
+    try {
+      stream.addData(base ++ replays) // at-least-once delivery: dups in-horizon
+      q.processAllAvailable()
+      val got = spark.table("replaydedup")
+        .groupBy(expr(s"ts_us DIV $hourUs").as("hour_id"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = SparkEntry.queries("stream_replay_dedup")(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (h, (arrivals, unique, nrep)) =>
+        assert(got(h) == unique, s"hour $h: forwarded ${got(h)} vs n_unique $unique")
+        assert(arrivals == unique + nrep)
+      }
+      assert(want.values.map(_._3).sum > 0, "fixture produced no replays")
+    } finally q.stop()
+  }
+
   test("cohortDeltaStream deltas reconstruct orders_cohort_ltv exactly on scrambled arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
