@@ -26,6 +26,30 @@ object Graph {
 
   private val Iters = 5
 
+  /** Max adjacency bytes embedded as a CSR inside a generated
+    * expression (the size-gated eval-broadcast discipline): past it the
+    * join-based plans remain — embedded state must stay a constant
+    * fraction of executor memory, never data-scaled. */
+  private val CsrByteGate = 64L * 1024 * 1024
+
+  /** Snapshot (key, sorted-neighbor-list) rows into the compact CSR the
+    * graph kernels binary-search — one bounded driver collect, gated by
+    * CsrByteGate at every call site. */
+  private def collectCsr(adj: DataFrame, keyCol: String, nsCol: String): graft.expressions.AdjCsr = {
+    val rows = adj.select(col(keyCol), col(nsCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val keys = rows.map(_._1)
+    val offs = new Array[Int](rows.length + 1)
+    var i = 0
+    while (i < rows.length) { offs(i + 1) = offs(i) + rows(i)._2.length; i += 1 }
+    val flat = new Array[Long](offs(rows.length))
+    i = 0
+    while (i < rows.length) {
+      System.arraycopy(rows(i)._2, 0, flat, offs(i), rows(i)._2.length); i += 1
+    }
+    graft.expressions.AdjCsr(keys, offs, flat)
+  }
+
   /** graph_part_rank: weighted PageRank over the order co-purchase part
     * graph — "which parts anchor the catalog": an edge (a, b) with
     * weight w means parts a and b were bought together in w orders
@@ -60,14 +84,26 @@ object Graph {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
     val nodeStats = stageBarrier(
       edges.groupBy(col("src")).agg(sum(col("w")).as("s")))
+    // Broadcast dial (r10): the rank frame is |V| rows of 3 scalars —
+    // tiny next to the |E| edge frame — but Catalyst has no stats for
+    // the iterated subtree, so every round ran a full SortMergeJoin
+    // RE-SHUFFLING the edges (20 SMJs, zero broadcasts, zero reuse in
+    // the r9 plan). Gate on a measured |V|: below ~2M nodes (~50 MB)
+    // the rank/inc sides broadcast and the edges NEVER leave their
+    // scan partitions; above it the co-partitioned SMJ is the honest
+    // cluster shape (ranks must move each round — they change).
+    val nV = nodeStats.count()
+    def small(df: DataFrame): DataFrame =
+      if (nV <= 2000000L) broadcast(df) else df
     var ranks = nodeStats.select(col("src").as("part"), col("s"),
       lit(1000000L).as("r"))
     var it = 0
     while (it < Iters) {
-      val inc = ranks.join(edges, ranks("part") === edges("src"))
+      val r = small(ranks)
+      val inc = edges.join(r, r("part") === edges("src"))
         .select(col("dst"), expr("(r * w) DIV s").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
-      ranks = nodeStats.join(inc, nodeStats("src") === inc("dst"), "left")
+      ranks = nodeStats.join(small(inc), nodeStats("src") === inc("dst"), "left")
         .select(col("src").as("part"), col("s"),
           // DIV, not `/`: Column./ is double division and would lose
           // exactness past 2^53 — the whole point is integer recurrence
@@ -150,12 +186,22 @@ object Graph {
     import graft.expressions.SortedLongIntersectCount
     val adj = stageBarrier(orn2.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
-    val tri = orn2.select(col("src"), col("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
-      .select(kcol(SortedLongIntersectCount(kexp(col("nu")),
-        kexp(coalesce(col("nv"), array().cast("array<bigint>"))))).as("c"))
-      .agg(sum(col("c").cast("long")).as("n_triangles"))
+    // Size-gated CSR fast path (r10): the oriented adjacency totals
+    // exactly |E| longs; when it fits the embedded-state gate the
+    // per-edge closure count is one generated local merge — no
+    // adjacency array ever joins back onto the edge list
+    val nE = und.count()
+    val tri = (if (nE * 8L <= CsrByteGate) {
+      val csr = collectCsr(adj, "src", "nbrs")
+      orn2.select(kcol(graft.expressions.AdjCommonCount(
+        kexp(col("src")), kexp(col("dst")), csr)).as("c"))
+    } else {
+      orn2.select(col("src"), col("dst"))
+        .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+        .select(kcol(SortedLongIntersectCount(kexp(col("nu")),
+          kexp(coalesce(col("nv"), array().cast("array<bigint>"))))).as("c"))
+    }).agg(sum(col("c").cast("long")).as("n_triangles"))
     val stats = dg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
     val ecnt = und.agg(count(lit(1)).as("n_edges"))
@@ -293,6 +339,23 @@ object Graph {
           .join(dg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
           .select(col("u"), col("v"), col("du"), col("dv"),
             coalesce(col("c"), lit(0L)).as("c"))
+      } else if (nE * 16L <= CsrByteGate) {
+        // dense AND the whole adjacency fits the embedded-state gate:
+        // snapshot it as a CSR inside ONE generated expression (the IVF
+        // centroid-table shipping discipline) — per-edge Jaccard input
+        // (c, du, dv) is one local merge, ZERO joins, no array ever
+        // shuffles (the r9 plan replicated both endpoints' arrays per
+        // edge: Σdeg² transport, ~2.3 GB at sf0.1)
+        val nbrAll = und.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        val adj = nbrAll.groupBy(col("node"))
+          .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+        val csr = collectCsr(adj, "node", "ns")
+        val st = kcol(graft.expressions.AdjEdgeStats(
+          kexp(col("u")), kexp(col("v")), csr))
+        und.select(col("u"), col("v"), st.as("st"))
+          .select(col("u"), col("v"), col("st.du").as("du"),
+            col("st.dv").as("dv"), col("st.c").as("c"))
       } else {
         val nbrAll = und.select(col("u").as("node"), col("v").as("nbr"))
           .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
