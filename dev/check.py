@@ -3,13 +3,21 @@
 dumps against the DuckDB oracle SQL. Usage:
   dev/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
   python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
+
+Fast parse-only gate (validates every rewritten oracle — incl. the
+AS MATERIALIZED rewrite — still parses/binds in DuckDB, without running
+anything; pair with a no-match Verify filter to refresh the manifest):
+  dev/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out __oracles_only__
+  python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out --explain
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+explain_only = "--explain" in sys.argv
+argv = [a for a in sys.argv if a != "--explain"]
+sfdir, outdir = argv[1], argv[2]
+only = set(argv[3:])
 
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
@@ -19,6 +27,20 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+
+if explain_only:
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            con.execute(f"EXPLAIN {sql}")
+            print(f"OK   {name} (parses)")
+        except Exception as e:
+            print(f"FAIL {name}: oracle does not parse/bind: {e}")
+            fails += 1
+    print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+    sys.exit(1 if fails else 0)
+
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue

@@ -777,10 +777,17 @@ object Dedup {
     // bucketing knob fixes it; the r7 sf10 probe measured >600 s of
     // real pair output while everything else scaled linearly. Each
     // member now pairs with its next-PairCap block-mates in vec_id
-    // order: output ≤ n·PairCap·tables, chains keep cliques connected
-    // (components unchanged — DedupSpec pins both properties against
-    // the full-pair yardstick below), and the explode-then-equi-join
-    // shape does O(n·PairCap) WORK, never materializing the b² join.
+    // order: output ≤ n·PairCap·tables, and the rank chains keep every
+    // block connected, so the components OF THE UNFILTERED candidate
+    // graph are unchanged (DedupSpec pins subset/cosine/component
+    // equality vs the full-pair yardstick below). The guarantee is
+    // scoped to the unfiltered edge set: a consumer that thresholds
+    // pairs by cos_sim BEFORE clustering can lose a ≥τ pair more than
+    // PairCap ranks away whose chain path runs through sub-τ edges —
+    // threshold-based clustering should use dedup_embedding_reps,
+    // whose star edges are independent of this bounded list. The
+    // explode-then-equi-join shape does O(n·PairCap) WORK, never
+    // materializing the b² join.
     val bucketed = bucketedEmbeddings(spark, dir)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label"), col("t"), col("block"))

@@ -5,7 +5,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Live CUSUM state per series (the prefix-sum pair the batch rewrite
   * proves sufficient: the running minimum IS the last reset point),
-  * plus the last folded period (year*12+month) — the in-order guard. */
+  * plus the last folded period (year*12+month) — the in-order guard.
+  *
+  * State-schema note: adding `lastP` (r10) changed the
+  * flatMapGroupsWithState state encoder schema — a restart from a
+  * checkpoint written by a pre-r10 binary cannot deserialize the old
+  * state and requires a FRESH checkpoint. No production checkpoints
+  * exist in-repo; if checkpoint continuity ever matters, wrap the
+  * state in a versioned envelope and default missing fields instead
+  * of widening this case class in place. */
 case class CusumState(pHi: Long, mnHi: Long, pLo: Long, mnLo: Long,
                       lastP: Long)
 

@@ -163,10 +163,25 @@ object EventStreams {
   def streamLateAuditJitter(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val e = Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us"))
-      .withColumn("arr", col("ts_us")
-        + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L)
+      .withColumn("arr", jitterArr)
     lateAuditCore(e, expr(s"arr DIV $hourUs"), Seq(col("arr"), col("event_id")))
   }
+
+  /** The ±1 h deterministic hash jitter (arrival time = ts_us + jit) —
+    * ONE definition shared by the jittered audit, its per-trigger delta
+    * twin, both SQL mirrors ([[jitterSqlExpr]]) and StreamingSpec's
+    * live-equality fixture, so an edit cannot silently desynchronize
+    * the streaming-equality spec from the oracles. Knuth
+    * multiplicative hash on event_id mod a prime, folded into
+    * [−3600 s, +3600 s] of microseconds. */
+  private[graft] def jitterArr: Column =
+    col("ts_us") + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L
+
+  /** SQL face of [[jitterArr]] — interpolated into every DuckDB mirror
+    * that jitters arrivals (same operator tree, integer-exact in both
+    * engines). */
+  private[graft] val jitterSqlExpr: String =
+    "ts_us + (((event_id % 1009) * 2654435761) % 7200000000) - 3600000000"
 
   /** The audit's two-pass exact prefix max over an arbitrary arrival
     * order: `chunkCol` must be monotone in `ord` (chunk boundaries
@@ -224,8 +239,7 @@ object EventStreams {
   def streamLateDeltas(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val e = Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us"))
-      .withColumn("arr", col("ts_us")
-        + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L)
+      .withColumn("arr", jitterArr)
     lateEventsCore(e, expr(s"arr DIV $hourUs"), Seq(col("arr"), col("event_id")))
       .groupBy(col("chunk").as("batch_id"), lateBucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
@@ -233,9 +247,9 @@ object EventStreams {
   }
 
   val streamLateDeltasSql: String =
-    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
       |j AS (SELECT event_id, ts_us,
-      |        ts_us + (((event_id % 1009) * 2654435761) % 7200000000) - 3600000000 AS arr
+      |        $jitterSqlExpr AS arr
       |      FROM e),
       |lat AS (
       |  SELECT arr // 3600000000 AS batch_id,
@@ -300,9 +314,9 @@ object EventStreams {
       |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val streamLateAuditJitterSql: String =
-    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
       |j AS (SELECT event_id, ts_us,
-      |        ts_us + (((event_id % 1009) * 2654435761) % 7200000000) - 3600000000 AS arr
+      |        $jitterSqlExpr AS arr
       |      FROM e),
       |lat AS (
       |  SELECT coalesce(greatest(0,

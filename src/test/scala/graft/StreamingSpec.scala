@@ -308,8 +308,7 @@ class StreamingSpec extends SparkSpec {
     // jitter, micro-batch = arrival hour
     val jit = graft.sources.Tables.eventsUs(spark, sf)
       .select(col("event_id"), col("ts_us"))
-      .withColumn("arr", col("ts_us")
-        + (((col("event_id") % 1009L) * 2654435761L) % 7200000000L) - 3600000000L)
+      .withColumn("arr", EventStreams.jitterArr) // the ONE shared jitter definition
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._3, t._1)) // arrival order: (arr, event_id)
     val batches = jit.groupBy(_._3 / hourUs).toSeq.sortBy(_._1)
