@@ -17,6 +17,7 @@ object SparkEntry {
       graft.warehouse.Warehouse.queries ++
       TextAnalysis.queries ++ TextStats.queries ++ TrainPrep.queries ++
       Bpe.queries ++ Dedup.queries ++ Ann.queries ++ Graph.queries ++
+      Layout.queries ++
       graft.streaming.EventStreams.queries ++ Multimodal.queries
 
   /** Rewrite every CTE head `name AS (` to `name AS MATERIALIZED (`.
@@ -149,6 +150,7 @@ object SparkEntry {
       graft.warehouse.Warehouse.oracles ++
       TextAnalysis.oracles ++ TextStats.oracles ++ TrainPrep.oracles ++
       Bpe.oracles ++ Dedup.oracles ++ Ann.oracles ++ Graph.oracles ++
+      Layout.oracles ++
       graft.streaming.EventStreams.oracles ++ Multimodal.oracles)
       // mm_metadata / mm_features: binary + stub semantics, rows-only
       // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)

@@ -17,8 +17,8 @@ class PlanInvariantsSpec extends SparkSpec {
     val parts = Seq(Relational.queries, TpchExtra.queries, Analytics.queries,
       graft.warehouse.Warehouse.queries, TextAnalysis.queries,
       TextStats.queries, TrainPrep.queries, Bpe.queries, Dedup.queries,
-      Ann.queries, Graph.queries, graft.streaming.EventStreams.queries,
-      Multimodal.queries)
+      Ann.queries, Graph.queries, Layout.queries,
+      graft.streaming.EventStreams.queries, Multimodal.queries)
     // Map ++ overwrites silently: a duplicate name would shrink the merge
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across operator modules")
