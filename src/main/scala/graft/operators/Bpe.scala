@@ -193,6 +193,64 @@ SELECT lang, n_words, n_tokens, n_chars,
          AS chars_per_token
 FROM ag ORDER BY lang"""
 
+  // ------------------------------------------------------- text_bpe_encode
+  /** APPLY the trained tokenizer corpus-wide: per document, whitespace
+    * words, BPE tokens under the `Rounds` learned merges, chars, and
+    * the two per-doc ratios — the tokenize step every training pipeline
+    * runs between curation and packing. text_tokens counts a regex
+    * PROXY; this is the real trained-vocabulary count (what a token
+    * budget, a packing plan, or a per-doc cost model should consume),
+    * completing the BPE family train (text_bpe_train) → evaluate
+    * (text_bpe_curve / text_bpe_fertility) → apply.
+    *
+    * Exactness: the per-doc sums are integers (freq·|syms|, freq·|word|)
+    * off the same staged final symbol table as fertility; each ratio is
+    * ONE division of exact integers, rounded.
+    *
+    * Scale: tokenizing N docs costs one corpus word explode into a
+    * (doc_id, word) map-side-combined aggregate, one vocab-bounded join
+    * (AQE broadcasts the symbol table — the vocab, not the corpus),
+    * and one doc-keyed aggregate. The corpus text itself never carries
+    * the symbol lists: only (doc_id, word, freq) scalars shuffle —
+    * word-level tokenization means a document is the SUM of its words'
+    * token counts, so the per-word result is computed once per distinct
+    * (doc, word), never per occurrence. Docs with no whitespace words
+    * have no tokenization and are absent, both engines. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, states) = chain(spark, dir, withFinal = true)
+    val w8 = states.last
+    val dw = words(Tables.documents(spark, dir), col("doc_id"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("freq"))
+    dw.join(w8.select(col("word"), size(col("syms")).as("n_syms")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_syms")).as("n_tokens"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)
+          + 0.0).as("tokens_per_word"),
+        (round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          + 0.0).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBpeEncodeSql: String =
+    s"""WITH ${bpeCtes(withFinal = true)},
+dw AS (SELECT doc_id, word, count(*) AS freq FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY doc_id, word),
+ag AS (SELECT doc_id,
+         CAST(sum(dw.freq) AS BIGINT) AS n_words,
+         CAST(sum(dw.freq * len(syms)) AS BIGINT) AS n_tokens,
+         CAST(sum(dw.freq * length(word)) AS BIGINT) AS n_chars
+       FROM dw JOIN w$Rounds USING (word) GROUP BY doc_id)
+SELECT doc_id, n_words, n_tokens, n_chars,
+       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0
+         AS tokens_per_word,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+         AS chars_per_token
+FROM ag ORDER BY doc_id"""
+
   // ------------------------------------------------------- text_bpe_curve
   /** The training COMPRESSION curve: per merge round r = 0..`Rounds`
     * the merged pair, corpus tokens after r merges, and chars/token —
@@ -245,12 +303,14 @@ FROM ag ORDER BY lang"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_curve" -> (textBpeCurve _),
-    "text_bpe_fertility" -> (textBpeFertility _)
+    "text_bpe_fertility" -> (textBpeFertility _),
+    "text_bpe_encode" -> (textBpeEncode _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_curve" -> textBpeCurveSql,
-    "text_bpe_fertility" -> textBpeFertilitySql
+    "text_bpe_fertility" -> textBpeFertilitySql,
+    "text_bpe_encode" -> textBpeEncodeSql
   )
 }

@@ -69,6 +69,34 @@ class BpeSpec extends SparkSpec {
         s"lang $lang")
   }
 
+  test("per-doc encode matches the reference rewrite exactly on sf0.001") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (_, syms) = referenceBpe(rows.map(_._2), Bpe.Rounds)
+    val exp = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for ((id, t) <- rows; w <- t.split(' ') if w.nonEmpty) {
+      val (nw, nt, nc) = exp.getOrElse(id, (0L, 0L, 0L))
+      exp(id) = (nw + 1, nt + syms(w).size, nc + w.length)
+    }
+    val got = Bpe.textBpeEncode(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet == exp.keySet) // docs with no words absent, both sides
+    def rnd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, (nw, nt, nc)) <- exp)
+      assert(got(id) == ((nw, nt, nc,
+        rnd6(nt.toDouble / nw.toDouble), rnd6(nc.toDouble / nt.toDouble))),
+        s"doc $id")
+    // the per-doc panel sums to the corpus curve's final round
+    val corpusTokens = Bpe.textBpeCurve(spark, sf).collect()
+      .filter(_.getInt(0) == Bpe.Rounds).head.getLong(4)
+    assert(got.values.map(_._2).sum == corpusTokens,
+      "per-doc token counts must sum to the round-8 corpus total")
+  }
+
   test("greedy fold: 'aaa' under (a,a) merges non-overlapping; merged token never re-merges") {
     import spark.implicits._
     // the registered operator's own fold expression, on hand cases
