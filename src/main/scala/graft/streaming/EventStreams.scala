@@ -289,6 +289,68 @@ object EventStreams {
       .orderBy(col("hour_id"))
   }
 
+  /** stream_watermark_eval: the watermark-delay DECISION report — the
+    * layout_skip_eval pattern applied to streaming config: before
+    * deploying `withWatermark(d)`, price each candidate delay by what
+    * it would have dropped on the observed arrival order. An event is
+    * dropped by delay d exactly when its lateness (prefix-max event
+    * time at arrival − its event time, the shared lateEventsCore
+    * quantity) exceeds d; per candidate delay the report carries the
+    * event count, dropped count/fraction, and the worst dropped
+    * lateness — "1h keeps 99.9%, 10m loses 4%" is the number that
+    * picks the state-retention bound. Evaluated over the jittered
+    * arrival stream (the plain corpus arrives nearly in order — no
+    * decision to make).
+    *
+    * Scale: ONE lateness pass (the audit's two-pass chunked prefix
+    * max), a 4-way delay explode of SCALARS, one map-side-combined
+    * 4-group aggregate. coalesce(…, 0) on the max keeps the no-drops
+    * row integer-exact cross-engine (NULL stringifies differently). */
+  def streamWatermarkEval(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir).select(col("event_id"), col("ts_us"))
+      .withColumn("arr", jitterArr)
+    lateEventsCore(e, expr(s"arr DIV $hourUs"), Seq(col("arr"), col("event_id")))
+      .select(col("late_us"),
+        explode(array(WatermarkDelaysUs.map(lit(_)): _*)).as("delay_us"))
+      .groupBy(col("delay_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        coalesce(max(when(col("late_us") > col("delay_us"), col("late_us"))),
+          lit(0L)).as("max_dropped_late_us"))
+      .select(col("delay_us"), col("n_events"), col("n_dropped"),
+        (round(col("n_dropped").cast("double") / col("n_events"), 6) + 0.0)
+          .as("frac_dropped"),
+        col("max_dropped_late_us"))
+      .orderBy(col("delay_us"))
+  }
+
+  /** Candidate watermark delays priced by stream_watermark_eval: 1 m,
+    * 10 m, 30 m, 1 h of microseconds (the audit's bucket edges + 30 m). */
+  private[graft] val WatermarkDelaysUs: Seq[Long] =
+    Seq(60L, 600L, 1800L, 3600L).map(_ * 1000000L)
+
+  val streamWatermarkEvalSql: String =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      |j AS (SELECT event_id, ts_us,
+      |        $jitterSqlExpr AS arr
+      |      FROM e),
+      |lat AS (
+      |  SELECT coalesce(greatest(0,
+      |           max(ts_us) OVER (ORDER BY arr, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us), 0) AS late_us
+      |  FROM j),
+      |d AS (SELECT unnest([${WatermarkDelaysUs.mkString(", ")}]) AS delay_us)
+      |SELECT delay_us, count(*) AS n_events,
+      |       CAST(count(CASE WHEN late_us > delay_us THEN 1 END) AS BIGINT)
+      |         AS n_dropped,
+      |       round(CAST(count(CASE WHEN late_us > delay_us THEN 1 END) AS DOUBLE)
+      |             / count(*), 6) + 0.0 AS frac_dropped,
+      |       coalesce(max(CASE WHEN late_us > delay_us THEN late_us END), 0)
+      |         AS max_dropped_late_us
+      |FROM lat CROSS JOIN d GROUP BY delay_us ORDER BY delay_us""".stripMargin
+
   val streamReplayDedupSql: String =
     """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
       |r AS (SELECT * FROM e UNION ALL SELECT * FROM e WHERE event_id % 7 = 0)
@@ -612,6 +674,7 @@ object EventStreams {
     "stream_late_audit_jitter" -> (streamLateAuditJitter _),
     "stream_late_deltas" -> (streamLateDeltas _),
     "stream_replay_dedup" -> (streamReplayDedup _),
+    "stream_watermark_eval" -> (streamWatermarkEval _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -624,5 +687,6 @@ object EventStreams {
     "stream_late_audit_jitter" -> streamLateAuditJitterSql,
     "stream_late_deltas" -> streamLateDeltasSql,
     "stream_replay_dedup" -> streamReplayDedupSql,
+    "stream_watermark_eval" -> streamWatermarkEvalSql,
     "interval_join" -> intervalJoinSql)
 }

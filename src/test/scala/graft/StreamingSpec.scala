@@ -456,6 +456,25 @@ class StreamingSpec extends SparkSpec {
     assert(total == plain, s"jitter reorders, never drops: $total vs $plain")
   }
 
+  test("stream_watermark_eval: drop counts decrease with delay and agree with the jittered audit") {
+    val rows = SparkEntry.queries("stream_watermark_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == EventStreams.WatermarkDelaysUs)
+    assert(rows.map(_._2).distinct.length == 1, "every delay prices the same stream")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "a longer watermark can only drop fewer events")
+    rows.foreach { case (_, n, d, f, mx) =>
+      assert(math.abs(f - d.toDouble / n) < 1e-9, "frac is n_dropped/n_events")
+      assert(if (d == 0) mx == 0 else mx > 0)
+    }
+    // cross-check vs the registered jittered audit: events the audit
+    // buckets strictly over 1 h are exactly the 1 h-watermark drops
+    val over1h = SparkEntry.queries("stream_late_audit_jitter")(spark, sf)
+      .collect().filter(_.getString(0) == "4_over_1h").map(_.getLong(1)).sum
+    assert(rows.last._3 == over1h,
+      s"1h drops ${rows.last._3} vs audit over-1h bucket $over1h")
+  }
+
   test("anomaly stats streamed in chunks reconstruct the batch outlier report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
