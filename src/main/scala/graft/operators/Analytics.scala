@@ -170,7 +170,20 @@ object Analytics {
   /** Conversion funnel per user: first view → first click after it →
     * first purchase after that. Three aggregations + two joins, all
     * keyed on user_id — one logical shuffle key end to end. */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrame(spark, dir)
+      .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+        col("first_purchase_us"),
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .otherwise(1).as("stage"))
+      .orderBy(col("user_id"))
+
+  /** The per-user anchor frame (user_id, first_view_us, first_click_us,
+    * first_purchase_us), unordered — shared by events_funnel,
+    * events_funnel_time and EventStreams.streamFunnelDeltas (the Spark
+    * face of funnelCtes' `fun`). */
+  private[graft] def funnelFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsUs(spark, dir)
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
@@ -184,19 +197,14 @@ object Analytics {
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
     views.join(clicks, Seq("user_id"), "left")
       .join(purchases, Seq("user_id"), "left")
-      .select(col("user_id"), col("first_view_us"), col("first_click_us"),
-        col("first_purchase_us"),
-        when(col("first_purchase_us").isNotNull, 3)
-          .when(col("first_click_us").isNotNull, 2)
-          .otherwise(1).as("stage"))
-      .orderBy(col("user_id"))
   }
 
   /** The funnel per-user derivation as a shared CTE chain — ONE Scala
-    * constant consumed by eventsFunnelSql AND eventsFunnelTimeSql (the
-    * ngramDupsCtes oracle-drift rule: two oracles that must agree on a
-    * sub-derivation share its SQL verbatim). */
-  private val funnelCtes: String =
+    * constant consumed by eventsFunnelSql, eventsFunnelTimeSql AND
+    * EventStreams.streamFunnelDeltasSql (the ngramDupsCtes oracle-drift
+    * rule: oracles that must agree on a sub-derivation share its SQL
+    * verbatim). */
+  private[graft] val funnelCtes: String =
     """e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
       |v AS (SELECT user_id, min(ts_us) AS first_view_us FROM e WHERE event_type='view' GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts_us) AS first_click_us

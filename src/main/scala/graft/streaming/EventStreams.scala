@@ -289,6 +289,77 @@ object EventStreams {
       .orderBy(col("hour_id"))
   }
 
+  /** stream_funnel_deltas: the live funnel's per-trigger EMISSION as a
+    * registered batch query — what FunnelStream.funnelStream actually
+    * sends a dashboard upsert sink when the corpus is replayed as
+    * event-time-hour micro-batches (batch_hour = the trigger's hour
+    * index). Under in-order arrival each anchor is SET-ONCE at its own
+    * hour: the global first_view is the first view in any folded hour;
+    * no click available before hour(first_click) can qualify (it would
+    * contradict first_click's minimality over clicks ≥ first_view), so
+    * the live solve stays None until exactly that hour — the emission
+    * rows are therefore the ≤3 distinct change-hours per user, with
+    * same-hour anchor arrivals merged into one snapshot, upd_seq the
+    * change index, stage the highest set anchor. StreamingSpec pins the
+    * LIVE operator fed hour-chunked arrivals emits these identical
+    * rows.
+    *
+    * Scale: the shared funnelFrame derivation (one user_id shuffle end
+    * to end) staged ONCE, then three narrow selects over the per-user
+    * frame unioned — no new exchange shape, no window. */
+  def streamFunnelDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val f = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      graft.operators.Analytics.funnelFrame(spark, dir)
+        .withColumn("hv", expr(s"first_view_us DIV $hourUs"))
+        .withColumn("hc", expr(s"first_click_us DIV $hourUs"))
+        .withColumn("hp", expr(s"first_purchase_us DIV $hourUs")))
+    val r1 = f.select(col("user_id"), lit(1).as("upd_seq"),
+      col("hv").as("batch_hour"), col("first_view_us"),
+      when(col("hc") === col("hv"), col("first_click_us")).as("first_click_us"),
+      when(col("hp") === col("hv"), col("first_purchase_us")).as("first_purchase_us"))
+    val r2 = f.filter(col("hc") > col("hv")).select(col("user_id"),
+      lit(2).as("upd_seq"), col("hc").as("batch_hour"), col("first_view_us"),
+      col("first_click_us"),
+      when(col("hp") === col("hc"), col("first_purchase_us")).as("first_purchase_us"))
+    val r3 = f.filter(col("hp") > col("hc")).select(col("user_id"),
+      when(col("hc") > col("hv"), 3).otherwise(2).as("upd_seq"),
+      col("hp").as("batch_hour"), col("first_view_us"), col("first_click_us"),
+      col("first_purchase_us"))
+    r1.unionAll(r2).unionAll(r3)
+      .withColumn("stage", when(col("first_purchase_us").isNotNull, 3)
+        .when(col("first_click_us").isNotNull, 2).otherwise(1))
+      .orderBy(col("user_id"), col("upd_seq"))
+  }
+
+  val streamFunnelDeltasSql: String = {
+    val hourUs = 3600L * 1000 * 1000
+    s"""WITH ${graft.operators.Analytics.funnelCtes},
+      |fh AS (SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+      |         first_view_us // $hourUs AS hv,
+      |         first_click_us // $hourUs AS hc,
+      |         first_purchase_us // $hourUs AS hp
+      |       FROM fun),
+      |snaps AS (
+      |  SELECT user_id, 1 AS upd_seq, hv AS batch_hour, first_view_us,
+      |         CASE WHEN hc = hv THEN first_click_us END AS first_click_us,
+      |         CASE WHEN hp = hv THEN first_purchase_us END AS first_purchase_us
+      |  FROM fh
+      |  UNION ALL
+      |  SELECT user_id, 2, hc, first_view_us, first_click_us,
+      |         CASE WHEN hp = hc THEN first_purchase_us END
+      |  FROM fh WHERE hc > hv
+      |  UNION ALL
+      |  SELECT user_id, CASE WHEN hc > hv THEN 3 ELSE 2 END, hp,
+      |         first_view_us, first_click_us, first_purchase_us
+      |  FROM fh WHERE hp > hc)
+      |SELECT user_id, CAST(upd_seq AS INT) AS upd_seq, batch_hour,
+      |       first_view_us, first_click_us, first_purchase_us,
+      |       CASE WHEN first_purchase_us IS NOT NULL THEN 3
+      |            WHEN first_click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM snaps ORDER BY user_id, upd_seq""".stripMargin
+  }
+
   /** stream_watermark_eval: the watermark-delay DECISION report — the
     * layout_skip_eval pattern applied to streaming config: before
     * deploying `withWatermark(d)`, price each candidate delay by what
@@ -675,6 +746,7 @@ object EventStreams {
     "stream_late_deltas" -> (streamLateDeltas _),
     "stream_replay_dedup" -> (streamReplayDedup _),
     "stream_watermark_eval" -> (streamWatermarkEval _),
+    "stream_funnel_deltas" -> (streamFunnelDeltas _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -688,5 +760,6 @@ object EventStreams {
     "stream_late_deltas" -> streamLateDeltasSql,
     "stream_replay_dedup" -> streamReplayDedupSql,
     "stream_watermark_eval" -> streamWatermarkEvalSql,
+    "stream_funnel_deltas" -> streamFunnelDeltasSql,
     "interval_join" -> intervalJoinSql)
 }

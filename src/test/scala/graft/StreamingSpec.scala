@@ -447,6 +447,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream fed event-hour micro-batches emits exactly the registered stream_funnel_deltas rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvt
+    val hourUs = 3600L * 1000 * 1000
+    val evts = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .collect().map(r => FunnelEvt(r.getLong(0), r.getLong(1), r.getString(2)))
+    // the registered fixture: one micro-batch per event-time hour,
+    // replayed in order
+    val batches = evts.groupBy(_.tsUs / hourUs).toSeq.sortBy(_._1)
+    val stream = MemoryStream[FunnelEvt]
+    val q = FunnelStream.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funneldeltas")
+      .outputMode("append").start()
+    try {
+      batches.foreach { case (_, chunk) =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("funneldeltas")
+        .select(col("user_id"), col("upd_seq"), col("first_view_us"),
+          col("first_click_us"), col("first_purchase_us"), col("stage"))
+        .orderBy(col("user_id"), col("upd_seq")).collect()
+      val want = SparkEntry.queries("stream_funnel_deltas")(spark, sf)
+        .select(col("user_id"), col("upd_seq"), col("first_view_us"),
+          col("first_click_us"), col("first_purchase_us"), col("stage"))
+        .collect()
+      assert(got.length == want.length, s"${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
   test("stream_late_audit_jitter spreads lateness across buckets (CASE edges live)") {
     val rows = SparkEntry.queries("stream_late_audit_jitter")(spark, sf).collect()
     assert(rows.length >= 4, s"jitter should populate >=4 buckets: ${rows.mkString(", ")}")
