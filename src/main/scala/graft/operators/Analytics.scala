@@ -955,6 +955,68 @@ object Analytics {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- skew_eval
+  /** The pre-salting DECISION report (the layout_skip_eval /
+    * stream_watermark_eval pattern applied to shuffle keys): before
+    * reaching for Salt.saltedSumCount / AQE skew knobs, measure each
+    * candidate shuffle key's actual skew. Per audited (table, key):
+    * rows, distinct keys, the hottest key's row count, rows/key mean,
+    * the hot key's share of the table, and the salt factor that would
+    * level the hottest reducer back to the mean —
+    * ceil(max_key_rows / avg) = (max·n_keys + n_rows − 1) DIV n_rows,
+    * exact integer arithmetic. salt_factor 1 = don't salt; the report
+    * saying "no" is as valuable as the fix.
+    *
+    * Scale: one map-side-combined count per key per audited table —
+    * the partial aggregate absorbs hot keys BEFORE the shuffle, so the
+    * audit itself cannot skew — folded to a 1-row stats frame each; 5
+    * bounded rows leave the executors. Overflow: max·n_keys ≤ n_rows²
+    * only when one key owns the table AND keys are distinct — real
+    * shapes keep the product ≤ ~n_rows·(hot reducers), far inside
+    * BIGINT at any plausible scale (documented like part_affinity's
+    * 2^53 note). */
+  def skewEval(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, label: String, key: Column): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(label).as("keyed_on"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          (round(col("n_rows").cast("double") / col("n_keys"), 2) + 0.0)
+            .as("avg_key_rows"),
+          (round(col("max_key_rows").cast("double") / col("n_rows"), 6) + 0.0)
+            .as("top_share"),
+          expr("(max_key_rows * n_keys + n_rows - 1) DIV n_rows")
+            .as("salt_factor"))
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    audit(li, "lineitem.l_orderkey", col("l_orderkey"))
+      .unionAll(audit(li, "lineitem.l_partkey", col("l_partkey")))
+      .unionAll(audit(Tables.orders(spark, dir), "orders.o_custkey",
+        col("o_custkey")))
+      .unionAll(audit(ev, "events.event_type", col("event_type")))
+      .unionAll(audit(ev, "events.user_id", col("user_id")))
+      .orderBy(col("keyed_on"))
+  }
+
+  val skewEvalSql: String = {
+    def leg(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS keyed_on,
+         |       CAST(sum(c) AS BIGINT) AS n_rows,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(max(c) AS BIGINT) AS max_key_rows,
+         |       round(CAST(sum(c) AS DOUBLE) / count(*), 2) + 0.0 AS avg_key_rows,
+         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) + 0.0 AS top_share,
+         |       CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
+         |         AS salt_factor
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY $key) ${table}_${key}_t"""
+        .stripMargin
+    Seq(leg("lineitem", "l_orderkey"), leg("lineitem", "l_partkey"),
+      leg("orders", "o_custkey"), leg("events", "event_type"),
+      leg("events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY keyed_on")
+  }
+
   // ------------------------------------------------------------------ maps
   // ------------------------------------------------------ event_attribution
   /** Multi-touch purchase attribution with EXACT integer allocation:
@@ -2261,6 +2323,7 @@ object Analytics {
     "event_transition_time" -> (eventTransitionTime _),
     "events_burst_detect" -> (eventsBurstDetect _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_eval" -> (skewEval _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
     "events_rolling_mau" -> (eventsRollingMau _),
@@ -2304,6 +2367,7 @@ object Analytics {
     "event_transition_time" -> eventTransitionTimeSql,
     "events_burst_detect" -> eventsBurstDetectSql,
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_eval" -> skewEvalSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,
     "events_rolling_mau" -> eventsRollingMauSql,

@@ -53,6 +53,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("skew_eval: every audited key's stats are internally consistent and factor = ceil(max/avg)") {
+    val rows = SparkEntry.queries("skew_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq("events.event_type", "events.user_id",
+      "lineitem.l_orderkey", "lineitem.l_partkey", "orders.o_custkey"))
+    rows.foreach { case (k, n, keys, mx, avg, share, factor) =>
+      assert(mx >= (n + keys - 1) / keys, s"$k: max below the mean")
+      assert(share >= 1.0 / keys && share <= 1.0, s"$k: share out of range")
+      assert(math.abs(avg - math.rint(100.0 * n / keys) / 100) < 1e-9, s"$k: avg")
+      assert(factor == (mx * keys + n - 1) / n, s"$k: factor != ceil(max/avg)")
+      assert(factor >= 1, s"$k: factor >= 1")
+    }
+    // the audit's own aggregate can't skew: a hot key is absorbed by the
+    // map-side partial, so the report is safe to run on the skewed table
+    // itself — event_type (5 keys over the corpus) is the planted case
+    val et = rows.find(_._1 == "events.event_type").get
+    assert(et._3 == 5 && et._7 >= 1)
+  }
+
   test("salted join matches plain join and spreads hot keys") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
