@@ -497,6 +497,129 @@ object Dedup {
       |FROM ers GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
   }
 
+  // ---------------------------------------------------- dedup_threshold_eval
+  /** The dedup-AGGRESSIVENESS decision report (the layout_skip_eval /
+    * stream_watermark_eval pattern applied to the Jaccard cutoff):
+    * before committing a near-dup threshold, price each candidate τ
+    * (0.700/0.800/0.900/0.950) by what it removes — documents deduped
+    * (distinct larger-id members of a ≥τ candidate pair, the keep-min
+    * convention every dedup_* op uses) and the whitespace tokens those
+    * documents carry — and what fraction of the corpus survives.
+    * "0.95 keeps 99% of tokens, 0.70 costs 8%" is the number that
+    * picks the knob.
+    *
+    * Exactness: the τ test is the cross-multiplied integer comparison
+    * 1000·c ≥ τ‰·(na+nb−c) — no float Jaccard ever forms — on the
+    * same exact intersect counts dedup_band_eval scores; retained
+    * fractions are single divisions of exact integer sums.
+    *
+    * Scale: the staged (lm, ssh) frame is ONE kernel pass (the
+    * band_eval staging); the pair space is the registered 4-band
+    * candidate set; the 4-way τ explode carries scalars only, and the
+    * distinct-(τ, doc) dedup bounds the join at 4× the dup-doc count.
+    * The τ spine comes from the 1-row totals frame, so a τ that
+    * removes nothing still reports (LEFT join, coalesce 0). */
+  def dedupThresholdEval(spark: SparkSession, dir: String): DataFrame =
+    thresholdEvalFrom(Tables.documents(spark, dir))
+
+  private[graft] val ThresholdsPerMille = Seq(700, 800, 900, 950)
+
+  private[graft] def thresholdEvalFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.SortedIntersectCount
+    val nl = NgramBands * NgramLanes
+    val base = GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
+          array_sort(array_distinct(Text.shingleHashes(col("text"), 3))).as("ssh"))
+        .filter(size(col("lm")) === nl)
+        .repartition(col("doc_id")))
+    val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
+        struct(lit(k).as("band"),
+          col("lm")(k * NgramLanes).as("b0"),
+          col("lm")(k * NgramLanes + 1).as("b1"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.b0"), col("bb.b1"))
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
+          col("x.b1") === col("y.b1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sc = pairs
+      .join(base.select(col("doc_id").as("id_a"), col("ssh").as("sa")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("ssh").as("sb")), Seq("id_b"))
+      .select(col("id_b"),
+        kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+    val removed = sc
+      .select(col("id_b"), col("c"), (col("na") + col("nb") - col("c")).as("u"),
+        explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"))
+      .filter(lit(1000) * col("c") >= col("tau") * col("u"))
+      .select(col("tau"), col("id_b")).distinct()
+    val toks = docs.select(col("doc_id").as("id_b"),
+      size(split(col("text"), " ")).cast("long").as("nw"))
+    val rem = removed.join(toks, Seq("id_b"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("nd"), sum(col("nw")).as("tr"))
+    val spine = docs
+      .agg(count(lit(1)).as("td"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      .select(explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"),
+        col("td"), col("tt"))
+    spine.join(rem, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("nd"), lit(0L)).as("n_docs_removed"),
+        coalesce(col("tr"), lit(0L)).as("tokens_removed"),
+        (round((col("td") - coalesce(col("nd"), lit(0L))).cast("double")
+          / col("td"), 6) + 0.0).as("frac_docs_retained"),
+        (round((col("tt") - coalesce(col("tr"), lit(0L))).cast("double")
+          / col("tt"), 6) + 0.0).as("frac_tokens_retained"))
+      .orderBy(col("tau"))
+  }
+
+  val dedupThresholdEvalSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |lanes AS (SELECT doc_id, list_sort(sh) AS ssh FROM s),
+      |b AS (
+      |  $bandedCteSql),
+      |pb AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id),
+      |sc AS (
+      |  SELECT p.id_b,
+      |         len(list_intersect(a.ssh, c.ssh)) AS c,
+      |         len(a.ssh) AS na, len(c.ssh) AS nb
+      |  FROM pb p JOIN lanes a ON p.id_a = a.doc_id JOIN lanes c ON p.id_b = c.doc_id),
+      |taus AS (SELECT unnest([${ThresholdsPerMille.mkString(", ")}]) AS tau),
+      |rd AS (
+      |  SELECT DISTINCT tau, id_b
+      |  FROM sc CROSS JOIN taus
+      |  WHERE 1000 * c >= tau * (na + nb - c)),
+      |dn AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |       FROM documents),
+      |rem AS (
+      |  SELECT tau, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nw) AS BIGINT) AS tr
+      |  FROM rd JOIN dn ON rd.id_b = dn.doc_id GROUP BY tau),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS td,
+      |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
+      |        FROM documents)
+      |SELECT taus.tau,
+      |       coalesce(nd, 0) AS n_docs_removed,
+      |       coalesce(tr, 0) AS tokens_removed,
+      |       round(CAST(td - coalesce(nd, 0) AS DOUBLE) / td, 6) + 0.0
+      |         AS frac_docs_retained,
+      |       round(CAST(tt - coalesce(tr, 0) AS DOUBLE) / tt, 6) + 0.0
+      |         AS frac_tokens_retained
+      |FROM taus CROSS JOIN tot LEFT JOIN rem ON rem.tau = taus.tau
+      |ORDER BY taus.tau""".stripMargin
+
   // ---------------------------------------------------------- dedup_clusters
   /** Connected components over the ≥0.9-Jaccard near-dup graph — pair
     * lists aren't transitive, so a pipeline needs ONE cluster id per
@@ -1324,6 +1447,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_band_eval" -> (dedupBandEval _),
+    "dedup_threshold_eval" -> (dedupThresholdEval _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -1342,6 +1466,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_band_eval" -> dedupBandEvalSql,
+    "dedup_threshold_eval" -> dedupThresholdEvalSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,

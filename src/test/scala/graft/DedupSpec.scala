@@ -172,6 +172,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("threshold eval: exact clones removed at every tau, disjoint docs never; fractions exact") {
+    // 10 disjoint docs (distinct word universes) + 3 exact clones of
+    // doc 0: identical shingle sets share every lane minimum, so the
+    // clones are SURE banded candidates at J = 1.0 and must be removed
+    // at every tau including 0.950; the disjoint docs never pair.
+    val words = (0 until 10).map(d => (0 until 20).map(w => s"w${d}_$w").mkString(" "))
+    val docs = (words.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, words(0)), (101L, words(0)), (102L, words(0))))
+      .toDF("doc_id", "text")
+    val rows = Dedup.thresholdEvalFrom(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Dedup.ThresholdsPerMille)
+    val td = 13.0
+    val tt = (13 * 20).toDouble
+    rows.foreach { case (tau, nd, tr, fd, ft) =>
+      assert(nd == 3, s"tau $tau: exactly the 3 clones must drop, got $nd")
+      assert(tr == 60, s"tau $tau: clone tokens, got $tr")
+      assert(math.abs(fd - (td - 3) / td) < 1e-6 && math.abs(ft - (tt - 60) / tt) < 1e-6)
+    }
+  }
+
+  test("threshold eval at gate scale: removals monotone non-increasing in tau, fractions consistent") {
+    val rows = SparkEntry.queries("dedup_threshold_eval")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val nds = rows.map(_._2)
+    assert(nds.toSeq == nds.sorted.reverse.toSeq,
+      "a stricter (higher) tau can only remove fewer docs")
+    val trs = rows.map(_._3)
+    assert(trs.toSeq == trs.sorted.reverse.toSeq)
+    rows.foreach { case (tau, nd, tr, fd, ft) =>
+      assert(fd >= 0 && fd <= 1 && ft >= 0 && ft <= 1, s"tau $tau")
+      assert(nd == 0 || tr > 0, s"tau $tau: removed docs must carry tokens")
+    }
+  }
+
   test("cluster stats conserve dedup_clusters' membership and bound the savings") {
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
     val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf).collect()
