@@ -345,6 +345,74 @@ object TextAnalysis {
       |          AND g_repetition AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_gate_strictness
+  /** The quality-STRICTNESS decision report (the dedup_threshold_eval
+    * pattern applied to the Gopher gate): before committing "keep only
+    * docs passing all 5 gates", price every cutoff — per number of
+    * gates passed (0..5) the documents and tokens at exactly that
+    * level, the cumulative corpus retained at cutoff ≥ that level, and
+    * the retained fractions. "All 5 keeps 61% of tokens, ≥4 keeps 83%"
+    * is the number that picks the filter; corpus_quality_gate stays
+    * the per-doc verdict this report aggregates.
+    *
+    * Exactness: gate count is a sum of exact boolean casts off the
+    * registered gate query (shared verbatim — the funnelCtes drift
+    * rule); cumulative sums run over the ≤6-row aggregate (the
+    * post-aggregate bounded-window class); each fraction is ONE
+    * division by the broadcast 1-row total.
+    *
+    * Scale: corpus_quality_gate's zero-shuffle projection + one
+    * map-side-combined ≤6-group aggregate + a 6-row window. */
+  def corpusGateStrictness(spark: SparkSession, dir: String): DataFrame = {
+    val gates = Seq("g_length", "g_word_len", "g_stopwords", "g_unique",
+      "g_repetition")
+    val cnt = corpusQualityGate(spark, dir)
+      .select(gates.map(g => col(g).cast("int")).reduce(_ + _).as("n_gates"),
+        col("n_words").cast("long").as("nw"))
+      .groupBy(col("n_gates"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+    val tot = cnt.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_gates").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("n_gates"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        (round(col("cum_docs").cast("double") / col("td"), 6) + 0.0)
+          .as("frac_docs_retained"),
+        (round(col("cum_tokens").cast("double") / col("tt"), 6) + 0.0)
+          .as("frac_tokens_retained"))
+      .orderBy(col("n_gates"))
+  }
+
+  lazy val corpusGateStrictnessSql: String =
+    s"""WITH qg AS (SELECT * FROM ($corpusQualityGateSql) t),
+      |ct AS (
+      |  SELECT CAST(g_length AS INT) + CAST(g_word_len AS INT)
+      |           + CAST(g_stopwords AS INT) + CAST(g_unique AS INT)
+      |           + CAST(g_repetition AS INT) AS n_gates,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_words) AS BIGINT) AS n_tokens
+      |  FROM qg GROUP BY 1),
+      |cm AS (
+      |  SELECT n_gates, n_docs, n_tokens,
+      |         CAST(sum(n_docs) OVER (ORDER BY n_gates DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_docs,
+      |         CAST(sum(n_tokens) OVER (ORDER BY n_gates DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_tokens,
+      |         CAST(sum(n_docs) OVER () AS BIGINT) AS td,
+      |         CAST(sum(n_tokens) OVER () AS BIGINT) AS tt
+      |  FROM ct)
+      |SELECT n_gates, n_docs, n_tokens, cum_docs, cum_tokens,
+      |       round(CAST(cum_docs AS DOUBLE) / td, 6) + 0.0 AS frac_docs_retained,
+      |       round(CAST(cum_tokens AS DOUBLE) / tt, 6) + 0.0 AS frac_tokens_retained
+      |FROM cm ORDER BY n_gates""".stripMargin
+
   // ---------------------------------------------------- corpus_langid_eval
   /** Confusion matrix of the heuristic language ID against the declared
     * `lang` column — the eval-as-a-query pattern (ann_recall_report for
@@ -533,6 +601,7 @@ object TextAnalysis {
     "text_readability" -> (textReadability _),
     "text_winnow_fp" -> (textWinnowFp _),
     "corpus_quality_gate" -> (corpusQualityGate _),
+    "corpus_gate_strictness" -> (corpusGateStrictness _),
     "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
     "text_quality" -> (textQuality _),
@@ -548,6 +617,7 @@ object TextAnalysis {
     "text_readability" -> textReadabilitySql,
     "text_winnow_fp" -> textWinnowFpSql,
     "corpus_quality_gate" -> corpusQualityGateSql,
+    "corpus_gate_strictness" -> corpusGateStrictnessSql,
     "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

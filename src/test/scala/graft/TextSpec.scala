@@ -87,6 +87,30 @@ class TextSpec extends SparkSpec {
       s"doc ${r.getLong(0)} repetition gate"))
   }
 
+  test("gate_strictness: cumulatives conserve the corpus and agree with the per-doc verdicts") {
+    val rows = SparkEntry.queries("corpus_gate_strictness")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // the loosest cutoff retains everything: cum at min n_gates = totals
+    val docs = SparkEntry.queries("corpus_quality_gate")(spark, sf).collect()
+    assert(rows.head._4 == docs.length && math.abs(rows.head._6 - 1.0) < 1e-9)
+    // the strictest row's cumulative = the gate query's keep count
+    val keeps = docs.count(_.getBoolean(7))
+    val strict = rows.last
+    assert(strict._1 == 5 || keeps == 0)
+    if (strict._1 == 5)
+      assert(strict._4 == keeps, s"cum_docs at 5 gates ${strict._4} vs keep=$keeps")
+    // cumulative really is the suffix sum of the per-level counts
+    rows.reverse.foldLeft((0L, 0L)) { case ((cd, ct), r) =>
+      assert(r._4 == cd + r._2 && r._5 == ct + r._3, s"level ${r._1}")
+      (r._4, r._5)
+    }
+    // fractions monotone: relaxing the cutoff only retains more
+    assert(rows.map(_._6).toSeq == rows.map(_._6).sorted.reverse.toSeq)
+    assert(rows.map(_._7).toSeq == rows.map(_._7).sorted.reverse.toSeq)
+  }
+
   test("langid_eval: per-declared-lang shares sum to 1, counts conserve") {
     val rows = SparkEntry.queries("corpus_langid_eval")(spark, sf).collect()
     assert(rows.nonEmpty)
