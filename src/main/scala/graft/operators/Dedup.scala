@@ -1334,6 +1334,81 @@ object Dedup {
        |ORDER BY ag.cell""".stripMargin
   }
 
+  // ------------------------------------------------- embed_threshold_eval
+  /** The SEMANTIC-dedup cutoff decision report — the third leg of the
+    * r11 threshold trilogy (lexical τ: dedup_threshold_eval; quality
+    * strictness: corpus_gate_strictness; THIS prices SemDeDup's cosine
+    * cutoff): per candidate τ (0.95/0.98/0.99/0.995) the same-cell
+    * pairs at or above it, the vectors a keep-min SemDeDup would drop,
+    * and the retained fraction — "0.995 keeps 97%, 0.95 keeps 78%" is
+    * the aggressiveness knob Abbas et al. '23 sweep offline; here it is
+    * one query over the SAME celled frame dedup_semantic scores, so the
+    * curve and the verdict cannot disagree.
+    *
+    * Exactness: cosines are the identical round(·, 4) doubles the
+    * oracled dedup_semantic compares (same arithmetic both engines →
+    * same booleans at every τ); counts are integers; the fraction one
+    * division by the 1-row total.
+    *
+    * Scale: the pair space is the IVF-cell-bounded candidate set
+    * (never all-pairs); the 4-way τ explode carries scalars; the τ
+    * spine joins off the 1-row totals frame so a τ dropping nothing
+    * still reports. */
+  def embedThresholdEval(spark: SparkSession, dir: String): DataFrame =
+    embedThresholdEvalFrom(Ann.celledEmbeddings(spark, dir))
+
+  private[graft] val CosThresholds = Seq(0.95, 0.98, 0.99, 0.995)
+
+  private[graft] def embedThresholdEvalFrom(celled: DataFrame): DataFrame = {
+    val b = celled.select(col("cell"), col("vec_id").as("lower_id"), col("v").as("bv"))
+    val pairs = celled.join(b, Seq("cell"))
+      .filter(col("lower_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (round(Vectors.cosine(col("v"), col("bv")), 4) + 0.0).as("cos_sim"))
+    val rem = pairs
+      .select(col("vec_id"), col("cos_sim"),
+        explode(array(CosThresholds.map(lit(_)): _*)).as("tau"))
+      .filter(col("cos_sim") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("np"), countDistinct(col("vec_id")).as("nd"))
+    val spine = celled.agg(count(lit(1)).as("tv"))
+      .select(explode(array(CosThresholds.map(lit(_)): _*)).as("tau"), col("tv"))
+    spine.join(rem, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("np"), lit(0L)).as("n_pairs_over"),
+        coalesce(col("nd"), lit(0L)).as("n_vectors_removed"),
+        (round((col("tv") - coalesce(col("nd"), lit(0L))).cast("double")
+          / col("tv"), 6) + 0.0).as("frac_vectors_retained"))
+      .orderBy(col("tau"))
+  }
+
+  val embedThresholdEvalSql: String = {
+    val cos =
+      """list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
+        |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
+        |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y)))""".stripMargin
+    s"""WITH ${Ann.ivfCtes},
+       |sp AS (
+       |  SELECT ca.vec_id AS vid,
+       |         CAST(round($cos, 4) AS DOUBLE) + 0.0 AS cos_sim
+       |  FROM celled ca JOIN celled cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
+       |  JOIN (SELECT vec_id, v AS av FROM e) a ON a.vec_id = ca.vec_id
+       |  JOIN (SELECT vec_id, v AS bv FROM e) b ON b.vec_id = cb.vec_id),
+       |taus AS (SELECT unnest([${CosThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")}]) AS tau),
+       |rem AS (
+       |  SELECT tau, CAST(count(*) AS BIGINT) AS np,
+       |         CAST(count(DISTINCT vid) AS BIGINT) AS nd
+       |  FROM sp CROSS JOIN taus WHERE cos_sim >= tau GROUP BY tau),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tv FROM celled)
+       |SELECT taus.tau,
+       |       coalesce(np, 0) AS n_pairs_over,
+       |       coalesce(nd, 0) AS n_vectors_removed,
+       |       round(CAST(tv - coalesce(nd, 0) AS DOUBLE) / tv, 6) + 0.0
+       |         AS frac_vectors_retained
+       |FROM taus CROSS JOIN tot LEFT JOIN rem ON rem.tau = taus.tau
+       |ORDER BY taus.tau""".stripMargin
+  }
+
   // ---------------------------------------------------- dedup_cross_source
   /** Near-dup FLOW between sources: for every unordered source pair the
     * count of ≥0.9-Jaccard near-dup pairs with one doc in each (the
@@ -1457,6 +1532,7 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_reps" -> (dedupEmbeddingReps _),
     "dedup_semantic" -> (dedupSemantic _),
+    "embed_threshold_eval" -> (embedThresholdEval _),
     "dedup_incremental" -> (dedupIncremental _)
   )
 
@@ -1474,6 +1550,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_reps" -> dedupEmbeddingRepsSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "embed_threshold_eval" -> embedThresholdEvalSql,
     "dedup_incremental" -> dedupIncrementalSql
     // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;
     // DedupSpec bounds recall and estimate error.

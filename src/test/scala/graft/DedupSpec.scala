@@ -207,6 +207,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embed threshold eval: planted cosines cross the right cutoffs, spine reports zero rows") {
+    // cell 0: v0 ≡ v1 (cos 1.0), v2 at cos 0.97 to both; cell 1: v3
+    // alone. keep-min removal: τ=0.95 drops {v1, v2} (all 3 pairs
+    // qualify), τ∈{0.98, 0.99, 0.995} drops {v1} (only the clone pair)
+    val c97 = 0.97
+    val s97 = math.sqrt(1.0 - c97 * c97)
+    val celled = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(c97, s97), 0), (3L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "v", "cell")
+    val rows = Dedup.embedThresholdEvalFrom(celled).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Dedup.CosThresholds)
+    assert(rows(0) == ((0.95, 3L, 2L, 0.5)), s"tau 0.95: ${rows(0)}")
+    Seq(1, 2, 3).foreach { i =>
+      assert(rows(i)._2 == 1 && rows(i)._3 == 1 && rows(i)._4 == 0.75,
+        s"tau ${rows(i)._1}: only the exact clone drops: ${rows(i)}")
+    }
+    // a frame with NO qualifying pairs still reports all four taus
+    val lone = Seq((0L, Seq(1.0, 0.0), 0), (1L, Seq(0.0, 1.0), 0))
+      .toDF("vec_id", "v", "cell")
+    val z = Dedup.embedThresholdEvalFrom(lone).collect()
+    assert(z.length == 4 && z.forall(r => r.getLong(2) == 0 && r.getDouble(3) == 1.0))
+  }
+
   test("cluster stats conserve dedup_clusters' membership and bound the savings") {
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
     val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf).collect()
