@@ -58,6 +58,15 @@ object Ann {
       when(Vectors.dot(v, plane) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** RAW projection of `v` onto hyperplane (t, p) — the continuous
+    * companion of hyperplaneBucket's sign bit: identical vectors tie
+    * EXACTLY and distinct vectors essentially never do, so (bucket,
+    * projection, id) is a total order under which every exact-replica
+    * run is contiguous (Dedup.celledChainPairs' sort key). The dot is
+    * the sequential double fold every oracle mirrors. */
+  def hyperplaneProj(v: Column, t: Int, p: Int): Column =
+    Vectors.dot(v, array((0 until 64).map(d => lit(planeSign(t, p, d).toDouble)): _*))
+
   // --------------------------------------------------------- ann_brute_topk
   /** Exact cosine top-k for the first 20 vectors as queries, tie-broken
     * by neighbor id. The oracle mirrors the identical double fold. */

@@ -50,6 +50,18 @@ object Dedup {
   private[operators] val NgramBands = 4
   private[operators] val NgramLanes = 2
 
+  /** Partners per member per bucket/block/table: the per-bucket pair
+    * expansion bound shared by the embedding blocker (r10) and the
+    * banded Jaccard candidates (r12). A degenerately self-similar
+    * bucket of size b emits ≤ b·PairCap pairs instead of b²/2, and the
+    * id-ordered partner chains (rank rn ↔ rn+1 always pairs) keep every
+    * within-bucket clique CONNECTED, so the connected components a
+    * downstream dedup extracts are unchanged. Interpolated into the
+    * mirrors (shared-constant rule). Declared here, ABOVE every val
+    * mirror that interpolates it (object-init order — a forward
+    * reference interpolates 0 silently). */
+  private[graft] val PairCap = 8
+
   /** The 8 lane minima in one compiled kernel pass. */
   private def laneMins(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -514,11 +526,15 @@ object Dedup {
     * fractions are single divisions of exact integer sums.
     *
     * Scale: the staged (lm, ssh) frame is ONE kernel pass (the
-    * band_eval staging); the pair space is the registered 4-band
-    * candidate set; the 4-way τ explode carries scalars only, and the
-    * distinct-(τ, doc) dedup bounds the join at 4× the dup-doc count.
-    * The τ spine comes from the 1-row totals frame, so a τ that
-    * removes nothing still reports (LEFT join, coalesce 0). */
+    * band_eval staging); the pair space is the 4-band candidate set
+    * BOUNDED to PairCap partners per member per bucket in doc_id order
+    * (see the chain comment below — clone-family removals exact, total
+    * pair work ≤ 4·PairCap·n); the 4-way τ explode carries scalars
+    * only, and the distinct-(τ, doc) dedup bounds the join at 4× the
+    * dup-doc count. The τ spine comes from the 1-row totals frame, so
+    * a τ that removes nothing still reports (LEFT join, coalesce 0).
+    * Token counts are NON-EMPTY whitespace tokens (the text_bpe_encode
+    * convention). */
   def dedupThresholdEval(spark: SparkSession, dir: String): DataFrame =
     thresholdEvalFrom(Tables.documents(spark, dir))
 
@@ -540,10 +556,29 @@ object Dedup {
           col("lm")(k * NgramLanes + 1).as("b1"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.b0"), col("bb.b1"))
-    val pairs = keyed.as("x").join(keyed.as("y"),
-        col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
-          col("x.b1") === col("y.b1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // Bounded bucket fan-out (r12, the dedup_embedding PairCap chain):
+    // a replicated corpus puts every clone family in ONE (band,b0,b1)
+    // bucket, so the full bucket self-join is output-quadratic exactly
+    // where dedup matters most (the r11 sf10 sweep: 1.75 → 14.4 s on
+    // 100× data). Each member pairs with its next-PairCap bucket-mates
+    // in doc_id order — a clone family of k stays chain-connected and
+    // every non-minimal clone keeps a J=1 lower partner, so removal
+    // counts for exact clones are unchanged; a ≥τ near-dup pair can
+    // escape only when > PairCap bucket-mates separate it in doc_id
+    // order (the documented bounded-candidate scoping).
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("b0"), col("b1"))
+    val rankedK = keyed
+      .withColumn("rn", row_number().over(wk.orderBy(col("doc_id"))))
+      .withColumn("bs", count(lit(1)).over(wk))
+    val probes = rankedK.filter(col("rn") < col("bs"))
+      .select(col("band"), col("b0"), col("b1"), col("doc_id").as("id_a"),
+        explode(sequence(col("rn") + 1,
+          least(col("rn") + PairCap, col("bs")))).as("prn"))
+    val partners = rankedK.select(col("band"), col("b0"), col("b1"),
+      col("rn").as("prn"), col("doc_id").as("id_b"))
+    val pairs = probes.join(partners, Seq("band", "b0", "b1", "prn"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     val sc = pairs
       .join(base.select(col("doc_id").as("id_a"), col("ssh").as("sa")), Seq("id_a"))
@@ -556,14 +591,17 @@ object Dedup {
         explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"))
       .filter(lit(1000) * col("c") >= col("tau") * col("u"))
       .select(col("tau"), col("id_b")).distinct()
-    val toks = docs.select(col("doc_id").as("id_b"),
-      size(split(col("text"), " ")).cast("long").as("nw"))
+    // non-empty whitespace tokens (r12 advisory: raw space-splits count
+    // empty strings from consecutive spaces — this now matches the
+    // length(word)>0 convention of text_bpe_encode and the shingle staging)
+    val nwCol = size(filter(split(col("text"), " "),
+      w => length(w) > 0)).cast("long")
+    val toks = docs.select(col("doc_id").as("id_b"), nwCol.as("nw"))
     val rem = removed.join(toks, Seq("id_b"))
       .groupBy(col("tau"))
       .agg(count(lit(1)).as("nd"), sum(col("nw")).as("tr"))
     val spine = docs
-      .agg(count(lit(1)).as("td"),
-        sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      .agg(count(lit(1)).as("td"), sum(nwCol).as("tt"))
       .select(explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"),
         col("td"), col("tt"))
     spine.join(rem, Seq("tau"), "left")
@@ -588,10 +626,16 @@ object Dedup {
       |lanes AS (SELECT doc_id, list_sort(sh) AS ssh FROM s),
       |b AS (
       |  $bandedCteSql),
+      |rb AS (
+      |  SELECT doc_id, band, b0, b1,
+      |         row_number() OVER (PARTITION BY band, b0, b1 ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY band, b0, b1) AS bs
+      |  FROM b),
       |pb AS (
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM b x JOIN b y
-      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1 AND x.doc_id < y.doc_id),
+      |  FROM rb x JOIN rb y
+      |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1
+      |   AND y.rn > x.rn AND y.rn <= x.rn + $PairCap),
       |sc AS (
       |  SELECT p.id_b,
       |         len(list_intersect(a.ssh, c.ssh)) AS c,
@@ -602,14 +646,15 @@ object Dedup {
       |  SELECT DISTINCT tau, id_b
       |  FROM sc CROSS JOIN taus
       |  WHERE 1000 * c >= tau * (na + nb - c)),
-      |dn AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |dn AS (SELECT doc_id,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                                   x -> len(x) > 0)) AS BIGINT) AS nw
       |       FROM documents),
       |rem AS (
       |  SELECT tau, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nw) AS BIGINT) AS tr
       |  FROM rd JOIN dn ON rd.id_b = dn.doc_id GROUP BY tau),
-      |tot AS (SELECT CAST(count(*) AS BIGINT) AS td,
-      |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
-      |        FROM documents)
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS td, CAST(sum(nw) AS BIGINT) AS tt
+      |        FROM dn)
       |SELECT taus.tau,
       |       coalesce(nd, 0) AS n_docs_removed,
       |       coalesce(tr, 0) AS tokens_removed,
@@ -862,14 +907,6 @@ object Dedup {
     * into the SQL below from the SAME Scala function; the cosine is the
     * sequential double fold Vectors.dot mirrors (NOT DuckDB's
     * float-precision list_cosine_similarity). */
-  /** Partners per member per table: the per-block pair expansion bound.
-    * A degenerately self-similar block of size b emits ≤ b·PairCap
-    * pairs instead of b²/2, and the id-ordered partner chains (rank
-    * rn ↔ rn+1 always pairs) keep every within-block clique CONNECTED,
-    * so the connected components a downstream dedup extracts are
-    * unchanged. Interpolated into the mirror (shared-constant rule). */
-  private[graft] val PairCap = 8
-
   /** The (vec_id, label, v, t, block) bucketed frame both embedding-pair
     * variants read. Staged behind a barrier: the subtree is shuffle-free,
     * so this is NOT shuffle-stage reuse (the staged RDD is lazy) — the
@@ -1272,27 +1309,129 @@ object Dedup {
     * the 4-decimal-rounded cosine (the dedup_embedding_reps discipline)
     * so the τ compare is bit-identical cross-engine.
     *
-    * Scale: ONE shuffle on the cell key; per-cell pairwise cosines are
-    * the published method's cost — cluster size is the knob (the paper
-    * runs k ∝ n for constant-size clusters; the shared index's nlist
-    * ~ 4√n keeps cells at √n/4, fine through the gate SFs and swappable
-    * for a corpus-proportional nlist at 100 TB without touching the
-    * operator). Near-identical vectors land in the same argmax-dot cell
-    * except exactly at a cell boundary — the paper's own recall caveat,
-    * inherent to cluster-scoped dedup. */
+    * Scale: ONE shuffle on the cell key, and the within-cell pair
+    * space is BOUNDED to CellPairCap partners per member in (sign-
+    * bucket, vec_id) rank order (r12 — the dedup_embedding PairCap
+    * playbook; nlist saturates at MaxLists so cell size grows linearly
+    * with the corpus past ~1M vectors, and the r11 sf10 sweep measured
+    * the resulting quadratic directly). Identical vectors share every
+    * sign bit and sort adjacent, so exact-replica drops are unaffected
+    * by the cap; a ≥τ-but-inexact pair can escape when > CellPairCap
+    * sorted cell-mates separate it — the bounded-candidate scoping, on
+    * top of the paper's own cell-boundary recall caveat inherent to
+    * cluster-scoped dedup. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semanticFrom(Ann.celledEmbeddings(spark, dir))
 
+  /** Per-member partner cap for the within-cell SemDeDup pair space —
+    * the r10 dedup_embedding PairCap playbook applied to the IVF cell:
+    * a cell of b members emits ≤ b·CellPairCap pairs instead of b²/2.
+    * nlist saturates at MaxLists, so above ~1M vectors cell size (and
+    * the full pair space) grows LINEARLY with the corpus — the r11
+    * sf10 sweep measured the quadratic term directly (dedup_semantic's
+    * family at ~11× on 100× data). Interpolated into both mirrors
+    * (shared-constant rule). */
+  private[graft] val CellPairCap = 8
+
+  /** Sub-order sign planes: within a cell, members are RANKED by
+    * (8-plane sign bucket, RAW plane-0 projection, vec_id) of the
+    * VECTOR (LSH table 9 — disjoint from ann_lsh's 0-5 and
+    * dedup_embedding's 6-8), so the CellPairCap window is an LSH-aware
+    * neighborhood. The continuous projection is the key to exactness:
+    * identical vectors tie on bucket AND projection, and no distinct
+    * vector can sort STRICTLY BETWEEN two equal keys, so every exact-
+    * replica run is contiguous no matter how large or clustered the
+    * cell — each non-minimal replica pairs with its in-run predecessor
+    * at cos 1.0 (a sign-bucket alone fails here: same-center vectors
+    * have correlated signs and interleave, measured in DedupSpec's
+    * planted corpus). A ≥τ-but-not-identical pair can still fall
+    * > CellPairCap ranks apart — the bounded-candidate scoping
+    * dedup_embedding documents, inherent to any capped pair list. */
+  private[graft] val SubOrderPlanes = 8
+  private[graft] val SubOrderTable = 9
+
+  /** The bounded within-cell pair list both SemDeDup consumers read:
+    * (cell, vec_id, lower_id, cos_sim) with vec_id > lower_id, each
+    * unordered pair at most once, ≤ CellPairCap partners per member in
+    * (sign-bucket, vec_id) rank order. The cosine is computed map-side
+    * in the join projection; only scalars cross the partner exchange. */
+  private[graft] def celledChainPairs(celled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("cell"))
+    val ranked = celled
+      .withColumn("hb", Ann.hyperplaneBucket(col("v"), SubOrderTable, SubOrderPlanes))
+      .withColumn("d0", Ann.hyperplaneProj(col("v"), SubOrderTable, 0))
+      .withColumn("rn",
+        row_number().over(wc.orderBy(col("hb"), col("d0"), col("vec_id"))))
+      .withColumn("bs", count(lit(1)).over(wc))
+    val probes = ranked.filter(col("rn") < col("bs"))
+      .select(col("cell"), col("vec_id").as("ida"), col("v").as("av"),
+        explode(sequence(col("rn") + 1,
+          least(col("rn") + CellPairCap, col("bs")))).as("prn"))
+    val partners = ranked.select(col("cell"), col("rn").as("prn"),
+      col("vec_id").as("idb"), col("v").as("bv"))
+    probes.join(partners, Seq("cell", "prn"))
+      .select(col("cell"),
+        greatest(col("ida"), col("idb")).as("vec_id"),
+        least(col("ida"), col("idb")).as("lower_id"),
+        (round(Vectors.cosine(col("av"), col("bv")), 4) + 0.0).as("cos_sim"))
+  }
+
+  /** Sub-order bucket of `v` as a DuckDB expression — Ann.planeSign
+    * table SubOrderTable baked in (the dedup_embedding oracle pattern),
+    * folding over range(1, len(v)+1) to match VectorKernels.dot's
+    * min-length fold on any dimension. */
+  /** Plane 0 of the sub-order table as a DuckDB list literal — the
+    * continuous tie-break projection (Ann.hyperplaneProj's twin). */
+  private def subOrderPlane0Sql: String =
+    (0 until 64).map(d => s"${Ann.planeSign(SubOrderTable, 0, d)}.0")
+      .mkString("[", ", ", "]")
+
+  private def subOrderBucketSql: String =
+    (0 until SubOrderPlanes).map { p =>
+      val plane = (0 until 64).map(d => s"${Ann.planeSign(SubOrderTable, p, d)}.0")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce([v[i] * ($plane)[i]
+         |  for i in range(1, len(v)+1)], (x, y) -> x + y) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** Shared celled-chain-pair CTE fragment (prefixed sdd_ — composes
+    * over ivfIndexCtes' e/celled without collisions): the exact DuckDB
+    * twin of celledChainPairs. */
+  private def celledChainSql: String =
+    s"""sdd_hb AS (SELECT vec_id, $subOrderBucketSql AS hb,
+       |  list_reduce([v[i] * ($subOrderPlane0Sql)[i]
+       |    for i in range(1, len(v)+1)], (x, y) -> x + y) AS d0 FROM e),
+       |sdd_rk AS (
+       |  SELECT c.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY c.cell
+       |           ORDER BY h.hb, h.d0, c.vec_id) AS rn,
+       |         count(*) OVER (PARTITION BY c.cell) AS bs
+       |  FROM celled c JOIN sdd_hb h ON h.vec_id = c.vec_id),
+       |sdd_sp AS (
+       |  SELECT a.cell AS cell,
+       |         greatest(a.vec_id, b.vec_id) AS vid,
+       |         least(a.vec_id, b.vec_id) AS lower_id,
+       |         CAST(round(
+       |           list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
+       |           / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
+       |            * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y))), 4) AS DOUBLE) + 0.0 AS cos_sim
+       |  FROM sdd_rk a JOIN sdd_rk b
+       |    ON a.cell = b.cell AND b.rn > a.rn AND b.rn <= a.rn + $CellPairCap
+       |  JOIN (SELECT vec_id, v AS av FROM e) aa ON aa.vec_id = a.vec_id
+       |  JOIN (SELECT vec_id, v AS bv FROM e) bb ON bb.vec_id = b.vec_id)""".stripMargin
+
   /** Core over any celled (vec_id, v, cell) frame — spec entry point
     * (the spec plants exact replicas: identical vectors get identical
-    * argmax-dot cells, so every replica is dropped deterministically). */
+    * argmax-dot cells AND identical sub-order buckets, so every replica
+    * is dropped deterministically even under the CellPairCap bound). */
   private[graft] def semanticFrom(celled: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = celled.select(col("cell"), col("vec_id").as("lower_id"), col("v").as("bv"))
-    val pairs = celled.join(b, Seq("cell"))
-      .filter(col("lower_id") < col("vec_id"))
-      .select(col("cell"), col("vec_id"), col("lower_id"),
-        (round(Vectors.cosine(col("v"), col("bv")), 4) + 0.0).as("cos_sim"))
+    // staged: the scalar pair list feeds BOTH the aggregate and the
+    // argmax window (the r6 aliased-reuse lesson — without the barrier
+    // Catalyst re-derives the partner join into each consumer)
+    val pairs = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      celledChainPairs(celled))
     val members = celled.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
     val agg = pairs.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -1308,31 +1447,21 @@ object Dedup {
       .orderBy(col("cell"))
   }
 
-  val dedupSemanticSql: String = {
-    val cos =
-      """list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
-        |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
-        |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y)))""".stripMargin
+  val dedupSemanticSql: String =
     s"""WITH ${Ann.ivfCtes},
-       |sp AS (
-       |  SELECT ca.vec_id AS vid, ca.cell AS cell, cb.vec_id AS lower_id,
-       |         CAST(round($cos, 4) AS DOUBLE) + 0.0 AS cos_sim
-       |  FROM celled ca JOIN celled cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
-       |  JOIN (SELECT vec_id, v AS av FROM e) a ON a.vec_id = ca.vec_id
-       |  JOIN (SELECT vec_id, v AS bv FROM e) b ON b.vec_id = cb.vec_id),
+       |$celledChainSql,
        |mem AS (SELECT cell, count(*) AS n_members FROM celled GROUP BY cell),
        |ag AS (SELECT cell, count(*) AS n_pairs, max(cos_sim) AS max_cos,
        |              count(DISTINCT CASE WHEN cos_sim >= 0.99 THEN vid END) AS n_dropped
-       |       FROM sp GROUP BY cell),
+       |       FROM sdd_sp GROUP BY cell),
        |tp AS (SELECT cell, top_lo, top_hi FROM (
        |         SELECT cell, lower_id AS top_lo, vid AS top_hi,
        |                row_number() OVER (PARTITION BY cell
        |                  ORDER BY cos_sim DESC, vid, lower_id) AS rn
-       |         FROM sp) WHERE rn = 1)
+       |         FROM sdd_sp) WHERE rn = 1)
        |SELECT ag.cell, n_members, n_pairs, n_dropped, max_cos, top_lo, top_hi
        |FROM ag JOIN tp ON ag.cell = tp.cell JOIN mem ON ag.cell = mem.cell
        |ORDER BY ag.cell""".stripMargin
-  }
 
   // ------------------------------------------------- embed_threshold_eval
   /** The SEMANTIC-dedup cutoff decision report — the third leg of the
@@ -1350,21 +1479,18 @@ object Dedup {
     * same booleans at every τ); counts are integers; the fraction one
     * division by the 1-row total.
     *
-    * Scale: the pair space is the IVF-cell-bounded candidate set
-    * (never all-pairs); the 4-way τ explode carries scalars; the τ
-    * spine joins off the 1-row totals frame so a τ dropping nothing
-    * still reports. */
+    * Scale: the pair space is the IVF-cell-bounded, CellPairCap-
+    * chained candidate set (celledChainPairs — never all-pairs, never
+    * cell-quadratic); the 4-way τ explode carries scalars; the τ spine
+    * joins off the 1-row totals frame so a τ dropping nothing still
+    * reports. */
   def embedThresholdEval(spark: SparkSession, dir: String): DataFrame =
     embedThresholdEvalFrom(Ann.celledEmbeddings(spark, dir))
 
   private[graft] val CosThresholds = Seq(0.95, 0.98, 0.99, 0.995)
 
   private[graft] def embedThresholdEvalFrom(celled: DataFrame): DataFrame = {
-    val b = celled.select(col("cell"), col("vec_id").as("lower_id"), col("v").as("bv"))
-    val pairs = celled.join(b, Seq("cell"))
-      .filter(col("lower_id") < col("vec_id"))
-      .select(col("vec_id"),
-        (round(Vectors.cosine(col("v"), col("bv")), 4) + 0.0).as("cos_sim"))
+    val pairs = celledChainPairs(celled).select(col("vec_id"), col("cos_sim"))
     val rem = pairs
       .select(col("vec_id"), col("cos_sim"),
         explode(array(CosThresholds.map(lit(_)): _*)).as("tau"))
@@ -1383,22 +1509,13 @@ object Dedup {
   }
 
   val embedThresholdEvalSql: String = {
-    val cos =
-      """list_reduce([av[i]*bv[i] for i in range(1, len(av)+1)], (x, y) -> x + y)
-        |    / (sqrt(list_reduce([av[i]*av[i] for i in range(1, len(av)+1)], (x, y) -> x + y))
-        |     * sqrt(list_reduce([bv[i]*bv[i] for i in range(1, len(bv)+1)], (x, y) -> x + y)))""".stripMargin
     s"""WITH ${Ann.ivfCtes},
-       |sp AS (
-       |  SELECT ca.vec_id AS vid,
-       |         CAST(round($cos, 4) AS DOUBLE) + 0.0 AS cos_sim
-       |  FROM celled ca JOIN celled cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
-       |  JOIN (SELECT vec_id, v AS av FROM e) a ON a.vec_id = ca.vec_id
-       |  JOIN (SELECT vec_id, v AS bv FROM e) b ON b.vec_id = cb.vec_id),
+       |$celledChainSql,
        |taus AS (SELECT unnest([${CosThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")}]) AS tau),
        |rem AS (
        |  SELECT tau, CAST(count(*) AS BIGINT) AS np,
        |         CAST(count(DISTINCT vid) AS BIGINT) AS nd
-       |  FROM sp CROSS JOIN taus WHERE cos_sim >= tau GROUP BY tau),
+       |  FROM sdd_sp CROSS JOIN taus WHERE cos_sim >= tau GROUP BY tau),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tv FROM celled)
        |SELECT taus.tau,
        |       coalesce(np, 0) AS n_pairs_over,

@@ -414,6 +414,48 @@ class DedupSpec extends SparkSpec {
     assert(rep.exists(_.getDouble(4) == 1.0), "replica cells should show max_cos 1.0")
   }
 
+  test("semantic pair space is CellPairCap-bounded in ONE degenerate cell; replica drops stay exact") {
+    import spark.implicits._
+    // one oversized cell: 200 distinct jittered vectors + 3 exact
+    // replicas of each of the first 50 — the degenerately self-similar
+    // shape where the full pair list is b²/2 (the r11 sf10 superlinear
+    // term). The chain bound must hold AND every replica must still
+    // drop: the continuous plane-0 projection ties exactly on replicas,
+    // so each family of 4 is a contiguous run in the cell order.
+    val r = new java.util.Random(42)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(r.nextGaussian())))
+    val replicas = for (j <- 0 until 50; k <- 0 until 3)
+      yield (1000L + j * 3 + k, base(j)._2)
+    val n = base.length + replicas.length
+    val celled = (base ++ replicas).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "v", "cell")
+    val rep = graft.operators.Dedup.semanticFrom(celled).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getLong(2) <= n.toLong * graft.operators.Dedup.CellPairCap,
+      s"pair bound violated: ${rep(0).getLong(2)}")
+    assert(rep(0).getLong(3) == 150, s"expected 150 replica drops, got ${rep(0).getLong(3)}")
+    // the threshold-eval leg reads the SAME bounded pair list: every
+    // tau sees exactly the 150 replica removals (accidental >=0.95
+    // cosines between 64-d Gaussians are ~20 sigma events)
+    val te = graft.operators.Dedup.embedThresholdEvalFrom(celled).collect()
+    assert(te.length == 4 && te.forall(_.getLong(2) == 150),
+      s"threshold eval drift: ${te.mkString(";")}")
+  }
+
+  test("banded threshold eval: a 50-clone family in one bucket stays chain-connected under PairCap") {
+    import spark.implicits._
+    val words = (0 until 10).map(d => (0 until 20).map(w => s"v${d}_$w").mkString(" "))
+    val clones = (0 until 50).map(k => ((100 + k).toLong, words(0)))
+    val docs = (words.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++ clones)
+      .toDF("doc_id", "text")
+    val rows = Dedup.thresholdEvalFrom(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    rows.foreach { case (tau, nd) =>
+      assert(nd == 50, s"tau $tau: all 50 clones of doc 0 must drop, got $nd")
+    }
+  }
+
   test("dedup_cross_source: pair conservation vs the registered jaccard list, shares sum to 1") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("dedup_cross_source")(spark, sf).collect()
