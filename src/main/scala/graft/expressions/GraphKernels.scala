@@ -16,6 +16,19 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField,
 case class AdjCsr(keys: Array[Long], offs: Array[Int], flat: Array[Long])
   extends Serializable
 
+/** Dense-graph adjacency as V packed BITMAPS of V bits each (`stride` =
+  * ceil(V/64) words per node, bit j of node i's row = edge to keys(j)):
+  * V²/8 bytes total, so the whole adjacency of a 20k-node graph is
+  * ≤ 50 MB regardless of how close to complete it gets. A per-edge
+  * common-neighbor count is `stride` word-ANDs + popcounts — O(V/64)
+  * versus the sorted-merge's O(du+dv), a ~64·density win exactly where
+  * the merge degenerates (a saturating co-purchase projection has
+  * d̄ → V, making merge cost per edge O(V) and total O(E·V) = O(V³)).
+  * `degs` precomputed so edge stats never rescan a row. */
+case class AdjBitmap(keys: Array[Long], degs: Array[Long],
+                     words: Array[Long], stride: Int)
+  extends Serializable
+
 object GraphKernels {
   /** |N(u) ∩ N(v)| over the CSR's sorted lists; 0 when a key is absent
     * (an oriented sink has no out-list). */
@@ -35,16 +48,25 @@ object GraphKernels {
     c
   }
 
-  /** struct(c, du, dv): the common-neighbor count plus both endpoint
-    * degrees in ONE call — the whole per-edge Jaccard input, so the
-    * dense similar-parts branch needs zero joins. */
-  def edgeStats(u: Long, v: Long, csr: AdjCsr): GenericInternalRow = {
-    val iu = java.util.Arrays.binarySearch(csr.keys, u)
-    val iv = java.util.Arrays.binarySearch(csr.keys, v)
-    val du = if (iu < 0) 0L else (csr.offs(iu + 1) - csr.offs(iu)).toLong
-    val dv = if (iv < 0) 0L else (csr.offs(iv + 1) - csr.offs(iv)).toLong
-    new GenericInternalRow(Array[Any](
-      commonCount(u, v, csr).toLong, du, dv))
+  /** struct(c, du, dv) against the packed bitmaps: the whole per-edge
+    * Jaccard input in `stride` AND+popcount words — the dense
+    * similar-parts branch needs zero joins and never touches a
+    * neighbor list. */
+  def bitmapEdgeStats(u: Long, v: Long, bm: AdjBitmap): GenericInternalRow = {
+    val iu = java.util.Arrays.binarySearch(bm.keys, u)
+    val iv = java.util.Arrays.binarySearch(bm.keys, v)
+    val du = if (iu < 0) 0L else bm.degs(iu)
+    val dv = if (iv < 0) 0L else bm.degs(iv)
+    var c = 0L
+    if (iu >= 0 && iv >= 0) {
+      val ou = iu * bm.stride; val ov = iv * bm.stride
+      var k = 0
+      while (k < bm.stride) {
+        c += java.lang.Long.bitCount(bm.words(ou + k) & bm.words(ov + k))
+        k += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](c, du, dv))
   }
 }
 
@@ -65,22 +87,23 @@ case class AdjCommonCount(left: Expression, right: Expression, csr: AdjCsr)
     copy(left = newLeft, right = newRight)
 }
 
-/** adj_edge_stats(u, v): struct(c, du, dv) against the embedded CSR. */
-case class AdjEdgeStats(left: Expression, right: Expression, csr: AdjCsr)
+/** adj_bitmap_stats(u, v): struct(c, du, dv) against the embedded
+  * bitmap adjacency. */
+case class AdjBitmapStats(left: Expression, right: Expression, bm: AdjBitmap)
   extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("c", LongType, nullable = false),
     StructField("du", LongType, nullable = false),
     StructField("dv", LongType, nullable = false)))
-  override def prettyName: String = "adj_edge_stats"
+  override def prettyName: String = "adj_bitmap_stats"
   override def nullSafeEval(u: Any, v: Any): Any =
-    GraphKernels.edgeStats(u.asInstanceOf[Long], v.asInstanceOf[Long], csr)
+    GraphKernels.bitmapEdgeStats(u.asInstanceOf[Long], v.asInstanceOf[Long], bm)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("adjCsr", csr, classOf[AdjCsr].getName)
+    val ref = ctx.addReferenceObj("adjBitmap", bm, classOf[AdjBitmap].getName)
     defineCodeGen(ctx, ev,
-      (u, v) => s"graft.expressions.GraphKernels.edgeStats($u, $v, $ref)")
+      (u, v) => s"graft.expressions.GraphKernels.bitmapEdgeStats($u, $v, $ref)")
   }
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): AdjEdgeStats =
+      newLeft: Expression, newRight: Expression): AdjBitmapStats =
     copy(left = newLeft, right = newRight)
 }

@@ -77,6 +77,17 @@ class GraphSpec extends SparkSpec {
     assert(leafPartners.toSet == Set(1L, 2L), s"leaf partners $leafPartners")
   }
 
+  test("similar-parts dial: sparse below E < V²/8, bitmap for small-dense, join past the collect gate") {
+    // planted small-dense catalog (the r11 sf10 shape: V fixed, E
+    // saturating toward V²/2) must take the bitmap kernel, whose
+    // per-edge cost is O(V/64) words instead of the merge's O(V)
+    assert(Graph.similarPartsBranch(2000L, 1200000L) == "bitmap")
+    // growing catalog, hub outliers: E ≪ V² -> triangle credits
+    assert(Graph.similarPartsBranch(1000000L, 10000000L) == "sparse")
+    // dense AND past the embedded-state collect gate -> the join plan
+    assert(Graph.similarPartsBranch(8000L, 8000000L) == "join")
+  }
+
   test("graph_similar_parts: triangle-credit scoring == brute full-neighbor Jaccard, hub transport bounded") {
     import spark.implicits._
     // adversarial hub: part 1 co-occurs with EVERYTHING (the shape whose
@@ -88,14 +99,16 @@ class GraphSpec extends SparkSpec {
       Seq((301L, 2L), (301L, 3L), (301L, 4L), (301L, 5L),    // a K4 order
         (302L, 2L), (302L, 3L), (302L, 1L))                  // overlap order incl. hub
     ).toDF("ok", "p")
-    def run(sparse: Boolean) =
-      Graph.graphSimilarPartsFrom(pairs, forceSparse = Some(sparse)).collect()
+    def run(branch: String) =
+      Graph.graphSimilarPartsFrom(pairs, forceBranch = Some(branch)).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    val got = run(sparse = true)
+    val got = run("sparse")
     // the density dial is an execution choice, never a semantic one:
-    // the dense (full-array kernel) branch returns the identical frame
-    assert(run(sparse = false).toSet == got.toSet,
-      "dense and sparse scoring strategies disagree")
+    // the bitmap-kernel and array-join branches return the identical frame
+    assert(run("bitmap").toSet == got.toSet,
+      "bitmap and sparse scoring strategies disagree")
+    assert(run("join").toSet == got.toSet,
+      "join and sparse scoring strategies disagree")
     // brute re-simulation: full neighbor sets, Jaccard over co-occurring
     // pairs, top-5 by (jaccard desc, part_b) — the r9 semantics pinned
     val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
