@@ -121,6 +121,53 @@ object Layout {
           .as("scan_frac_suppkey"))
       .orderBy(col("layout"))
 
+  /** layout_zorder_apply: CLOSE the decision → action loop — actually
+    * WRITE the fact in the Z-order layout through a partitioned sink,
+    * re-read the files that landed, and report the MEASURED skip
+    * fraction from per-file zone-map ranges (min/max of each physical
+    * file = exactly what its parquet footer carries) next to
+    * layout_skip_eval's prediction: the two rows must agree, and the
+    * DuckDB oracle IS the prediction, so "measured ≈ predicted" is the
+    * correctness gate itself, not a claim.
+    *
+    * Layout: rows route to their zb cell (top-6 Morton bits — the same
+    * bucket the report predicts), one shuffle task per cell via
+    * repartition(Files, zb) (explicit numPartitions, so AQE never
+    * coalesces cells together), sorted within partitions by zb, and
+    * written partitionBy(zb) — each cell directory gets exactly one
+    * file, so per-file stats equal per-bucket stats and the measured
+    * row reproduces the predicted one. A multi-file cell (a writer
+    * split) would move n_files and the fractions and FAIL the gate —
+    * the gate pins the write path, not just the arithmetic.
+    *
+    * Scale: the write is the honest price of applying a layout (one
+    * shuffle + one pass); the re-read aggregates per file with
+    * input_file_name() — ONE scan, map-side-combined to ≤ Files
+    * groups. The sink lands in the local tmp dir keyed by the input
+    * dir (never inside the read-only testdata). */
+  def layoutZorderApply(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_apply_${java.lang.Integer.toHexString(dir.hashCode)}"
+    bucketed(spark, dir).select(col("p"), col("s"), col("zb"))
+      .repartition(Files, col("zb"))
+      .sortWithinPartitions(col("zb"))
+      .write.mode("overwrite").partitionBy("zb").parquet(sink)
+    val perFile = spark.read.parquet(sink)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+    perFile
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("p_max") - col("p_min") + 1).as("sp"),
+        sum(col("s_max") - col("s_min") + 1).as("ss"),
+        (max(col("p_max")) - min(col("p_min")) + 1).as("rp"),
+        (max(col("s_max")) - min(col("s_min")) + 1).as("rs"))
+      .select(lit("zorder").as("layout"), col("n_files"),
+        (round(col("sp").cast("double") / (col("rp") * col("n_files")), 6) + 0.0)
+          .as("scan_frac_partkey"),
+        (round(col("ss").cast("double") / (col("rs") * col("n_files")), 6) + 0.0)
+          .as("scan_frac_suppkey"))
+  }
+
   /** Shared mirror chain ending in the per-bucket report `rep` —
     * both oracles compose from this one constant. */
   private val layoutCtes: String =
@@ -171,13 +218,34 @@ object Layout {
       |         AS scan_frac_suppkey
       |FROM lo_sum ORDER BY layout""".stripMargin
 
+  /** The measured row's oracle is the PREDICTED zorder row — the whole
+    * point of the apply op: DuckDB derives what the files should carry
+    * from the input table alone, and the gate asserts the written
+    * files actually carry it. */
+  val layoutZorderApplySql: String =
+    s"""WITH $layoutCtes,
+      |lo_sum AS (
+      |  SELECT layout, count(*) AS n_files,
+      |         sum(p_max - p_min + 1) AS sp, sum(s_max - s_min + 1) AS ss,
+      |         max(p_max) - min(p_min) + 1 AS rp,
+      |         max(s_max) - min(s_min) + 1 AS rs
+      |  FROM lo_rep WHERE layout = 'zorder' GROUP BY layout)
+      |SELECT layout, n_files,
+      |       round(CAST(sp AS DOUBLE) / (rp * n_files), 6) + 0.0
+      |         AS scan_frac_partkey,
+      |       round(CAST(ss AS DOUBLE) / (rs * n_files), 6) + 0.0
+      |         AS scan_frac_suppkey
+      |FROM lo_sum""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
-    "layout_skip_eval" -> (layoutSkipEval _)
+    "layout_skip_eval" -> (layoutSkipEval _),
+    "layout_zorder_apply" -> (layoutZorderApply _)
   )
 
   def oracles: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
-    "layout_skip_eval" -> layoutSkipEvalSql
+    "layout_skip_eval" -> layoutSkipEvalSql,
+    "layout_zorder_apply" -> layoutZorderApplySql
   )
 }

@@ -48,4 +48,20 @@ class LayoutSpec extends SparkSpec {
     // scan fractions are probabilities
     assert(Seq(nP, nS, zP, zS).forall(f => f > 0.0 && f <= 1.0))
   }
+
+  test("layout_zorder_apply: measured per-file skip fractions equal the prediction exactly") {
+    // the apply op writes the z-ordered fact through the partitioned
+    // sink and measures zone maps from the files that actually landed
+    // (one file per Morton cell); the row must REPRODUCE the predicted
+    // zorder row of layout_skip_eval — decision and action agree
+    val predicted = Layout.layoutSkipEval(spark, sf).collect()
+      .filter(_.getString(0) == "zorder")
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).head
+    val measured = Layout.layoutZorderApply(spark, sf).collect()
+    assert(measured.length == 1)
+    val m = measured.head
+    assert(m.getString(0) == "zorder")
+    assert((m.getLong(1), m.getDouble(2), m.getDouble(3)) == predicted,
+      s"measured ${m.mkString(",")} != predicted $predicted")
+  }
 }
