@@ -92,12 +92,20 @@ object SparkEntry {
           var depth = 1
           var i = im.end // just past the '('
           while (depth > 0 && i < sql.length) {
-            sql.charAt(i) match {
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case _   =>
+            // parens inside literals/comments are prose — a '(' in a
+            // quoted string inside the spec must not desynchronize the
+            // clause span (it would let a following CTE head be
+            // swallowed into the window span and never materialized)
+            quiet.find(s => i >= s._1 && i < s._2) match {
+              case Some((_, end)) => i = end
+              case None =>
+                sql.charAt(i) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _   =>
+                }
+                i += 1
             }
-            i += 1
           }
           pos = i
           // a comma continues the window list; anything else ends it
@@ -112,18 +120,43 @@ object SparkEntry {
     spans.result()
   }
 
-  /** Spans of single-quoted SQL string literals ('' = escaped quote)
-    * and `--` line comments, in one comment-aware pass — literal text
-    * is never rewritten, and an apostrophe INSIDE a comment (the
-    * mirrors' prose, e.g. "members' sums") cannot open a phantom
-    * string that would swallow real CTE heads. A `--` inside a string
-    * likewise does not start a comment. */
+  /** Spans of single-quoted SQL string literals ('' = escaped quote),
+    * double-quoted identifiers ("" = escaped quote), `--` line comments,
+    * and `/* */` block comments (nested, the PostgreSQL/DuckDB rule), in
+    * one comment-aware pass — literal/identifier text is never
+    * rewritten, and an apostrophe INSIDE a comment (the mirrors' prose,
+    * e.g. "members' sums") cannot open a phantom string that would
+    * swallow real CTE heads. A `--` inside a string likewise does not
+    * start a comment. */
   private def literalAndCommentSpans(sql: String): Seq[(Int, Int)] = {
     val spans = Seq.newBuilder[(Int, Int)]
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') {
+      if (c == '"') {
+        val start = i
+        i += 1
+        var closed = false
+        while (!closed && i < sql.length) {
+          if (sql.charAt(i) == '"') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '"') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val start = i
+        i += 2
+        var depth = 1
+        while (depth > 0 && i < sql.length) {
+          if (sql.charAt(i) == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (sql.charAt(i) == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else if (c == '\'') {
         val start = i
         i += 1
         var closed = false

@@ -65,6 +65,40 @@ class OracleSqlSpec extends AnyFunSuite {
       s"both heads must rewrite despite the comment apostrophe: $out")
   }
 
+  test("block comments are quiet spans: a 'x AS (' inside /* */ is not rewritten") {
+    val sql = "WITH a AS (SELECT 1), /* not a head: x AS ( — and (unbalanced */\n" +
+      "b AS (SELECT 2) SELECT * FROM a, b"
+    val out = rw(sql)
+    assert(out.contains("a AS MATERIALIZED (") && out.contains("b AS MATERIALIZED ("))
+    assert(out.contains("/* not a head: x AS ( — and (unbalanced */"),
+      s"block comment text must be untouched: $out")
+  }
+
+  test("nested block comments close at the OUTER terminator (the DuckDB/Postgres rule)") {
+    val sql = "WITH a AS (SELECT 1) /* outer /* inner */ still comment: x AS ( */ SELECT * FROM a"
+    val out = rw(sql)
+    assert(out.contains("a AS MATERIALIZED ("))
+    assert(out.contains("still comment: x AS ( */"), s"nested comment mishandled: $out")
+  }
+
+  test("double-quoted identifiers are quiet spans, heads around them still rewritten") {
+    val sql = "WITH e AS (SELECT 1 AS \"odd AS (name\") SELECT \"odd AS (name\" FROM e"
+    val out = rw(sql)
+    assert(out.startsWith("WITH e AS MATERIALIZED (SELECT"))
+    assert(out.contains("\"odd AS (name\""), s"quoted identifier rewritten: $out")
+  }
+
+  test("a '(' inside a string literal in a window spec can't desynchronize the clause span") {
+    val sql = "SELECT sum(x) OVER w FROM t " +
+      "WINDOW w AS (PARTITION BY nullif(s, '(') ORDER BY d) " +
+      "UNION ALL SELECT 1 FROM (WITH g AS (SELECT 2) SELECT * FROM g) q"
+    val out = rw(sql)
+    assert(out.contains("WINDOW w AS (PARTITION BY nullif(s, '(') ORDER BY d)"),
+      s"window spec must be untouched: $out")
+    assert(out.contains("g AS MATERIALIZED (SELECT 2)"),
+      s"the CTE after the literal-bearing window must still rewrite: $out")
+  }
+
   test("rewrite is idempotent (AS MATERIALIZED heads don't re-match)") {
     val once = rw("WITH e AS (SELECT 1), f AS (SELECT 2) SELECT * FROM e, f")
     assert(rw(once) == once)
@@ -85,8 +119,12 @@ class OracleSqlSpec extends AnyFunSuite {
       val badWindow = """(?i)\bWINDOW\s+\w+\s+AS\s+MATERIALIZED""".r
       assert(badWindow.findFirstIn(sql).isEmpty,
         s"$name: WINDOW head corrupted by materialization")
-      assert(!(sql.contains("RECURSIVE") && sql.contains("MATERIALIZED")),
-        s"$name: RECURSIVE statement must not carry a materialization hint")
+      // match the actual clause with the rewriter's own pattern — a
+      // lowercase `with recursive` must be caught, and a comment merely
+      // mentioning RECURSIVE must not fail a materialized oracle
+      val recursiveWith = """(?i)\bWITH\s+RECURSIVE\b""".r
+      assert(!(recursiveWith.findFirstIn(sql).nonEmpty && sql.contains("MATERIALIZED")),
+        s"$name: WITH RECURSIVE statement must not carry a materialization hint")
     }
   }
 }
