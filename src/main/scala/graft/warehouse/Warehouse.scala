@@ -1310,6 +1310,13 @@ object Warehouse {
   def finCusum(spark: SparkSession, dir: String): DataFrame =
     finCusumFrom(upserted(spark, dir))
 
+  /** fin_cusum_staged: same screen off the staged warehouse table (the
+    * fin_trend_mom_staged convention — production amortizes the
+    * statements parse+upsert once; the in-query twin is the honest
+    * cold-start floor; same oracle SQL verbatim). */
+  def finCusumStaged(spark: SparkSession, dir: String): DataFrame =
+    finCusumFrom(stagedUpserted(spark, dir))
+
   private[graft] def finCusumFrom(up: DataFrame): DataFrame = {
     val monthly = stageBarrier(up
       .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
@@ -1585,6 +1592,14 @@ object Warehouse {
     * exploded from one aggregate (the events_funnel_time shape). */
   def finForecastEval(spark: SparkSession, dir: String): DataFrame =
     finForecastEvalFrom(upserted(spark, dir))
+
+  /** fin_forecast_eval_staged: same backtest panel off the staged
+    * warehouse table — the heaviest in-query fin derivation (the
+    * statements frame feeds three forecaster chains), so it gains the
+    * most from the production staging convention; same oracle SQL
+    * verbatim. */
+  def finForecastEvalStaged(spark: SparkSession, dir: String): DataFrame =
+    finForecastEvalFrom(stagedUpserted(spark, dir))
 
   private[graft] def finForecastEvalFrom(up0: DataFrame): DataFrame = {
     val up = stageBarrier(up0)
@@ -2264,6 +2279,7 @@ object Warehouse {
     "fin_qoq_trend" -> (finQoqTrend _),
     "fin_forecast_linear" -> (finForecastLinear _),
     "fin_forecast_eval" -> (finForecastEval _),
+    "fin_forecast_eval_staged" -> (finForecastEvalStaged _),
     "fin_ytd_cumulative" -> (finYtdCumulative _),
     "fin_ytd_staged" -> (finYtdStaged _),
     "fin_rolling_3m" -> (finRolling3m _),
@@ -2274,6 +2290,7 @@ object Warehouse {
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_anomaly_mad" -> (finAnomalyMad _),
     "fin_cusum" -> (finCusum _),
+    "fin_cusum_staged" -> (finCusumStaged _),
     "fin_reconciliation" -> (finReconciliation _),
     "fin_balance_sheet" -> (finBalanceSheet _),
     "fin_bs_ratios" -> (finBsRatios _),
@@ -2305,6 +2322,7 @@ object Warehouse {
     "fin_qoq_trend" -> finQoqTrendSql,
     "fin_forecast_linear" -> finForecastLinearSql,
     "fin_forecast_eval" -> finForecastEvalSql,
+    "fin_forecast_eval_staged" -> finForecastEvalSql,
     "fin_ytd_cumulative" -> finYtdCumulativeSql,
     "fin_ytd_staged" -> finYtdCumulativeSql,
     "fin_rolling_3m" -> finRolling3mSql,
@@ -2315,6 +2333,7 @@ object Warehouse {
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_anomaly_mad" -> finAnomalyMadSql,
     "fin_cusum" -> finCusumSql,
+    "fin_cusum_staged" -> finCusumSql,
     "fin_reconciliation" -> finReconciliationSql,
     "fin_balance_sheet" -> finBalanceSheetSql,
     "fin_bs_ratios" -> finBsRatiosSql,
