@@ -955,6 +955,39 @@ object Analytics {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- skew_salted_auto
+  /** skew_salted_agg with the salt factor WIRED from the skew_eval
+    * report instead of a fixed n=8 (the r11 decision reports measured
+    * the knob; this closes the decision→action loop the layout family
+    * closed with layout_zorder_apply): measure ceil(max/avg) on the
+    * actual key distribution via Salt.measuredSaltFactor, salt by
+    * exactly that, and carry the factor in the output — the oracle
+    * recomputes the same integer arithmetic, so the gate checks the
+    * whole composition report → salt → exact equality with the plain
+    * group-by. On the test corpus the factor is data-sized (≈3 for
+    * event_type's hottest type), not the fixed 8. */
+  def skewSaltedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+    val n = Salt.measuredSaltFactor(ev, col("event_type"))
+    Salt.saltedSumCount(ev, Seq(col("event_type")), col("v"),
+        n = n, saltSource = Seq(col("event_id")))
+      .select(col("event_type"), dollars(col("sum_value")).as("sum_value"),
+        col("n"), lit(n.toLong).as("salt_factor"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewSaltedAutoSql: String =
+    """WITH per_key AS (
+      |  SELECT event_type, count(*) AS c,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS vc
+      |  FROM events GROUP BY event_type),
+      |f AS (SELECT CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
+      |        AS salt_factor FROM per_key)
+      |SELECT event_type, CAST(vc AS DOUBLE)/100.0 AS sum_value, c AS n,
+      |       salt_factor
+      |FROM per_key CROSS JOIN f ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- skew_eval
   /** The pre-salting DECISION report (the layout_skip_eval /
     * stream_watermark_eval pattern applied to shuffle keys): before
@@ -2323,6 +2356,7 @@ object Analytics {
     "event_transition_time" -> (eventTransitionTime _),
     "events_burst_detect" -> (eventsBurstDetect _),
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_salted_auto" -> (skewSaltedAuto _),
     "skew_eval" -> (skewEval _),
     "event_attribution" -> (eventAttribution _),
     "events_dau_mau" -> (eventsDauMau _),
@@ -2367,6 +2401,7 @@ object Analytics {
     "event_transition_time" -> eventTransitionTimeSql,
     "events_burst_detect" -> eventsBurstDetectSql,
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_salted_auto" -> skewSaltedAutoSql,
     "skew_eval" -> skewEvalSql,
     "event_attribution" -> eventAttributionSql,
     "events_dau_mau" -> eventsDauMauSql,

@@ -20,6 +20,21 @@ object Salt {
   def rowSalt(n: Int, cols: Seq[Column]): Column =
     pmod(xxhash64(cols: _*), lit(n.toLong)).cast("int")
 
+  /** Measured salt factor for a prospective aggregation key — the
+    * skew_eval report's exact arithmetic, ceil(hottest key's rows /
+    * mean rows per key) = (max·n_keys + n_rows − 1) DIV n_rows — wired
+    * straight into the salted-agg path so the decision report and the
+    * fix cannot drift. ONE bounded 1-row collect (the measured-dial
+    * pattern: packShards / the graph broadcast gate); the per-key count
+    * is map-side combined, so measuring skew cannot itself skew.
+    * Factor 1 = unskewed (don't salt); empty input → 1. */
+  def measuredSaltFactor(df: DataFrame, key: Column): Int = {
+    val r = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .agg(expr("(max(c) * count(*) + sum(c) - 1) DIV sum(c)").as("f"))
+      .head()
+    if (r.isNullAt(0)) 1 else math.max(1L, r.getLong(0)).toInt
+  }
+
   /** Two-phase salted sum/count aggregation: partial aggregate on
     * (key, salt) spreads a hot key over n reducers, the final aggregate
     * on key combines n partials — the second shuffle carries n rows per

@@ -73,6 +73,36 @@ class ScaleSpec extends SparkSpec {
     assert(et._3 == 5 && et._7 >= 1)
   }
 
+  test("measuredSaltFactor wires skew_eval's exact factor into the salted agg (non-8), equality + exchange pair hold") {
+    import spark.implicits._
+    // planted skew: 'hot' owns 30 of 40 rows over 4 keys → ceil(30/10) = 3
+    val df = (1 to 40)
+      .map(i => (if (i <= 30) "hot" else s"k${i % 3}", i.toLong, i.toLong))
+      .toDF("k", "id", "v")
+    val f = Salt.measuredSaltFactor(df, col("k"))
+    assert(f == 3, s"expected the planted factor 3, got $f")
+    val salted = Salt.saltedSumCount(df, Seq(col("k")), col("v"), f, Seq(col("id")))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == plain)
+    // the two-phase shape at the measured (non-8) factor: a partial
+    // exchange on (k, __salt) below the final exchange on (k) alone
+    val parts = "hashpartitioning\\([^)]*\\)".r
+      .findAllIn(salted.queryExecution.executedPlan.toString).toList
+    assert(parts.exists(_.contains("__salt")),
+      s"missing the (key, salt) exchange: $parts")
+    assert(parts.exists(p => p.contains("k#") && !p.contains("__salt")),
+      s"missing the final (key) exchange: $parts")
+    // the registered composition carries skew_eval's published factor
+    val auto = SparkEntry.queries("skew_salted_auto")(spark, sf).collect()
+    val evalF = SparkEntry.queries("skew_eval")(spark, sf).collect()
+      .find(_.getString(0) == "events.event_type").get.getLong(6)
+    assert(auto.nonEmpty && auto.forall(_.getLong(3) == evalF),
+      s"salt_factor column must equal skew_eval's factor $evalF")
+  }
+
   test("salted join matches plain join and spreads hot keys") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
