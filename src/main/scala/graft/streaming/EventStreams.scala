@@ -360,6 +360,59 @@ object EventStreams {
       |FROM snaps ORDER BY user_id, upd_seq""".stripMargin
   }
 
+  /** stream_cohort_deltas: CohortStream's per-trigger EMISSION as a
+    * registered batch query — what cohortDeltaStream sends a dashboard
+    * upsert sink when orders are replayed as month micro-batches
+    * (batch_midx = the trigger's month index). Under in-order monthly
+    * arrival a customer's cohort is set at their FIRST order month and
+    * never re-assigns (no earlier order can arrive later), so the
+    * negate-and-move path stays silent and the emission is exactly one
+    * row per (customer, active month): d_active = 1 (the month is new
+    * to the customer's state), d_rev_cents = the month's folded cents.
+    * StreamingSpec pins the LIVE operator fed month-ordered batches
+    * emits identical rows per trigger (scrambled-arrival equality is
+    * the existing reconstruct-the-report pin).
+    *
+    * Scale: ONE o_custkey exchange carries everything — the explicit
+    * repartition pre-clusters by customer, the (customer, month) fold
+    * runs exchange-free on it (partitioning by a subset of the group
+    * keys satisfies the clustered distribution), and the cohort min is
+    * a window over the same partitioning. Emission rows are per
+    * (customer, active-month) — the same cardinality the live
+    * operator's sink ingests. */
+  def streamCohortDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("oc"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"))
+      .repartition(col("o_custkey"))
+    val folded = o.groupBy(col("o_custkey"), col("midx"))
+      .agg(sum(col("oc")).as("d_rev_cents"))
+    val wc = Window.partitionBy(col("o_custkey"))
+    folded
+      .withColumn("cohort_idx", min(col("midx")).over(wc))
+      .select(col("o_custkey"), col("midx").as("batch_midx"), col("cohort_idx"),
+        (col("midx") - col("cohort_idx")).as("offset"),
+        lit(1L).as("d_active"), col("d_rev_cents"))
+      .orderBy(col("o_custkey"), col("batch_midx"))
+  }
+
+  val streamCohortDeltasSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS oc,
+      |         year(o_orderdate)*12 + month(o_orderdate) AS midx
+      |  FROM orders),
+      |fold AS (
+      |  SELECT o_custkey, midx, CAST(sum(oc) AS BIGINT) AS d_rev_cents
+      |  FROM o GROUP BY o_custkey, midx)
+      |SELECT o_custkey, midx AS batch_midx,
+      |       min(midx) OVER w AS cohort_idx,
+      |       midx - min(midx) OVER w AS "offset",
+      |       CAST(1 AS BIGINT) AS d_active, d_rev_cents
+      |FROM fold
+      |WINDOW w AS (PARTITION BY o_custkey)
+      |ORDER BY o_custkey, batch_midx""".stripMargin
+
   /** stream_watermark_eval: the watermark-delay DECISION report — the
     * layout_skip_eval pattern applied to streaming config: before
     * deploying `withWatermark(d)`, price each candidate delay by what
@@ -747,6 +800,7 @@ object EventStreams {
     "stream_replay_dedup" -> (streamReplayDedup _),
     "stream_watermark_eval" -> (streamWatermarkEval _),
     "stream_funnel_deltas" -> (streamFunnelDeltas _),
+    "stream_cohort_deltas" -> (streamCohortDeltas _),
     "interval_join" -> (intervalJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -761,5 +815,6 @@ object EventStreams {
     "stream_replay_dedup" -> streamReplayDedupSql,
     "stream_watermark_eval" -> streamWatermarkEvalSql,
     "stream_funnel_deltas" -> streamFunnelDeltasSql,
+    "stream_cohort_deltas" -> streamCohortDeltasSql,
     "interval_join" -> intervalJoinSql)
 }

@@ -413,6 +413,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_cohort_deltas: the live operator fed month-ordered batches emits the registered face rows per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CohortStream
+    import graft.streaming.CohortStream.OrderEvt
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => OrderEvt(r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the registered face, grouped by trigger month (drop the customer
+    // key — CohortDelta is emitted per customer group but doesn't carry
+    // it; compare per-trigger MULTISETS)
+    val face = SparkEntry.queries("stream_cohort_deltas")(spark, sf).collect()
+      .groupBy(_.getInt(1)) // batch_midx
+      .map { case (m, rs) =>
+        m -> rs.map(r => (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+          .toSeq.sorted
+      }
+    val byMonth = orders.groupBy(_.midx).toSeq.sortBy(_._1)
+    assert(byMonth.map(_._1) == face.keys.toSeq.sorted, "trigger set mismatch")
+    val stream = MemoryStream[OrderEvt]
+    val q = CohortStream.cohortDeltaStream(stream.toDS())
+      .writeStream.format("memory").queryName("cohortface")
+      .outputMode("append").start()
+    try {
+      byMonth.foreach { case (m, evs) =>
+        stream.addData(evs.toSeq)
+        q.processAllAvailable()
+        // in-order monthly arrival ⇒ a trigger's rows all satisfy
+        // cohortIdx + offset = m, so the table partitions by trigger
+        val fresh = spark.table("cohortface").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .filter(t => t._1 + t._2 == m).toSeq.sorted
+        assert(fresh == face(m), s"trigger $m: live emission != face")
+        assert(fresh.forall(_._3 == 1L), s"trigger $m: d_active must be 1 in-order")
+      }
+      // no stray rows outside the per-trigger partition above
+      assert(spark.table("cohortface").count() ==
+        face.values.map(_.size.toLong).sum)
+    } finally q.stop()
+  }
+
   test("funnelStream snapshots reconstruct events_funnel exactly on scrambled arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
