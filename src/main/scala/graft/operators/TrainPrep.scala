@@ -82,10 +82,17 @@ object TrainPrep {
     * ever raised, swap the linear scan for a size-indexed best-fit
     * tree (O(n log n)) before raising it.
     *
-    * No SQL oracle — FFD's loop has no windowed equivalent (rows-only
-    * at the driver); TrainPrepSpec pins the cap invariant, exactly-once
-    * assignment, the first-fit bound vs the ceil(total/cap) lower
-    * bound, and partitioning-independence. */
+    * Oracled (r12): FFD's fold has no windowed equivalent, but it IS a
+    * deterministic per-shard list fold — the mirror replays it as
+    * DuckDB list_reduce over the same (tokens DESC, doc_id) order with
+    * a flat assignment-list accumulator (the text_bpe_train fold
+    * encoding: single-element lists as items so the accumulator type
+    * matches; bin fills recomputed from the assignments each step —
+    * a struct-of-lists accumulator miscompiles in DuckDB 1.0). Bin ids
+    * and final fills hash-match at every gate SF; TrainPrepSpec keeps
+    * the cap invariant, exactly-once assignment, the first-fit bound
+    * vs the ceil(total/cap) lower bound, and
+    * partitioning-independence. */
   def textPackFfd(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cap = 2048L
@@ -113,6 +120,42 @@ object TrainPrep {
       .toDF()
       .orderBy(col("shard"), col("pack_id"), col("doc_id"))
   }
+
+  /** The FFD fold replayed as a DuckDB list fold — same sort key, same
+    * first-fit probe, same singleton-overflow rule; pack_fill is the
+    * bin's final fill via a post-unnest window sum. O(docs·bins²) per
+    * shard in the mirror (fills recomputed from assignments) — fine at
+    * gate scale; the engine side stays the O(docs·bins) typed fold. */
+  val textPackFfdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id % 32 AS shard, doc_id,
+      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens
+      |  FROM documents),
+      |g AS (
+      |  SELECT shard,
+      |    list_reduce(
+      |      list_prepend(
+      |        CAST([] AS STRUCT(doc BIGINT, n BIGINT, b BIGINT)[]),
+      |        list_transform(
+      |          list(struct_pack(doc := doc_id, n := n_tokens)
+      |               ORDER BY n_tokens DESC, doc_id),
+      |          s -> [{'doc': CAST(s.doc AS BIGINT), 'n': CAST(s.n AS BIGINT),
+      |                 'b': CAST(NULL AS BIGINT)}])),
+      |      (acc, x) -> list_append(acc,
+      |        {'doc': x[1].doc, 'n': x[1].n,
+      |         'b': coalesce(
+      |            list_filter(
+      |              range(0, coalesce(list_max(list_transform(acc, e -> e.b)), -1) + 1),
+      |              i -> coalesce(list_sum(list_transform(
+      |                     list_filter(acc, e -> e.b = i), e -> e.n)), 0)
+      |                   + x[1].n <= 2048)[1],
+      |            coalesce(list_max(list_transform(acc, e -> e.b)), -1) + 1)})
+      |    ) AS assigns
+      |  FROM t GROUP BY shard),
+      |u AS (SELECT shard, unnest(assigns) AS a FROM g)
+      |SELECT shard, a.doc AS doc_id, a.n AS n_tokens, CAST(a.b AS INT) AS pack_id,
+      |       CAST(sum(a.n) OVER (PARTITION BY shard, a.b) AS BIGINT) AS pack_fill
+      |FROM u ORDER BY shard, pack_id, doc_id""".stripMargin
 
   // ------------------------------------------------------- text_ngram_freq
   /** Corpus-level bigram frequencies, top 50. Scale: explode + partial
@@ -1270,6 +1313,7 @@ object TrainPrep {
     "corpus_mix" -> corpusMixSql,
     "corpus_train_split" -> corpusTrainSplitSql,
     "text_pack_tokens" -> textPackTokensSql,
+    "text_pack_ffd" -> textPackFfdSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "embed_quantize" -> embedQuantizeSql,
