@@ -76,13 +76,38 @@ object Bench {
     for (w <- Seq("q1_agg", "topk_window", "q3_join_agg"))
       try materialize(w) catch { case _: Throwable => () }
 
+    // Fixed calibration workload (r12): one synthetic in-memory
+    // scan+window+join+agg, independent of SF and registry, timed at the
+    // START of each pass. Its reading is a pure box-speed probe — when a
+    // round's totals drift vs BASELINE, compare calib_s first: a shifted
+    // calibration is co-tenant contention, a flat one is a real plan
+    // regression. BASELINE rows record their calib_s alongside.
+    import org.apache.spark.sql.functions._
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      val fact = spark.range(2000000L).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(1000L)).as("k"),
+        (col("id") % 97).as("v"))
+      val dim = spark.range(1000L).select(col("id").as("k"), (col("id") % 7).as("grp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id"))
+      fact.join(dim, "k")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("grp")).agg(sum(col("v") * col("rn")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try calibrate() catch { case _: Throwable => () } // calib's own warmup
+
     // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val calibs = scala.collection.mutable.ListBuffer.empty[Double]
     val passTotals = (1 to passes).map { _ =>
+      calibs += (try calibrate() catch { case _: Throwable => -1.0 })
       var passSum = 0.0
       names.foreach { name =>
         if (!errors.contains(name)) {
@@ -126,8 +151,11 @@ object Bench {
     // heuristic (first-parseable-line or last-parseable-line) can mistake
     // it for the result.
     val totalMed = meds.map(_._2).sum
-    println(s"""#diag {"queries":${jmap(mins)},"pass_totals":$pts,"passes":$passes,"queries_median":${jmap(meds)}}""")
-    println(s"""{"metric":"total","value":${ms(total)},"value_median":${ms(totalMed)},"pass_totals":$pts,"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"sf":"$sfDir"}""")
+    val calibOk = calibs.filter(_ >= 0)
+    val calibS = if (calibOk.nonEmpty) ms(calibOk.min) else "null"
+    val calibArr = calibs.map(ms).mkString("[", ",", "]")
+    println(s"""#diag {"queries":${jmap(mins)},"pass_totals":$pts,"passes":$passes,"calib_passes":$calibArr,"queries_median":${jmap(meds)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"value_median":${ms(totalMed)},"pass_totals":$pts,"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"calib_s":$calibS,"calib_passes":$calibArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
