@@ -455,6 +455,88 @@ object EventStreams {
   private[graft] val WatermarkDelaysUs: Seq[Long] =
     Seq(60L, 600L, 1800L, 3600L).map(_ * 1000000L)
 
+  /** stream_watermark_apply: CLOSE the watermark decision→action loop
+    * (the layout_zorder_apply / skew_salted_auto pattern, completing
+    * the r11 decision-report trilogy's third leg): choose the SMALLEST
+    * candidate delay whose drop fraction on the observed jittered
+    * arrival order is ≤ 0.1% — the τ test integer cross-multiplied,
+    * 1000·n_dropped ≤ n_events, never a float compare — falling back
+    * to the largest candidate if none qualifies, then compute the
+    * hourly event-time panel a withWatermark(chosen) pipeline would
+    * have produced on that arrival order: per event-hour the
+    * kept/dropped arrival counts and the kept value total, the chosen
+    * delay carried in every row so the ORACLE re-derives the choice
+    * and the gate checks the whole eval → choose → apply composition.
+    *
+    * Scale: the lateness frame is the eval's own two-pass chunked
+    * prefix max, STAGED once for its two consumers (the 4-row choice
+    * aggregate and the hourly panel); the chosen delay crosses back as
+    * a broadcast 1-row frame (the scalar cross-in pattern); the panel
+    * is one map-side-combined calendar-bounded aggregate. */
+  def streamWatermarkApply(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("ts_us"), col("value"))
+      .withColumn("arr", jitterArr)
+    val lat = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      lateEventsCore(e, expr(s"arr DIV $hourUs"), Seq(col("arr"), col("event_id")))
+        .select(col("ts_us"), col("value"), col("late_us")))
+    val chosen = lat
+      .select(col("late_us"),
+        explode(array(WatermarkDelaysUs.map(lit(_)): _*)).as("delay_us"))
+      .groupBy(col("delay_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .filter(col("n_dropped") * 1000 <= col("n_events"))
+      .agg(coalesce(min(col("delay_us")), lit(WatermarkDelaysUs.max))
+        .as("delay_us"))
+    lat.crossJoin(broadcast(chosen))
+      .groupBy(expr(s"ts_us DIV $hourUs").as("hour_id"), col("delay_us"))
+      .agg(
+        sum(when(col("late_us") <= col("delay_us"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("late_us") > col("delay_us"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        (coalesce(sum(when(col("late_us") <= col("delay_us"),
+            round(col("value") * 100).cast("long"))), lit(0L))
+          .cast("double") / 100.0).as("kept_value"))
+      .select(col("hour_id"), col("delay_us"), col("n_kept"),
+        col("n_dropped"), col("kept_value"))
+      .orderBy(col("hour_id"))
+  }
+
+  val streamWatermarkApplySql: String = {
+    val hourUs = 3600L * 1000 * 1000
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |j AS (SELECT event_id, ts_us, value,
+      |        $jitterSqlExpr AS arr
+      |      FROM e),
+      |lat AS (
+      |  SELECT ts_us, value,
+      |         coalesce(greatest(0,
+      |           max(ts_us) OVER (ORDER BY arr, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us), 0) AS late_us
+      |  FROM j),
+      |d AS (SELECT unnest([${WatermarkDelaysUs.mkString(", ")}]) AS delay_us),
+      |ev AS (SELECT delay_us, count(*) AS n_events,
+      |         count(CASE WHEN late_us > delay_us THEN 1 END) AS n_dropped
+      |       FROM lat CROSS JOIN d GROUP BY delay_us),
+      |ch AS (SELECT coalesce(
+      |         min(CASE WHEN n_dropped * 1000 <= n_events THEN delay_us END),
+      |         ${WatermarkDelaysUs.max}) AS delay_us
+      |       FROM ev)
+      |SELECT ts_us // $hourUs AS hour_id, ch.delay_us,
+      |       CAST(count(CASE WHEN late_us <= ch.delay_us THEN 1 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(count(CASE WHEN late_us > ch.delay_us THEN 1 END) AS BIGINT)
+      |         AS n_dropped,
+      |       CAST(coalesce(sum(CASE WHEN late_us <= ch.delay_us
+      |               THEN CAST(round(value*100) AS BIGINT) END), 0) AS DOUBLE)
+      |         / 100.0 AS kept_value
+      |FROM lat CROSS JOIN ch GROUP BY 1, 2 ORDER BY hour_id""".stripMargin
+  }
+
   val streamWatermarkEvalSql: String =
     s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
       |j AS (SELECT event_id, ts_us,
@@ -799,6 +881,7 @@ object EventStreams {
     "stream_late_deltas" -> (streamLateDeltas _),
     "stream_replay_dedup" -> (streamReplayDedup _),
     "stream_watermark_eval" -> (streamWatermarkEval _),
+    "stream_watermark_apply" -> (streamWatermarkApply _),
     "stream_funnel_deltas" -> (streamFunnelDeltas _),
     "stream_cohort_deltas" -> (streamCohortDeltas _),
     "interval_join" -> (intervalJoin _))
@@ -814,6 +897,7 @@ object EventStreams {
     "stream_late_deltas" -> streamLateDeltasSql,
     "stream_replay_dedup" -> streamReplayDedupSql,
     "stream_watermark_eval" -> streamWatermarkEvalSql,
+    "stream_watermark_apply" -> streamWatermarkApplySql,
     "stream_funnel_deltas" -> streamFunnelDeltasSql,
     "stream_cohort_deltas" -> streamCohortDeltasSql,
     "interval_join" -> intervalJoinSql)

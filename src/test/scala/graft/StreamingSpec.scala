@@ -552,6 +552,34 @@ class StreamingSpec extends SparkSpec {
       s"1h drops ${rows.last._3} vs audit over-1h bucket $over1h")
   }
 
+  test("stream_watermark_apply: the chosen delay is the eval's smallest qualifying candidate, conservation holds per hour") {
+    val evalRows = SparkEntry.queries("stream_watermark_eval")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the choice rule re-derived from the registered eval: smallest
+    // delay with 1000·n_dropped ≤ n_events, else the largest candidate
+    val want = evalRows.filter { case (_, n, d) => d * 1000 <= n }
+      .map(_._1).sorted.headOption
+      .getOrElse(EventStreams.WatermarkDelaysUs.max)
+    val rows = SparkEntry.queries("stream_watermark_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.forall(_._2 == want),
+      s"chosen delay must be $want")
+    // conservation: per event-hour kept + dropped = the raw hourly count,
+    // and the totals match the eval's row for the chosen delay
+    val hourUs = 3600L * 1000 * 1000
+    val raw = Tables.eventsUs(spark, sf)
+      .groupBy(expr(s"ts_us DIV $hourUs").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> (r._3 + r._4)).toMap == raw,
+      "kept + dropped must partition every hour's arrivals")
+    val evalChosen = evalRows.find(_._1 == want).get
+    assert(rows.map(_._4).sum == evalChosen._3,
+      "total drops must equal the eval's count for the chosen delay")
+    assert(rows.forall(_._5 >= 0.0))
+  }
+
   test("anomaly stats streamed in chunks reconstruct the batch outlier report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
