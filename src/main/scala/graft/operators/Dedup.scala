@@ -540,7 +540,16 @@ object Dedup {
 
   private[graft] val ThresholdsPerMille = Seq(700, 800, 900, 950)
 
-  private[graft] def thresholdEvalFrom(docs: DataFrame): DataFrame = {
+  /** Non-empty whitespace tokens (the text_bpe_encode convention) —
+    * shared by the threshold eval and apply faces. */
+  private[graft] val nwTokens: Column =
+    size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long")
+
+  /** The (τ, removed doc) frame both threshold faces consume: distinct
+    * larger-id members of a ≥τ bounded banded candidate pair, per
+    * candidate τ — factored so the eval and the apply CANNOT diverge
+    * on the pair space or the τ test (the ngramDupsCtes drift rule). */
+  private[graft] def removedByTauFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
     import graft.expressions.SortedIntersectCount
@@ -586,16 +595,18 @@ object Dedup {
       .select(col("id_b"),
         kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
-    val removed = sc
-      .select(col("id_b"), col("c"), (col("na") + col("nb") - col("c")).as("u"),
+    sc.select(col("id_b"), col("c"), (col("na") + col("nb") - col("c")).as("u"),
         explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"))
       .filter(lit(1000) * col("c") >= col("tau") * col("u"))
       .select(col("tau"), col("id_b")).distinct()
+  }
+
+  private[graft] def thresholdEvalFrom(docs: DataFrame): DataFrame = {
+    val removed = removedByTauFrom(docs)
     // non-empty whitespace tokens (r12 advisory: raw space-splits count
     // empty strings from consecutive spaces — this now matches the
     // length(word)>0 convention of text_bpe_encode and the shingle staging)
-    val nwCol = size(filter(split(col("text"), " "),
-      w => length(w) > 0)).cast("long")
+    val nwCol = nwTokens
     val toks = docs.select(col("doc_id").as("id_b"), nwCol.as("nw"))
     val rem = removed.join(toks, Seq("id_b"))
       .groupBy(col("tau"))
@@ -615,8 +626,11 @@ object Dedup {
       .orderBy(col("tau"))
   }
 
-  val dedupThresholdEvalSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  /** The shared mirror chain words → shingles → banded bounded pairs →
+    * (τ, removed doc) + per-doc token counts — both threshold faces
+    * compose from this one constant (the ngramDupsCtes drift rule). */
+  private val thresholdCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |s AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(
@@ -649,7 +663,10 @@ object Dedup {
       |dn AS (SELECT doc_id,
       |              CAST(len(list_filter(string_split(text, ' '),
       |                                   x -> len(x) > 0)) AS BIGINT) AS nw
-      |       FROM documents),
+      |       FROM documents)""".stripMargin
+
+  val dedupThresholdEvalSql: String =
+    s"""WITH $thresholdCtes,
       |rem AS (
       |  SELECT tau, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nw) AS BIGINT) AS tr
       |  FROM rd JOIN dn ON rd.id_b = dn.doc_id GROUP BY tau),
@@ -664,6 +681,90 @@ object Dedup {
       |         AS frac_tokens_retained
       |FROM taus CROSS JOIN tot LEFT JOIN rem ON rem.tau = taus.tau
       |ORDER BY taus.tau""".stripMargin
+
+  // --------------------------------------------------- dedup_threshold_apply
+  /** Retained-token floor for the τ choice: the most aggressive τ must
+    * still keep ≥98% of corpus tokens. */
+  private[graft] val RetainPerMille = 980
+
+  /** The decision→action closure for the Jaccard-dedup knob (the
+    * layout_zorder_apply / skew_salted_auto / stream_watermark_apply
+    * pattern — the lexical leg of the threshold trilogy gets its apply
+    * face; the quality and semantic legs already act via corpus_curate
+    * and dedup_semantic): choose the SMALLEST (most aggressive)
+    * candidate τ whose retained token fraction stays ≥ 98% — integer
+    * cross-multiplied 1000·(tt−tr) ≥ 980·tt, never a float compare —
+    * falling back to the largest candidate, then actually REMOVE that
+    * τ's keep-min dedup set and report the retained corpus per source
+    * (docs, tokens, docs removed), the chosen τ in every row so the
+    * oracle re-derives the choice and the gate checks the whole
+    * eval → choose → apply composition.
+    *
+    * Scale: the (τ, removed doc) frame is the eval's own bounded
+    * banded pair space (removedByTauFrom, staged once for the choice
+    * aggregate and the drop set); the choice crosses back as a
+    * broadcast 1-row frame; the removal is one doc_id anti-join; the
+    * panel is a ≤|sources| map-side-combined rollup. */
+  def dedupThresholdApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val docs = Tables.documents(spark, dir)
+    val removed = stageBarrier(removedByTauFrom(docs))
+    val toks = stageBarrier(
+      docs.select(col("doc_id"), col("source"), nwTokens.as("nw")))
+    val rem = removed
+      .join(toks.select(col("doc_id").as("id_b"), col("nw")), Seq("id_b"))
+      .groupBy(col("tau")).agg(sum(col("nw")).as("tr"))
+    val spine = toks.agg(sum(col("nw")).as("tt"))
+      .select(explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"),
+        col("tt"))
+    val chosen = spine.join(rem, Seq("tau"), "left")
+      .filter(lit(1000) * (col("tt") - coalesce(col("tr"), lit(0L)))
+        >= lit(RetainPerMille) * col("tt"))
+      .agg(coalesce(min(col("tau")), lit(ThresholdsPerMille.max)).as("tau"))
+    val dropIds = removed.join(broadcast(chosen), Seq("tau"))
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = toks.join(dropIds, Seq("doc_id"), "left_anti")
+    val rmSrc = toks.join(dropIds, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs_removed"))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+      .crossJoin(broadcast(chosen))
+      .join(rmSrc, Seq("source"), "left")
+      .select(col("source"), col("tau"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"))
+      .orderBy(col("source"))
+  }
+
+  val dedupThresholdApplySql: String =
+    s"""WITH $thresholdCtes,
+      |rem AS (
+      |  SELECT tau, CAST(sum(nw) AS BIGINT) AS tr
+      |  FROM rd JOIN dn ON rd.id_b = dn.doc_id GROUP BY tau),
+      |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS tt FROM dn),
+      |ch AS (
+      |  SELECT coalesce(
+      |           min(CASE WHEN 1000 * (tt - coalesce(tr, 0))
+      |                         >= $RetainPerMille * tt
+      |                    THEN taus.tau END),
+      |           ${ThresholdsPerMille.max}) AS tau
+      |  FROM taus CROSS JOIN tot LEFT JOIN rem ON rem.tau = taus.tau),
+      |drop_ids AS (SELECT DISTINCT id_b FROM rd JOIN ch ON rd.tau = ch.tau),
+      |kept AS (
+      |  SELECT d.source, dn.nw
+      |  FROM documents d JOIN dn ON d.doc_id = dn.doc_id
+      |  WHERE d.doc_id NOT IN (SELECT id_b FROM drop_ids)),
+      |kept_src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(nw) AS BIGINT) AS n_tokens
+      |  FROM kept GROUP BY source),
+      |rm_src AS (
+      |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_removed
+      |  FROM documents d JOIN drop_ids ON d.doc_id = drop_ids.id_b
+      |  GROUP BY d.source)
+      |SELECT k.source, ch.tau, k.n_docs, k.n_tokens,
+      |       coalesce(r.n_docs_removed, 0) AS n_docs_removed
+      |FROM kept_src k CROSS JOIN ch LEFT JOIN rm_src r ON r.source = k.source
+      |ORDER BY k.source""".stripMargin
 
   // ---------------------------------------------------------- dedup_clusters
   /** Connected components over the ≥0.9-Jaccard near-dup graph — pair
@@ -1640,6 +1741,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_band_eval" -> (dedupBandEval _),
     "dedup_threshold_eval" -> (dedupThresholdEval _),
+    "dedup_threshold_apply" -> (dedupThresholdApply _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -1660,6 +1762,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_band_eval" -> dedupBandEvalSql,
     "dedup_threshold_eval" -> dedupThresholdEvalSql,
+    "dedup_threshold_apply" -> dedupThresholdApplySql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,

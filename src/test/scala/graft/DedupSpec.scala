@@ -207,6 +207,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_threshold_apply: chosen tau follows the retained-token rule, removal set matches the eval") {
+    val evalRows = SparkEntry.queries("dedup_threshold_eval")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("dedup_threshold_apply")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the choice rule re-derived from the registered eval: smallest tau
+    // keeping >= 98% of tokens (integer cross-multiplied), else largest
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long")).as("nw"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tt = raw.values.map(_._2).sum
+    val want = evalRows.filter { case (_, _, tr) =>
+        1000L * (tt - tr) >= Dedup.RetainPerMille.toLong * tt }
+      .map(_._1).sorted.headOption.getOrElse(Dedup.ThresholdsPerMille.max)
+    assert(rows.nonEmpty && rows.forall(_._2 == want), s"chosen tau must be $want")
+    // conservation per source: kept + removed = the raw corpus
+    rows.foreach { case (src, _, nd, _, nr) =>
+      assert(nd + nr == raw(src)._1, s"$src: docs don't conserve")
+    }
+    // total retained tokens = corpus total − the eval's removal at chosen tau
+    val trChosen = evalRows.find(_._1 == want).get._3
+    assert(rows.map(_._4).sum == tt - trChosen, "retained tokens disagree with the eval")
+    val ndChosen = evalRows.find(_._1 == want).get._2
+    assert(rows.map(_._5).sum == ndChosen, "removed docs disagree with the eval")
+  }
+
   test("embed threshold eval: planted cosines cross the right cutoffs, spine reports zero rows") {
     // cell 0: v0 ≡ v1 (cos 1.0), v2 at cos 0.97 to both; cell 1: v3
     // alone. keep-min removal: τ=0.95 drops {v1, v2} (all 3 pairs
