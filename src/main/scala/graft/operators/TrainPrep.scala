@@ -76,11 +76,13 @@ object TrainPrep {
     * island (the sessionizeStream precedent), NOT a driver loop: shards
     * are the parallel unit, the per-shard doc count is bounded by
     * construction (packShards grows with the corpus), and per-shard
-    * state is one fill array of O(bins) longs. The first-fit scan is
-    * O(bins) per doc — O(n·bins) per shard worst-case — which shard
-    * sizing caps at ~64k·(64k/cap) probe steps; if shard capacity is
-    * ever raised, swap the linear scan for a size-indexed best-fit
-    * tree (O(n log n)) before raising it.
+    * state is one fill array of O(bins) longs. The first-fit probe is
+    * a min-fill SEGMENT TREE descent (r12; was a linear scan measured
+    * at 7.4 s on the sf10 sweep): the leftmost leaf with fill ≤
+    * cap − tokens IS the first-fit bin, so the descent is EXACT
+    * first-fit at O(log bins) per doc — O(n log n) per shard — and the
+    * assignment is bit-identical to the scan (same oracle, same
+    * specs).
     *
     * Oracled (r12): FFD's fold has no windowed equivalent, but it IS a
     * deterministic per-shard list fold — the mirror replays it as
@@ -105,20 +107,64 @@ object TrainPrep {
     base.groupByKey(_._1)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
         val ds = it.toArray.sortBy(t => (-t._3, t._2)) // tokens desc, doc_id
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val assign = ds.map { case (_, doc, n) =>
-          var b = 0
-          while (b < fills.length && fills(b) + n > cap) b += 1
-          if (b == fills.length) fills += 0L
-          fills(b) += n
-          (doc, n, b)
-        }
+        val ff = new FirstFitTree(cap)
+        val assign = ds.map { case (_, doc, n) => (doc, n, ff.assign(n)) }
         assign.iterator.map { case (doc, n, b) =>
-          PackedDoc(shard, doc, n, b, fills(b))
+          PackedDoc(shard, doc, n, b, ff.fill(b))
         }
       }
       .toDF()
       .orderBy(col("shard"), col("pack_id"), col("doc_id"))
+  }
+
+  /** Exact first-fit in O(log bins) per doc: a min-fill segment tree
+    * whose leftmost-qualifying-leaf descent returns the LOWEST-index
+    * bin with fill ≤ cap − tokens — precisely the bin the linear scan
+    * picks, so assignments are bit-identical to the reference fold
+    * (ScalaCheck-pinned in TrainPrepSpec). Unopened leaves hold
+    * Long.MaxValue so the descent can't choose them; the tree doubles
+    * as bins open (amortized O(1) per bin). A doc longer than the cap
+    * fits no bin (limit < 0 ≤ every fill) and opens its singleton bin
+    * through the same no-fit path as the scan. */
+  private[graft] final class FirstFitTree(cap: Long) {
+    private var n = 8
+    private var tree = Array.fill(2 * n)(Long.MaxValue)
+    private var bins = 0
+    private def grow(): Unit = {
+      val old = tree; val oldN = n
+      n *= 2
+      tree = Array.fill(2 * n)(Long.MaxValue)
+      System.arraycopy(old, oldN, tree, n, oldN)
+      var i = n - 1
+      while (i >= 1) { tree(i) = math.min(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+    }
+    private def update(b: Int, v: Long): Unit = {
+      var i = n + b
+      tree(i) = v
+      i /= 2
+      while (i >= 1) { tree(i) = math.min(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+    }
+    /** Assign a doc of `tok` tokens; returns its 0-based bin. */
+    def assign(tok: Long): Int = {
+      val limit = cap - tok
+      val b =
+        if (tree(1) <= limit) {
+          var i = 1
+          while (i < n) i = if (tree(2 * i) <= limit) 2 * i else 2 * i + 1
+          i - n
+        } else {
+          if (bins == n) grow()
+          bins += 1
+          bins - 1
+        }
+      update(b, fill(b) + tok)
+      b
+    }
+    /** Current (after the fold: final) fill of bin b. */
+    def fill(b: Int): Long = {
+      val v = tree(n + b)
+      if (v == Long.MaxValue) 0L else v
+    }
   }
 
   /** The FFD fold replayed as a DuckDB list fold — same sort key, same

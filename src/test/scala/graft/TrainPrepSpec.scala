@@ -212,6 +212,41 @@ class TrainPrepSpec extends SparkSpec {
     assert(run().toSet == rows.toSet)
   }
 
+  test("FirstFitTree is bit-identical to the reference linear first-fit scan on adversarial folds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cap = 2048L
+    def linearScan(toks: Seq[Long]): (Seq[Int], Seq[Long]) = {
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bs = toks.map { n =>
+        var b = 0
+        while (b < fills.length && fills(b) + n > cap) b += 1
+        if (b == fills.length) fills += 0L
+        fills(b) += n
+        b
+      }
+      (bs, fills.toSeq)
+    }
+    // adversarial token mixes: tiny fillers, near-cap, over-cap
+    // singletons, exact-fit boundaries, zeros
+    val g = Gen.listOfN(200, Gen.frequency(
+      4 -> Gen.chooseNum(1L, 300L),
+      3 -> Gen.chooseNum(1000L, 2048L),
+      1 -> Gen.chooseNum(2049L, 5000L),
+      1 -> Gen.oneOf(0L, 1024L, 2048L)))
+    (0 until 60).foreach { i =>
+      val toks = g.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .sortBy(-_) // the FFD order the operator feeds it
+      val (wantB, wantF) = linearScan(toks)
+      val ff = new graft.operators.TrainPrep.FirstFitTree(cap)
+      val gotB = toks.map(ff.assign)
+      assert(gotB == wantB, s"case $i: assignments diverge")
+      wantF.indices.foreach { b =>
+        assert(ff.fill(b) == wantF(b), s"case $i: fill($b)")
+      }
+    }
+  }
+
   test("pipeline_funnel: stages monotone non-increasing, raw = corpus, quality agrees") {
     val rows = SparkEntry.queries("corpus_pipeline_funnel")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
