@@ -58,7 +58,10 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // bytes-derived partitions (floors at cpus for sf<=1, so bench
+      // numbers at sf0.1 are unchanged; scales up for sf10/sf100 probes)
+      .config("spark.sql.shuffle.partitions",
+        GraftSession.partitionsFor(sfDir, cpus.toInt))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -97,7 +100,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    try calibrate() catch { case _: Throwable => () } // calib's own warmup
+    // Calibration failures must be diagnosable, not silent: only NonFatal
+    // is absorbed (an OOM/fatal JVM error should kill the bench rather
+    // than publish totals from a dying executor), and the first failure
+    // reason lands in the headline as calib_error next to the -1 reading.
+    var calibError: Option[String] = None
+    def tryCalibrate(): Double =
+      try calibrate() catch {
+        case scala.util.control.NonFatal(e) =>
+          if (calibError.isEmpty)
+            calibError = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          -1.0
+      }
+    tryCalibrate() // calib's own warmup
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -107,7 +122,7 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibs = scala.collection.mutable.ListBuffer.empty[Double]
     val passTotals = (1 to passes).map { _ =>
-      calibs += (try calibrate() catch { case _: Throwable => -1.0 })
+      calibs += tryCalibrate()
       var passSum = 0.0
       names.foreach { name =>
         if (!errors.contains(name)) {
@@ -155,7 +170,8 @@ object Bench {
     val calibS = if (calibOk.nonEmpty) ms(calibOk.min) else "null"
     val calibArr = calibs.map(ms).mkString("[", ",", "]")
     println(s"""#diag {"queries":${jmap(mins)},"pass_totals":$pts,"passes":$passes,"calib_passes":$calibArr,"queries_median":${jmap(meds)}}""")
-    println(s"""{"metric":"total","value":${ms(total)},"value_median":${ms(totalMed)},"pass_totals":$pts,"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"calib_s":$calibS,"calib_passes":$calibArr,"sf":"$sfDir"}""")
+    val calibErr = calibError.map(e => s""","calib_error":${jstr(e)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${ms(total)},"value_median":${ms(totalMed)},"pass_totals":$pts,"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"calib_s":$calibS$calibErr,"calib_passes":$calibArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,20 +91,25 @@ object SparkEntry {
         if (im.lookingAt()) {
           var depth = 1
           var i = im.end // just past the '('
+          // quiet spans are sorted and i only moves right, so a monotone
+          // cursor replaces the per-character linear find (the find made
+          // this scan O(len x span-count) on literal-heavy mirrors)
+          var qi = 0
           while (depth > 0 && i < sql.length) {
             // parens inside literals/comments are prose — a '(' in a
             // quoted string inside the spec must not desynchronize the
             // clause span (it would let a following CTE head be
             // swallowed into the window span and never materialized)
-            quiet.find(s => i >= s._1 && i < s._2) match {
-              case Some((_, end)) => i = end
-              case None =>
-                sql.charAt(i) match {
-                  case '(' => depth += 1
-                  case ')' => depth -= 1
-                  case _   =>
-                }
-                i += 1
+            while (qi < quiet.length && quiet(qi)._2 <= i) qi += 1
+            if (qi < quiet.length && i >= quiet(qi)._1 && i < quiet(qi)._2)
+              i = quiet(qi)._2
+            else {
+              sql.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _   =>
+              }
+              i += 1
             }
           }
           pos = i

@@ -3,10 +3,10 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // SPARK_GRAFT_SHUFFLE overrides partition count for scale probes:
-    // at sf100 on one box, 32 partitions put ~30M pair rows in each
-    // task's aggregate — size partitions to fit memory, don't buy RAM.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    // Partition count derives from the dataset's on-disk bytes (the r12
+    // sf100 lesson: AQE coalesces a too-fine map side but cannot split a
+    // too-coarse one); SPARK_GRAFT_SHUFFLE still overrides for probes.
+    val shuffle = GraftSession.partitionsFor(sfDir, 32)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -81,6 +81,42 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** 16-hex md5 PREFIX of each word k-shingle — the TRANSPORT form of
+    * the shingle set (r13): the staged/shuffled shingle arrays carried
+    * full 32-char digests, and the banded candidate x shingle-array
+    * intermediate was the one measured per-row inflation at sf100
+    * (dedup_threshold_eval 13.6 -> 34.6 µs/doc). The first 64 bits of
+    * md5 are collision-free at corpus scale for SET arithmetic
+    * (intersections/containment/grouping), identical in both engines
+    * (DuckDB: substr(md5(x), 1, 16)), and halve every downstream
+    * exchange. Full digests remain only where the hex itself is the
+    * OUTPUT contract (text_shingle_fp's min_shingle_hash). */
+  def shingleMd5Prefixes(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = math.max(0, words.length - k + 1)
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cs = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        cs(2 * b) = hex((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = hex(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(cs))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Mersenne prime 2^61-1: the lane-hash modulus. Universal-hash lane
     * multipliers (a_i, b_i) come from laneConsts — a fixed SplitMix64
     * stream, so the kernel and the generated DuckDB SQL read the SAME
@@ -404,6 +440,22 @@ case class ShingleMd5s(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5s($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
+    copy(child = newChild)
+}
+
+/** shingle_md5_prefixes(text, k): array<string> of 16-hex md5 prefixes —
+  * the transport form of the shingle set (see
+  * TextHashes.shingleMd5Prefixes). */
+case class ShingleMd5Prefixes(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5_prefixes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleMd5Prefixes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5Prefixes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Prefixes =
     copy(child = newChild)
 }
 

@@ -65,6 +65,17 @@ object Text {
       GraftColumnBridge.expression(c), k))
   }
 
+  /** 16-hex md5 PREFIX of every shingle — the transport form (r13):
+    * 64-bit-equivalent for set arithmetic, half the bytes of the full
+    * digest through every stage/shuffle, and still oracle-exact
+    * (DuckDB: substr(md5(x), 1, 16)). Use this wherever the hash array
+    * is STAGED or SHUFFLED and the hex never reaches output. */
+  def shingleHashes16(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleMd5Prefixes(
+      GraftColumnBridge.expression(c), k))
+  }
+
   /** One-pass winnowing profile struct (n, nw, n_selected, sel_min,
     * sel_max, fps) over the word-k-shingle md5s — native kernel twin of
     * the per-window transform/aggregate argmin chain (rightmost-tie,

@@ -22,10 +22,11 @@ import graft.sources.Tables
   *    unioned over 3 LSH tables — bucket count 2^planes is the knob
   *    that grows with data, so block size (and pair work) stays bounded.
   *
-  * minhash/simhash use Spark's xxhash64 (seed differs from any DuckDB
+  * simhash uses Spark's xxhash64 (seed differs from any DuckDB
   * equivalent) → rows-only at the driver; the ngram-jaccard band lanes
-  * are derived md5-over-md5, so DuckDB reproduces the exact candidate
-  * set and ngram/clusters/incremental stay fully oracled.
+  * AND (since r13) the 32 minhash signature lanes are md5-derived
+  * universal hashes, so DuckDB reproduces the exact candidate sets and
+  * minhash/ngram/clusters/incremental are all fully oracled.
   */
 object Dedup {
 
@@ -74,9 +75,15 @@ object Dedup {
     * laneConsts stream as the kernel so the two engines cannot drift;
     * the 128-bit products run in HUGEINT, exactly the kernel's
     * Mersenne-folded mulmod. */
-  private def laneMinSql(k: Int, l: Int): String = {
-    val i = k * NgramLanes + l
-    val cs = graft.expressions.TextHashes.laneConsts(2 * NgramBands * NgramLanes)
+  private def laneMinSql(k: Int, l: Int): String =
+    laneMinSqlAt(k * NgramLanes + l, NgramBands * NgramLanes)
+
+  /** Lane i of a `total`-lane universal-hash family over the md5 list
+    * `sh` — shared by the banded ngram keys (8 lanes) and the 32-lane
+    * MinHash signature; both read the SAME laneConsts stream as the
+    * kernels, so the engines cannot drift. */
+  private def laneMinSqlAt(i: Int, total: Int): String = {
+    val cs = graft.expressions.TextHashes.laneConsts(2 * total)
     val (a, b) = (cs(2 * i), cs(2 * i + 1))
     s"""list_min(list_transform(sh, x ->
        |        (CAST($a AS HUGEINT) * CAST(concat('0x', substr(x, 1, 15)) AS BIGINT)
@@ -239,9 +246,12 @@ object Dedup {
     *    3 scalars per class. */
   def containmentFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
+    // 16-hex md5 prefixes (r13): the staged hash arrays are the frame's
+    // transport cost — prefixes are set-equivalent (64-bit space) and
+    // halve every exchange; the mirror truncates the same digests.
     val sh = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"),
-          array_distinct(Text.shingleHashes(col("text"), 3)).as("shl"))
+          array_distinct(Text.shingleHashes16(col("text"), 3)).as("shl"))
         .filter(size(col("shl")) > 0)
         .repartition(col("doc_id")))
     // identical-shingle-SET classes (arrays sorted once per doc, so two
@@ -314,7 +324,7 @@ object Dedup {
       |  SELECT doc_id,
       |         list_distinct(list_transform(
       |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |            for i in range(0, len(words)-2)], x -> substr(md5(x), 1, 16))) AS sh
       |  FROM w WHERE len(words) >= 3),
       |cls AS (SELECT list_sort(sh) AS ssh, min(doc_id) AS rep, list(doc_id) AS members
       |        FROM s GROUP BY list_sort(sh)),
@@ -426,7 +436,7 @@ object Dedup {
     val nl = NgramBands * NgramLanes
     val base = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
-          array_sort(array_distinct(Text.shingleHashes(col("text"), 3))).as("ssh"))
+          array_sort(array_distinct(Text.shingleHashes16(col("text"), 3))).as("ssh"))
         .filter(size(col("lm")) === nl)
         .repartition(col("doc_id")))
     val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
@@ -478,7 +488,8 @@ object Dedup {
       |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
       |  FROM w WHERE len(words) >= 3),
       |lanes AS (
-      |  SELECT doc_id, $lanesList AS lm, list_sort(sh) AS ssh
+      |  SELECT doc_id, $lanesList AS lm,
+      |         list_sort(list_distinct(list_transform(sh, x -> substr(x, 1, 16)))) AS ssh
       |  FROM s),
       |b AS (
       |  $bandedCteSql),
@@ -554,9 +565,13 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
     import graft.expressions.SortedIntersectCount
     val nl = NgramBands * NgramLanes
+    // 16-hex prefix transport (r13): this staged frame's ssh arrays are
+    // what the banded candidate join ships per pair — the ONE measured
+    // per-row inflation at sf100 (13.6 -> 34.6 µs/doc; partition count
+    // already ruled out). Prefixes are intersect-exact and half the bytes.
     val base = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
-          array_sort(array_distinct(Text.shingleHashes(col("text"), 3))).as("ssh"))
+          array_sort(array_distinct(Text.shingleHashes16(col("text"), 3))).as("ssh"))
         .filter(size(col("lm")) === nl)
         .repartition(col("doc_id")))
     val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
@@ -637,7 +652,9 @@ object Dedup {
       |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
       |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
       |  FROM w WHERE len(words) >= 3),
-      |lanes AS (SELECT doc_id, list_sort(sh) AS ssh FROM s),
+      |lanes AS (SELECT doc_id,
+      |                 list_sort(list_distinct(list_transform(sh, x -> substr(x, 1, 16)))) AS ssh
+      |          FROM s),
       |b AS (
       |  $bandedCteSql),
       |rb AS (
@@ -726,11 +743,19 @@ object Dedup {
     val kept = toks.join(dropIds, Seq("doc_id"), "left_anti")
     val rmSrc = toks.join(dropIds, Seq("doc_id"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs_removed"))
-    kept.groupBy(col("source"))
+    val keptSrc = kept.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+    // distinct-source SPINE (r12 advisory): a source whose documents are
+    // ALL removed at the chosen tau must still report (n_docs 0, its
+    // n_docs_removed) — driving the panel from kept docs silently
+    // dropped it; both faces left-join onto the spine.
+    toks.select(col("source")).distinct()
       .crossJoin(broadcast(chosen))
+      .join(keptSrc, Seq("source"), "left")
       .join(rmSrc, Seq("source"), "left")
-      .select(col("source"), col("tau"), col("n_docs"), col("n_tokens"),
+      .select(col("source"), col("tau"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"))
       .orderBy(col("source"))
   }
@@ -760,11 +785,16 @@ object Dedup {
       |rm_src AS (
       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_removed
       |  FROM documents d JOIN drop_ids ON d.doc_id = drop_ids.id_b
-      |  GROUP BY d.source)
-      |SELECT k.source, ch.tau, k.n_docs, k.n_tokens,
+      |  GROUP BY d.source),
+      |src AS (SELECT DISTINCT source FROM documents)
+      |SELECT src.source, ch.tau,
+      |       coalesce(k.n_docs, 0) AS n_docs,
+      |       coalesce(k.n_tokens, 0) AS n_tokens,
       |       coalesce(r.n_docs_removed, 0) AS n_docs_removed
-      |FROM kept_src k CROSS JOIN ch LEFT JOIN rm_src r ON r.source = k.source
-      |ORDER BY k.source""".stripMargin
+      |FROM src CROSS JOIN ch
+      |LEFT JOIN kept_src k ON k.source = src.source
+      |LEFT JOIN rm_src r ON r.source = src.source
+      |ORDER BY src.source""".stripMargin
 
   // ---------------------------------------------------------- dedup_clusters
   /** Connected components over the ≥0.9-Jaccard near-dup graph — pair
@@ -894,27 +924,35 @@ object Dedup {
   private val Bands = 8
   private val Rows = NumHashes / Bands
 
-  /** 32-lane MinHash signature straight from text — the native
-    * graft.expressions.ShingleMinHashes kernel, one compiled pass per
-    * row inside whole-stage codegen (the declarative 32x transform/
-    * array_min chain evaluated interpreted and dominated the query).
-    * Built via the column bridge so it works in ANY session — the
-    * GraftExtensions SQL registration is for SQL-text users. */
+  /** 32-lane MinHash signature straight from text — one compiled kernel
+    * pass per row inside whole-stage codegen (the declarative 32x
+    * transform/array_min chain evaluated interpreted and dominated the
+    * query). r13: the lanes are the md5-derived universal-hash family
+    * of ShingleMd5Lanes (32 bands × 1 lane — the SAME laneConsts stream
+    * and Mersenne mulmod as the banded ngram keys), replacing the
+    * xxhash64 mixing whose seed no DuckDB expression reproduces: every
+    * lane is now `laneMinSqlAt` in SQL, so the registered query gains a
+    * full hash oracle and leaves the rows-only set. Built via the
+    * column bridge so it works in ANY session — the GraftExtensions SQL
+    * registration is for SQL-text users. */
   def minhashSignature(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.expressions.ShingleMinHashes(
-      GraftColumnBridge.expression(text), 3, NumHashes))
+    GraftColumnBridge.column(graft.expressions.ShingleMd5Lanes(
+      GraftColumnBridge.expression(text), 3, NumHashes, 1))
   }
 
   /** MinHash + banded LSH: signature → 8 band buckets → bucket self-join
     * → candidate pairs with the signature-agreement Jaccard estimate.
-    * Scale: the only shuffle is on (band, bucket); pair count is
-    * O(near-dup pairs x bands), deduplicated before the estimate. */
+    * Scale: the only shuffle is on the band key; pair count is
+    * O(near-dup pairs x bands), deduplicated before the estimate. The
+    * band key is the 4 raw row minima (r13 — joining on the values
+    * keeps the bucket oracle-reproducible; the old xxhash64 fold of the
+    * rows saved 24 bytes/row of exchange at the price of any oracle). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshFrom(Tables.documents(spark, dir))
 
   /** LSH over any (doc_id, text) frame. Documents under k words produce
-    * an EMPTY signature (ShingleMinHashes) and are non-candidates by
+    * an EMPTY signature (ShingleMd5Lanes) and are non-candidates by
     * definition — they are filtered before banding, because indexing
     * sig[i] on an empty array would throw under ANSI mode.
     *
@@ -926,7 +964,7 @@ object Dedup {
     * side). The shuffled rows are (doc_id, 32-int sig) — tiny next to
     * the text the kernel consumes. The length filter sits ABOVE the
     * barrier, where it reads the materialized sig instead of forcing a
-    * second kernel evaluation in a Filter node; net: ShingleMinHashes
+    * second kernel evaluation in a Filter node; net: the signature kernel
     * runs ONCE per corpus where the unstaged shape ran it up to 4×. */
   def minhashLshFrom(docs: DataFrame): DataFrame = {
     val sigs = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
@@ -935,20 +973,56 @@ object Dedup {
       .filter(size(col("sig")) === NumHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b) +: (0 until Rows).map(r => col("sig")(b * Rows + r)): _*).as("bucket"))
+        struct(lit(b).as("band") +:
+          (0 until Rows).map(r => col("sig")(b * Rows + r).as(s"r$r")): _*)
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id") +: col("sig") +: (col("bb.band") +:
+        (0 until Rows).map(r => col(s"bb.r$r"))): _*)
     val a = banded.as("a"); val b = banded.as("b")
     val agree = aggregate(
       zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.doc_id") < col("b.doc_id"))
+    val bandEq = (0 until Rows).map(r => col(s"a.r$r") === col(s"b.r$r"))
+      .foldLeft(col("a.band") === col("b.band"))(_ && _)
+    a.join(b, bandEq && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (agree / lit(NumHashes.toDouble)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The full md5-lane mirror (r13): 32 laneMinSqlAt lanes per doc, the
+    * 8 band keys as raw 4-lane tuples, signature-agreement estimate as
+    * the exact integer count over 32 IEEE-divided — every number the
+    * engine emits, re-derived from the same md5 parses and laneConsts. */
+  val dedupMinhashLshSql: String = {
+    val lanesList = (0 until NumHashes).map(i => laneMinSqlAt(i, NumHashes))
+      .mkString("[", ",\n      |        ", "]")
+    val bandCtes = (0 until Bands).map { k =>
+      s"SELECT doc_id, $k AS band, lm[${k * Rows + 1}] AS r0, lm[${k * Rows + 2}] AS r1, " +
+        s"lm[${k * Rows + 3}] AS r2, lm[${k * Rows + 4}] AS r3 FROM lanes"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+      |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |lanes AS (SELECT doc_id, $lanesList AS lm FROM s),
+      |b AS (
+      |  $bandCtes),
+      |p AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM b x JOIN b y
+      |    ON x.band = y.band AND x.r0 = y.r0 AND x.r1 = y.r1
+      |   AND x.r2 = y.r2 AND x.r3 = y.r3 AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b,
+      |       list_reduce([CASE WHEN a.lm[i] = c.lm[i] THEN 1 ELSE 0 END
+      |                    for i in range(1, ${NumHashes + 1})], (x, y) -> x + y)
+      |         / CAST($NumHashes AS DOUBLE) AS est_jaccard
+      |FROM p JOIN lanes a ON p.id_a = a.doc_id JOIN lanes c ON p.id_b = c.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
   }
 
   // -------------------------------------------------------- dedup_simhash
@@ -1707,8 +1781,15 @@ object Dedup {
 
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    // Window-minimum SELECTION runs on full digests (the kernel's
+    // ordering contract); the exploded fingerprints are TRANSPORT —
+    // truncated to 16-hex prefixes (set-exact, half the exchange bytes,
+    // r13) and re-deduped per doc in case two selected digests share a
+    // prefix (both engines dedupe after the same truncation).
     val fps = stageBarrier(TextAnalysis.winnowBase(spark, dir)
-      .select(col("doc_id"), explode(col("st.fps")).as("fp")))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("st.fps"),
+          f => substring(f, 1, 16)))).as("fp")))
     val rare = stageBarrier(fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf),
       Seq("fp")).select(col("fp"), col("doc_id")))
@@ -1723,7 +1804,9 @@ object Dedup {
 
   lazy val dedupWinnowPairsSql: String =
     s"""WITH ${TextAnalysis.winnowDimsCtes},
-       |wsel AS (SELECT doc_id, list_distinct(${TextAnalysis.winnowWmExpr}) AS fps
+       |wsel AS (SELECT doc_id,
+       |                list_distinct(list_transform(${TextAnalysis.winnowWmExpr},
+       |                                             x -> substr(x, 1, 16))) AS fps
        |         FROM dims),
        |f AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
        |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $MaxDf),
@@ -1771,8 +1854,10 @@ object Dedup {
     "dedup_embedding_reps" -> dedupEmbeddingRepsSql,
     "dedup_semantic" -> dedupSemanticSql,
     "embed_threshold_eval" -> embedThresholdEvalSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql
-    // dedup_minhash_lsh / dedup_simhash: xxhash64-seeded, rows-only;
-    // DedupSpec bounds recall and estimate error.
+    // dedup_simhash: xxhash64-seeded, rows-only; DedupSpec bounds the
+    // hamming behavior. (dedup_minhash_lsh moved to md5 lanes in r13
+    // and is fully oracled above.)
   )
 }

@@ -527,7 +527,10 @@ object TrainPrep {
     val evalBounded =
       docs.filter(isEval).select(col("doc_id")).count() <= MaxEvalDocs
     def gated(df: DataFrame) = if (evalBounded) broadcast(df) else df
-    val sh = explode(Text.shingleHashes(col("text"), 5)).as("shingle")
+    // hashes are probe-side transport only (the mirror joins the raw
+    // gram STRINGS — set semantics are unchanged by the representation);
+    // 16-hex prefixes halve the broadcast rows (r13)
+    val sh = explode(Text.shingleHashes16(col("text"), 5)).as("shingle")
     val evalShingles = docs.filter(isEval).select(sh).distinct()
     val train = docs.filter(!isEval)
     val contaminated = train.select(col("doc_id"), sh)
@@ -576,7 +579,7 @@ object TrainPrep {
     val isEval = col("doc_id") % 20 === 0
     val evalBounded =
       docs.filter(isEval).select(col("doc_id")).count() <= MaxEvalDocs
-    val sh = explode(array_distinct(Text.shingleHashes(col("text"), 5))).as("shingle")
+    val sh = explode(array_distinct(Text.shingleHashes16(col("text"), 5))).as("shingle")
     val evalGrams = docs.filter(isEval).select(col("doc_id"), sh)
     val totals = evalGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hits = docs.filter(!isEval).select(sh)
@@ -761,8 +764,10 @@ object TrainPrep {
     corpusDupSpansFrom(Tables.documents(spark, dir))
 
   private[graft] def corpusDupSpansFrom(docs: DataFrame): DataFrame = {
+    // 16-hex prefix transport (r13): the gram hash is the shuffle key of
+    // the dup aggregate and never reaches output — prefixes halve it.
     val hsFrame = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
-      docs.select(col("doc_id"), Text.shingleHashes(col("text"), 8).as("hs"),
+      docs.select(col("doc_id"), Text.shingleHashes16(col("text"), 8).as("hs"),
         size(Text.words(col("text"))).cast("long").as("n_tokens")))
     val grams = hsFrame.select(col("doc_id"),
       posexplode(col("hs")).as(Seq("pos", "h")))
@@ -795,8 +800,8 @@ object TrainPrep {
   val corpusDupSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |g0 AS (SELECT doc_id,
-      |         [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
-      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8])
+      |         [substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8]), 1, 16)
       |          for i in range(0, greatest(len(words)-7, 0))] AS hs
       |       FROM w),
       |g AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h FROM g0),
@@ -900,7 +905,7 @@ object TrainPrep {
   private[graft] def corpusDupTrimFrom(docs: DataFrame): DataFrame = {
     val ws = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"), Text.words(col("text")).as("ws"),
-        Text.shingleHashes(col("text"), 8).as("hs")))
+        Text.shingleHashes16(col("text"), 8).as("hs")))
     val grams = ws.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
     val dup = grams.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -923,8 +928,8 @@ object TrainPrep {
   val corpusDupTrimSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |g0 AS (SELECT doc_id,
-      |         [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
-      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8])
+      |         [substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |              words[i+5]||' '||words[i+6]||' '||words[i+7]||' '||words[i+8]), 1, 16)
       |          for i in range(0, greatest(len(words)-7, 0))] AS hs
       |       FROM w),
       |g AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h FROM g0),
@@ -1168,7 +1173,7 @@ object TrainPrep {
 
   private[graft] def corpusNgramNoveltyFrom(docs: DataFrame): DataFrame = {
     val g = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
-      docs.select(col("doc_id"), explode(Text.shingleHashes(col("text"), 5)).as("h"))
+      docs.select(col("doc_id"), explode(Text.shingleHashes16(col("text"), 5)).as("h"))
         .distinct())
     val w = Window.partitionBy(col("h"))
     g.withColumn("first_doc", min(col("doc_id")).over(w))
@@ -1184,8 +1189,8 @@ object TrainPrep {
   val corpusNgramNoveltySql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |g0 AS (SELECT doc_id,
-      |        [md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
-      |             words[i+5])
+      |        [substr(md5(words[i+1]||' '||words[i+2]||' '||words[i+3]||' '||words[i+4]||' '||
+      |             words[i+5]), 1, 16)
       |         for i in range(0, greatest(len(words)-4, 0))] AS hs
       |       FROM w),
       |g AS (SELECT DISTINCT doc_id, h

@@ -186,4 +186,27 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("shuffle partitions derive from input bytes: cpu floor, 32MB target, 4096 rail") {
+    // The r12 sf100 lesson: AQE coalesces a too-fine map side but cannot
+    // split a too-coarse one — the initial count must scale with input.
+    val target = GraftSession.TargetPartitionBytes
+    // small SFs floor at the core count (bench at sf0.1 unchanged)
+    assert(GraftSession.shufflePartitionsFor(0L, 32) == 32)
+    assert(GraftSession.shufflePartitionsFor(18L * 1024 * 1024, 32) == 32) // ~sf0.1
+    // the sf100 regime (15.6 GB on disk) lands in the 487-partition
+    // range where the whole registry completes on an 8 GB heap
+    val sf100 = GraftSession.shufflePartitionsFor(15600L * 1024 * 1024, 32)
+    assert(sf100 >= 400 && sf100 <= 600, s"sf100 sizing: $sf100")
+    // exact rule: ceil(bytes/target), floored at cpus
+    assert(GraftSession.shufflePartitionsFor(10 * target + 1, 4) == 11)
+    // railed so a petabyte path can't explode the scheduler on one box
+    assert(GraftSession.shufflePartitionsFor(Long.MaxValue / 4, 32)
+      == GraftSession.MaxShufflePartitions)
+    // the real testdata dirs resolve through inputBytes (monotone in SF)
+    val b001 = GraftSession.inputBytes("/root/testdata/sf0.001")
+    val b01 = GraftSession.inputBytes("/root/testdata/sf0.01")
+    assert(b001 > 0 && b01 > b001)
+    assert(GraftSession.inputBytes("/no/such/dir") == 0L)
+  }
 }
