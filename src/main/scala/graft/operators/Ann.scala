@@ -457,6 +457,76 @@ object Ann {
 
   private val ProbeDepths = Seq(1, 2, 4, 8)
 
+  // ----------------------------------------------------------- ann_probe_apply
+  /** The decision→action closure for the nprobe knob (the
+    * layout_zorder_apply / dedup_threshold_apply pattern, r12 verdict
+    * task): choose the SMALLEST probe depth whose curve recall@10
+    * reaches 0.9 — falling back to the deepest candidate — then emit
+    * the actual IVF retrieval at that depth, the chosen nprobe in every
+    * row so the oracle re-derives the choice and the gate checks the
+    * whole curve → choose → retrieve composition.
+    *
+    * Exactness: the recall compare runs on the same HALF_UP round(·,4)
+    * doubles the oracled curve publishes (identical cross-engine by
+    * ann_probe_curve's own hash match). Scale: the index builds ONCE
+    * and every probed depth re-reads the same celled corpus
+    * (annProbeCurve's argument); the choice itself is a ≤4-number
+    * driver decision — bounded state, the same class as the index's
+    * centroid collects — and `find` stops at the first passing depth,
+    * so shallow-enough corpora never pay the deeper legs. */
+  private[graft] val ProbeRecallTarget = 0.9
+
+  def annProbeApply(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    buildIvfIndex(e, e.count()) match {
+      case None =>
+        annBruteTopk(spark, dir)
+          .select(lit(ProbeDepths.max).as("nprobe"), col("q_id"), col("rank"),
+            col("n_id"), col("cos_sim"))
+      case Some(idx) =>
+        val truth = annBruteTopk(spark, dir).select(col("q_id"), col("n_id"))
+        val denom = (NQueries * K).toDouble
+        val chosen = ProbeDepths.find { p =>
+          val hits = ivfTopkWithIdx(spark, e, idx, p)
+            .select(col("q_id"), col("n_id"))
+            .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+          BigDecimal(hits / denom)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble >= ProbeRecallTarget
+        }.getOrElse(ProbeDepths.max)
+        ivfTopkWithIdx(spark, e, idx, chosen)
+          .select(lit(chosen).as("nprobe"), col("q_id"), col("rank"),
+            col("n_id"), col("cos_sim"))
+    }
+  }
+
+  /** Mirror: the full curve (the registered legs verbatim), the min-
+    * passing-depth choice, and the retrieval legs gated by the choice —
+    * one statement, so the composition cannot drift. */
+  lazy val annProbeApplySql: String = {
+    def curveLeg(p: Int): String =
+      s"""SELECT $p AS nprobe,
+         |       CAST(round(CAST(count(*) AS DOUBLE) / ${NQueries * K}, 4) AS DOUBLE)
+         |         + 0.0 AS recall
+         |FROM (SELECT * FROM (${ivfTopkSqlAt(p)}) c${p}_t) m
+         |WHERE EXISTS (SELECT 1 FROM truth t
+         |              WHERE t.q_id = m.q_id AND t.n_id = m.n_id)""".stripMargin
+    def retLeg(p: Int): String =
+      s"SELECT $p AS np, q_id, rank, n_id, cos_sim FROM (${ivfTopkSqlAt(p)}) r${p}_t"
+    s"""WITH truth AS (SELECT q_id, n_id FROM ($annBruteTopkSql) bt),
+       |pa_curve AS (
+       |  ${ProbeDepths.map(curveLeg).mkString("\n  UNION ALL\n  ")}),
+       |pa_ch AS (
+       |  SELECT coalesce(min(CASE WHEN recall >= CAST($ProbeRecallTarget AS DOUBLE)
+       |                           THEN nprobe END), ${ProbeDepths.max}) AS np
+       |  FROM pa_curve),
+       |pa_u AS (
+       |  ${ProbeDepths.map(retLeg).mkString("\n  UNION ALL\n  ")})
+       |SELECT u.np AS nprobe, u.q_id, u.rank, u.n_id, u.cos_sim
+       |FROM pa_u u JOIN pa_ch ON u.np = pa_ch.np
+       |ORDER BY u.q_id, u.rank""".stripMargin
+  }
+
   lazy val annProbeCurveSql: String = {
     def leg(p: Int): String =
       s"""SELECT $p AS nprobe, count(*) AS hits,
@@ -2775,6 +2845,7 @@ object Ann {
     "ann_hamming_topk" -> (annHammingTopk _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_probe_curve" -> (annProbeCurve _),
+    "ann_probe_apply" -> (annProbeApply _),
     "ann_rrf_fusion" -> (annRrfFusion _),
     "embed_outliers" -> (embedOutliers _),
     "embed_cluster_stats" -> (embedClusterStats _),
@@ -2802,6 +2873,7 @@ object Ann {
     "ann_hamming_topk" -> annHammingTopkSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_probe_curve" -> annProbeCurveSql,
+    "ann_probe_apply" -> annProbeApplySql,
     "ann_rrf_fusion" -> annRrfFusionSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_cluster_stats" -> embedClusterStatsSql,

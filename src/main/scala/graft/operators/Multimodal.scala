@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -173,24 +173,30 @@ object Multimodal {
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
     mmFrameSampleFrom(mediaTable(spark, dir))
 
-  private[graft] def mmFrameSampleFrom(media: DataFrame): DataFrame = {
-    val frameBytes = 256
-    val maxFrames = 8
+  private val FrameBytes = 256
+  private val MaxFrames = 8
+
+  /** The sampled-frame spine (doc_id, n_frames, frame_idx, payload) both
+    * frame consumers read — the stride arithmetic factored once so
+    * mm_frame_sample and mm_near_dup cannot sample different frames. */
+  private[graft] def videoFrames(media: DataFrame): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("doc_id"), col("payload"),
-        expr(s"CAST(octet_length(payload) DIV $frameBytes AS BIGINT)").as("n_frames"))
+        expr(s"CAST(octet_length(payload) DIV $FrameBytes AS BIGINT)").as("n_frames"))
       .filter(col("n_frames") >= 1)
       .withColumn("stride", greatest(lit(1L),
-        ceil(col("n_frames").cast("double") / maxFrames).cast("long")))
+        ceil(col("n_frames").cast("double") / MaxFrames).cast("long")))
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"),
         col("payload"))
+
+  private[graft] def mmFrameSampleFrom(media: DataFrame): DataFrame =
+    videoFrames(media)
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        (col("frame_idx") * frameBytes).as("frame_off"),
-        hex(col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+        (col("frame_idx") * FrameBytes).as("frame_off"),
+        hex(col("payload").substr((col("frame_idx") * FrameBytes + 1).cast("int"),
           lit(8))).as("frame_hex"))
       .orderBy(col("doc_id"), col("frame_idx"))
-  }
 
   val mmFrameSampleSql: String =
     """WITH v AS (
@@ -210,60 +216,139 @@ object Multimodal {
     * fingerprint overlap — the multimodal twin of dedup_containment:
     * re-encoded/trimmed copies of a video keep most of their frame
     * content even when the container bytes (and so mm_dedup's payload
-    * hash) differ, so two videos sharing ≥50% of their sampled frame
-    * fingerprints are flagged near-dups. Composes mm_frame_sample's
-    * fingerprints (a real pipeline swaps the byte-slice stand-in for a
-    * perceptual frame hash; everything downstream is unchanged).
+    * hash) differ. TWO candidate keys per sampled frame (r13 — the r12
+    * verdict's robustness task):
+    *  - EXACT: mm_frame_sample's first-8-bytes fingerprint — byte-
+    *    identical frames only; any re-encode defeats it;
+    *  - PERCEPTUAL (quantized, blockhash-style): the 256-byte frame
+    *    splits into 8 blocks of 32 bytes; each block contributes the
+    *    //8-quantized count of its high-nibble-0x6_ bytes (a-o — the
+    *    dominant text class), concatenated to an 8-symbol signature.
+    *    Byte substitutions WITHIN the class (any re-encode that keeps
+    *    coarse content) and small count drifts inside a bucket leave
+    *    the signature unchanged, while the per-block structure keeps
+    *    unrelated content apart (the whole-frame histogram variant was
+    *    measured degenerate on text: every frame bucketed alike).
+    *    Derived from the frame's HEX string (even positions = high
+    *    nibbles), so it is byte-exact cross-engine regardless of text
+    *    encoding; integer-exact and fully oracled. A real pipeline
+    *    swaps this stand-in for a decoded-pixel pHash/blockhash; the
+    *    candidate algebra downstream is unchanged.
+    * A pair is near-dup when the EXACT family reaches 50% overlap, or
+    * the perceptual family reaches 50% overlap with ≥2 independently
+    * shared signatures (the dedup_winnow_pairs ≥2 convention: one
+    * coarse bucket match alone is too weak — measured at sf0.01, the
+    * single-sig rule flagged 37 unrelated 1-frame video pairs). All
+    * verdicts are exact integer cross-tests, no float compare.
     *
-    * Scale: candidate generation joins on the FINGERPRINT key — work is
-    * O(shared-fingerprint pairs), never all-pairs — with a boilerplate
-    * cap (fingerprints in > 64 videos: intros/test patterns/black
-    * frames would contribute c² candidate pairs each) the dedup family
-    * established; denominators keep the UNCAPPED per-video set so the
-    * overlap fraction stays honest. The distinct fingerprint set and
-    * the capped join side are staged once each (the aliased-self-join
-    * ReuseExchange miss, SURVEY §4); verdict is the exact integer test
-    * 2·shared ≥ min(n_a, n_b). Output is bounded by true near-dup
-    * candidates: pairs sharing ≥1 fingerprint. */
+    * Scale: candidate generation joins on the (kind, key) — work is
+    * O(shared-key pairs), never all-pairs — with the dedup family's
+    * boilerplate cap (keys in > 64 videos: intros/test patterns/black
+    * frames would contribute c² candidate pairs each); denominators
+    * keep the UNCAPPED per-video set so the overlap fraction stays
+    * honest. The distinct key set and the capped join side are staged
+    * once each (the aliased-self-join ReuseExchange miss, SURVEY §4). */
   def mmNearDup(spark: SparkSession, dir: String): DataFrame =
     mmNearDupFrom(mediaTable(spark, dir))
 
+  private val FpDfCap = 64
+  private val PcptQuant = 8
+
   private[graft] def mmNearDupFrom(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
-    val fp = stageBarrier(
-      mmFrameSampleFrom(media).select(col("doc_id"), col("frame_hex")).distinct())
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val keep = fp.groupBy(col("frame_hex")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 64).select(col("frame_hex"))
-    val fpk = stageBarrier(fp.join(keep, Seq("frame_hex")))
-    val pairs = fpk.select(col("doc_id").as("doc_a"), col("frame_hex"))
-      .join(fpk.select(col("doc_id").as("doc_b"), col("frame_hex")), Seq("frame_hex"))
+    val hx = hex(col("payload").substr(
+      (col("frame_idx") * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+    val hn = regexp_replace(hx, "(.).", "$1") // high nibble of every byte
+    def blockQ(b: Int): Column =
+      floor(length(regexp_replace(substring(hn, b * 32 + 1, 32), "[^6]", ""))
+        / lit(PcptQuant.toDouble)).cast("int").cast("string")
+    val keys = videoFrames(media).select(col("doc_id"),
+      hex(col("payload").substr((col("frame_idx") * FrameBytes + 1).cast("int"),
+        lit(8))).as("xk"),
+      concat((0 until 8).map(blockQ): _*).as("pk"))
+    val fp = stageBarrier(keys
+      .select(col("doc_id"), explode(array(
+        struct(lit("x").as("kt"), col("xk").as("k")),
+        struct(lit("p").as("kt"), col("pk").as("k")))).as("e"))
+      .select(col("doc_id"), col("e.kt"), col("e.k")).distinct())
+    val sizes = fp.groupBy(col("doc_id"), col("kt")).agg(count(lit(1)).as("nf"))
+    val keep = fp.groupBy(col("kt"), col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= FpDfCap).select(col("kt"), col("k"))
+    val fpk = stageBarrier(fp.join(keep, Seq("kt", "k")))
+    val pairs = fpk.select(col("kt"), col("k"), col("doc_id").as("doc_a"))
+      .join(fpk.select(col("kt"), col("k"), col("doc_id").as("doc_b")), Seq("kt", "k"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("kt") === "x", 1L).otherwise(0L)).as("shared"),
+        sum(when(col("kt") === "p", 1L).otherwise(0L)).as("shared_pcpt"))
+    val sx = sizes.filter(col("kt") === "x")
+    val sp = sizes.filter(col("kt") === "p")
     pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("n_b")), Seq("doc_b"))
+      .join(sx.select(col("doc_id").as("doc_a"), col("nf").as("n_a")), Seq("doc_a"))
+      .join(sx.select(col("doc_id").as("doc_b"), col("nf").as("n_b")), Seq("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("nf").as("pn_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("nf").as("pn_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        col("shared_pcpt"), col("pn_a"), col("pn_b"),
         (round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 4) + 0.0)
           .as("overlap"),
-        (col("shared") * 2 >= least(col("n_a"), col("n_b"))).as("near_dup"))
+        (round(col("shared_pcpt").cast("double") / least(col("pn_a"), col("pn_b")), 4)
+          + 0.0).as("overlap_pcpt"),
+        (col("shared") * 2 >= least(col("n_a"), col("n_b")) ||
+          (col("shared_pcpt") >= 2 &&
+            col("shared_pcpt") * 2 >= least(col("pn_a"), col("pn_b")))).as("near_dup"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Mirror composes the registered mm_frame_sample oracle verbatim as a
-    * subquery (drift-proof), then runs the identical set algebra. */
+  /** Mirror: the same dual-key algebra off the same hex parses — the
+    * perceptual high-nibble string is regexp_replace('(.).', '\1') over
+    * the identical frame hex mm_frame_sample slices. */
   lazy val mmNearDupSql: String =
-    s"""WITH fp AS (SELECT DISTINCT doc_id, frame_hex FROM ($mmFrameSampleSql) fs),
-       |sz AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
-       |keep AS (SELECT frame_hex FROM fp GROUP BY frame_hex HAVING count(*) <= 64),
-       |fpk AS (SELECT fp.doc_id, fp.frame_hex FROM fp JOIN keep USING (frame_hex)),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |      FROM fpk a JOIN fpk b ON a.frame_hex = b.frame_hex AND a.doc_id < b.doc_id
+    s"""WITH pv AS (
+       |  SELECT doc_id, strlen(text) // 256 AS n_frames, text
+       |  FROM documents
+       |  WHERE CAST(doc_id % 3 AS INT) = 2 AND strlen(text) >= 256),
+       |ps AS (SELECT doc_id, n_frames, text,
+       |         greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS stride
+       |       FROM pv),
+       |pf AS (SELECT doc_id, text, unnest(range(0, n_frames, stride)) AS frame_idx
+       |       FROM ps),
+       |ph AS (SELECT doc_id,
+       |         substring(hex(encode(text)), CAST(frame_idx * 512 + 1 AS BIGINT), 16) AS xk,
+       |         regexp_replace(substring(hex(encode(text)),
+       |           CAST(frame_idx * 512 + 1 AS BIGINT), 512), '(.).', '\\1', 'g') AS hn
+       |       FROM pf),
+       |pkk AS (SELECT doc_id, xk,
+       |         ${(0 until 8).map(b =>
+              s"CAST(length(regexp_replace(substring(hn, ${b * 32 + 1}, 32), " +
+                s"'[^6]', '', 'g')) // $PcptQuant AS VARCHAR)")
+              .mkString(" ||\n       |         ")} AS pkey
+       |       FROM ph),
+       |fp AS (SELECT DISTINCT doc_id, kt, k FROM (
+       |         SELECT doc_id, 'x' AS kt, xk AS k FROM pkk
+       |         UNION ALL SELECT doc_id, 'p', pkey FROM pkk)),
+       |sz AS (SELECT doc_id, kt, count(*) AS nf FROM fp GROUP BY doc_id, kt),
+       |keep AS (SELECT kt, k FROM fp GROUP BY kt, k HAVING count(*) <= $FpDfCap),
+       |fpk AS (SELECT fp.doc_id, fp.kt, fp.k FROM fp JOIN keep USING (kt, k)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(sum(CASE WHEN a.kt = 'x' THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+       |        CAST(sum(CASE WHEN a.kt = 'p' THEN 1 ELSE 0 END) AS BIGINT) AS shared_pcpt
+       |      FROM fpk a JOIN fpk b
+       |        ON a.kt = b.kt AND a.k = b.k AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, shared, sa.nf AS n_a, sb.nf AS n_b,
-       |       CAST(round(CAST(shared AS DOUBLE) / least(sa.nf, sb.nf), 4) AS DOUBLE) + 0.0 AS overlap,
-       |       (shared * 2 >= least(sa.nf, sb.nf)) AS near_dup
-       |FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+       |SELECT doc_a, doc_b, shared, sxa.nf AS n_a, sxb.nf AS n_b,
+       |       shared_pcpt, spa.nf AS pn_a, spb.nf AS pn_b,
+       |       CAST(round(CAST(shared AS DOUBLE) / least(sxa.nf, sxb.nf), 4) AS DOUBLE)
+       |         + 0.0 AS overlap,
+       |       CAST(round(CAST(shared_pcpt AS DOUBLE) / least(spa.nf, spb.nf), 4) AS DOUBLE)
+       |         + 0.0 AS overlap_pcpt,
+       |       (shared * 2 >= least(sxa.nf, sxb.nf)
+       |        OR (shared_pcpt >= 2
+       |            AND shared_pcpt * 2 >= least(spa.nf, spb.nf))) AS near_dup
+       |FROM p JOIN sz sxa ON sxa.doc_id = doc_a AND sxa.kt = 'x'
+       |       JOIN sz sxb ON sxb.doc_id = doc_b AND sxb.kt = 'x'
+       |       JOIN sz spa ON spa.doc_id = doc_a AND spa.kt = 'p'
+       |       JOIN sz spb ON spb.doc_id = doc_b AND spb.kt = 'p'
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ mm_size_hist

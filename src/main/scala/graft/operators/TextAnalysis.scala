@@ -413,6 +413,59 @@ object TextAnalysis {
       |       round(CAST(cum_tokens AS DOUBLE) / tt, 6) + 0.0 AS frac_tokens_retained
       |FROM cm ORDER BY n_gates""".stripMargin
 
+  // ------------------------------------------------------ corpus_gate_apply
+  /** The decision→action closure for the quality-strictness knob (the
+    * dedup_threshold_apply / ann_probe_apply pattern): choose the
+    * STRICTEST gate cutoff (largest n_gates level) whose cumulative
+    * retained tokens stay ≥ 80% of the corpus per corpus_gate_strictness
+    * — integer cross-multiplied 1000·cum_tokens ≥ 800·total, never a
+    * float compare — falling back to level 0, then emit the filtered
+    * MANIFEST: every document passing at least that many gates, with
+    * the chosen level in every row so the oracle re-derives the choice
+    * and the gate checks the eval → choose → apply composition.
+    *
+    * Scale: the strictness curve is a ≤6-row aggregate over the
+    * zero-shuffle gate projection; the choice crosses back as a
+    * broadcast 1-row frame; the manifest is one map-side filter over
+    * the same projection — the corpus never shuffles. */
+  private[graft] val GateRetainPerMille = 800
+
+  def corpusGateApply(spark: SparkSession, dir: String): DataFrame = {
+    val gates = Seq("g_length", "g_word_len", "g_stopwords", "g_unique",
+      "g_repetition")
+    val st = corpusGateStrictness(spark, dir)
+      .select(col("n_gates"), col("cum_tokens"))
+    val tot = st.agg(max(col("cum_tokens")).as("tt"))
+    val chosen = st.crossJoin(broadcast(tot))
+      .filter(lit(1000) * col("cum_tokens") >= lit(GateRetainPerMille) * col("tt"))
+      .agg(coalesce(max(col("n_gates")), lit(0)).as("level"))
+    corpusQualityGate(spark, dir)
+      .select(col("doc_id"), col("n_words"),
+        gates.map(g => col(g).cast("int")).reduce(_ + _).as("n_gates"))
+      .crossJoin(broadcast(chosen))
+      .filter(col("n_gates") >= col("level"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror composes the registered strictness + gate oracles verbatim
+    * (the rrf drift rule) and re-derives the integer choice. */
+  lazy val corpusGateApplySql: String =
+    s"""WITH ga_st AS (SELECT * FROM ($corpusGateStrictnessSql) t0),
+      |ga_tt AS (SELECT max(cum_tokens) AS tt FROM ga_st),
+      |ga_ch AS (
+      |  SELECT coalesce(max(CASE WHEN 1000 * cum_tokens >= $GateRetainPerMille * tt
+      |                           THEN n_gates END), 0) AS level
+      |  FROM ga_st CROSS JOIN ga_tt),
+      |ga_qg AS (SELECT * FROM ($corpusQualityGateSql) t1)
+      |SELECT doc_id, n_words,
+      |       CAST(g_length AS INT) + CAST(g_word_len AS INT) + CAST(g_stopwords AS INT)
+      |         + CAST(g_unique AS INT) + CAST(g_repetition AS INT) AS n_gates,
+      |       ga_ch.level
+      |FROM ga_qg CROSS JOIN ga_ch
+      |WHERE CAST(g_length AS INT) + CAST(g_word_len AS INT) + CAST(g_stopwords AS INT)
+      |        + CAST(g_unique AS INT) + CAST(g_repetition AS INT) >= ga_ch.level
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- corpus_langid_eval
   /** Confusion matrix of the heuristic language ID against the declared
     * `lang` column — the eval-as-a-query pattern (ann_recall_report for
@@ -602,6 +655,7 @@ object TextAnalysis {
     "text_winnow_fp" -> (textWinnowFp _),
     "corpus_quality_gate" -> (corpusQualityGate _),
     "corpus_gate_strictness" -> (corpusGateStrictness _),
+    "corpus_gate_apply" -> (corpusGateApply _),
     "corpus_langid_eval" -> (corpusLangidEval _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
     "text_quality" -> (textQuality _),
@@ -618,6 +672,7 @@ object TextAnalysis {
     "text_winnow_fp" -> textWinnowFpSql,
     "corpus_quality_gate" -> corpusQualityGateSql,
     "corpus_gate_strictness" -> corpusGateStrictnessSql,
+    "corpus_gate_apply" -> corpusGateApplySql,
     "corpus_langid_eval" -> corpusLangidEvalSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

@@ -76,15 +76,49 @@ class MultimodalSpec extends SparkSpec {
       (12L, "video", other) // no shared frames
     ).toDF("doc_id", "kind", "payload")
     val rows = Multimodal.mmNearDupFrom(media).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Boolean]("near_dup")))).toMap
     // exact dup: all 8 sampled frames shared, near_dup
     assert(rows((3L, 6L)) == ((8L, 8L, 8L, true)), s"exact pair: ${rows.get((3L, 6L))}")
     // half overlap: 4 of 8 shared -> 2*4 >= 8, near_dup at the boundary
     assert(rows((3L, 9L)) == ((4L, 8L, 8L, true)), s"half pair: ${rows.get((3L, 9L))}")
     assert(rows((6L, 9L))._1 == 4L)
-    // disjoint video never appears in a pair
-    assert(!rows.keys.exists { case (a, b) => a == 12L || b == 12L })
+    // the disjoint video may surface as a coarse perceptual CANDIDATE
+    // (uniform byte noise buckets alike) but must never be FLAGGED —
+    // a single shared coarse signature is below the >=2 evidence bar
+    assert(!rows.exists { case ((a, b), v) => (a == 12L || b == 12L) && v._4 })
+  }
+
+  test("mm_near_dup: a re-encoded copy (same-class byte substitutions) flags via the perceptual key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // frame f: 32*f leading 'a' bytes (class 0x6_), rest 'p' (0x7_) —
+    // 8 structurally distinct frames; the "re-encode" flips byte 0 of
+    // every frame to another letter of the SAME class ('a'->'b',
+    // 'p'->'q'), so every exact first-8-byte fingerprint changes while
+    // every block class count (and so the perceptual signature) is
+    // untouched — the mm_dedup/exact-key failure mode this key closes.
+    def frame(f: Int, tweak: Boolean): Array[Byte] = {
+      val c = 32 * f
+      Array.tabulate[Byte](256) { i =>
+        val b = if (i < c) 'a' else 'p'
+        if (tweak && i == 0) (if (b == 'a') 'b' else 'q').toByte else b.toByte
+      }
+    }
+    val orig = (0 until 8).flatMap(f => frame(f, tweak = false)).toArray
+    val reenc = (0 until 8).flatMap(f => frame(f, tweak = true)).toArray
+    val media = Seq((3L, "video", orig), (6L, "video", reenc))
+      .toDF("doc_id", "kind", "payload")
+    val r = Multimodal.mmNearDupFrom(media).orderBy(col("doc_a")).collect()
+    assert(r.length == 1, s"one candidate pair expected, got ${r.length}")
+    val row = r.head
+    assert(row.getAs[Long]("shared") == 0L, "every exact fingerprint must differ")
+    assert(row.getAs[Long]("shared_pcpt") == 8L,
+      "all 8 perceptual signatures must survive the re-encode")
+    assert(row.getAs[Long]("pn_a") == 8L, "the 8 frames must sign distinctly")
+    assert(row.getAs[Boolean]("near_dup"),
+      "the perceptual key must flag the re-encoded copy the exact key misses")
   }
 
   test("mm_frame_sample: stride caps samples at 8, fingerprints match payload bytes") {
