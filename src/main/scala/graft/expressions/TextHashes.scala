@@ -117,6 +117,36 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** 60-bit md5 prefix of each word k-shingle as a LONG — the fixed-
+    * width transport form for set arithmetic (r13): 8 bytes/element vs
+    * the 16-hex string's 16+offset, faster binary sorts/merges, and
+    * exactly the value DuckDB parses as
+    * CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) — the same h1
+    * parse the banded lane mirrors already use, so the two engines
+    * share one hex-to-int convention. 60 bits keeps the value positive
+    * in a signed BIGINT on both sides; collision-free for corpus-scale
+    * sets like the 64-bit form. */
+  def shingleMd5Long60s(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = math.max(0, words.length - k + 1)
+    val out = new Array[Long](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var u1 = 0L
+      var b = 0
+      while (b < 8) { u1 = (u1 << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = u1 >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Mersenne prime 2^61-1: the lane-hash modulus. Universal-hash lane
     * multipliers (a_i, b_i) come from laneConsts — a fixed SplitMix64
     * stream, so the kernel and the generated DuckDB SQL read the SAME
@@ -456,6 +486,21 @@ case class ShingleMd5Prefixes(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5Prefixes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5Prefixes =
+    copy(child = newChild)
+}
+
+/** shingle_md5_long60s(text, k): array<long> of 60-bit md5 prefixes —
+  * the fixed-width transport form of the shingle set (see
+  * TextHashes.shingleMd5Long60s). */
+case class ShingleMd5Long60s(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_md5_long60s"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingleMd5Long60s(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.shingleMd5Long60s($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Long60s =
     copy(child = newChild)
 }
 

@@ -76,6 +76,16 @@ object Text {
       GraftColumnBridge.expression(c), k))
   }
 
+  /** 60-bit md5 prefix of every shingle as a LONG — the fixed-width
+    * transport form (8 B/element, binary sorts/merges) for array-heavy
+    * set arithmetic; DuckDB parses the identical value as
+    * CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT). */
+  def shingleHashes60(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.ShingleMd5Long60s(
+      GraftColumnBridge.expression(c), k))
+  }
+
   /** One-pass winnowing profile struct (n, nw, n_selected, sel_min,
     * sel_max, fps) over the word-k-shingle md5s — native kernel twin of
     * the per-window transform/aggregate argmin chain (rightmost-tie,

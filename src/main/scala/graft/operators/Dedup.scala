@@ -246,12 +246,14 @@ object Dedup {
     *    3 scalars per class. */
   def containmentFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    // 16-hex md5 prefixes (r13): the staged hash arrays are the frame's
-    // transport cost — prefixes are set-equivalent (64-bit space) and
-    // halve every exchange; the mirror truncates the same digests.
+    // 60-bit LONG md5 prefixes (r13): the staged hash arrays are the
+    // frame's transport cost — fixed 8 B/element (vs 32-char strings),
+    // set-equivalent, and the posting/class shuffles here are the
+    // heaviest in the family (the sf100 single-box probe ENOSPC'd on
+    // string-array spills); the mirror parses the same digest prefix.
     val sh = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"),
-          array_distinct(Text.shingleHashes16(col("text"), 3)).as("shl"))
+          array_distinct(Text.shingleHashes60(col("text"), 3)).as("shl"))
         .filter(size(col("shl")) > 0)
         .repartition(col("doc_id")))
     // identical-shingle-SET classes (arrays sorted once per doc, so two
@@ -266,7 +268,7 @@ object Dedup {
     // ~2⁻⁷⁸ per pair). The stored class array is SORTED — the probe
     // slice reads it directly and the scorer's merge kernel requires it.
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.SortedIntersectCount
+    import graft.expressions.SortedLongIntersectCount
     val cls = GraftColumnBridge.stageBarrier(
       sh.select(col("doc_id"), array_sort(col("shl")).as("ssh"))
         .groupBy(xxhash64(col("ssh"), lit(42)).as("ck"), size(col("ssh")).as("csz"))
@@ -289,7 +291,7 @@ object Dedup {
       .join(cls.select(col("rep").as("id_b"), col("ssh").as("sb"),
         col("members").as("mb")), Seq("id_b"))
       .select(col("ma"), col("mb"),
-        kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("n_shared"),
+        kcol(SortedLongIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("n_shared"),
         size(col("sa")).as("n_contained"))
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_contained"))
@@ -324,7 +326,7 @@ object Dedup {
       |  SELECT doc_id,
       |         list_distinct(list_transform(
       |           [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-      |            for i in range(0, len(words)-2)], x -> substr(md5(x), 1, 16))) AS sh
+      |            for i in range(0, len(words)-2)], x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))) AS sh
       |  FROM w WHERE len(words) >= 3),
       |cls AS (SELECT list_sort(sh) AS ssh, min(doc_id) AS rep, list(doc_id) AS members
       |        FROM s GROUP BY list_sort(sh)),
@@ -432,11 +434,11 @@ object Dedup {
   private[graft] def bandEvalFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.SortedIntersectCount
+    import graft.expressions.SortedLongIntersectCount
     val nl = NgramBands * NgramLanes
     val base = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
-          array_sort(array_distinct(Text.shingleHashes16(col("text"), 3))).as("ssh"))
+          array_sort(array_distinct(Text.shingleHashes60(col("text"), 3))).as("ssh"))
         .filter(size(col("lm")) === nl)
         .repartition(col("doc_id")))
     val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
@@ -456,7 +458,7 @@ object Dedup {
       .join(base.select(col("doc_id").as("id_b"), col("lm").as("lb"),
         col("ssh").as("sb")), Seq("id_b"))
       .select(col("first_band"),
-        kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
+        kcol(SortedLongIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"),
         expr("aggregate(zip_with(la, lb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)," +
           " 0, (acc, v) -> acc + v)").as("agree"))
@@ -489,7 +491,7 @@ object Dedup {
       |  FROM w WHERE len(words) >= 3),
       |lanes AS (
       |  SELECT doc_id, $lanesList AS lm,
-      |         list_sort(list_distinct(list_transform(sh, x -> substr(x, 1, 16)))) AS ssh
+      |         list_sort(list_distinct(list_transform(sh, x -> CAST(concat('0x', substr(x, 1, 15)) AS BIGINT)))) AS ssh
       |  FROM s),
       |b AS (
       |  $bandedCteSql),
@@ -563,15 +565,16 @@ object Dedup {
   private[graft] def removedByTauFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.SortedIntersectCount
+    import graft.expressions.SortedLongIntersectCount
     val nl = NgramBands * NgramLanes
-    // 16-hex prefix transport (r13): this staged frame's ssh arrays are
-    // what the banded candidate join ships per pair — the ONE measured
-    // per-row inflation at sf100 (13.6 -> 34.6 µs/doc; partition count
-    // already ruled out). Prefixes are intersect-exact and half the bytes.
+    // 60-bit LONG prefix transport (r13): this staged frame's ssh arrays
+    // are what the banded candidate join ships per pair — the ONE
+    // measured per-row inflation at sf100 (13.6 -> 34.6 µs/doc;
+    // partition count already ruled out). Fixed 8 B longs are
+    // intersect-exact at a quarter of the 32-char digest's bytes.
     val base = GraftColumnBridge.stageBarrier(
       docs.select(col("doc_id"), laneMins(col("text")).as("lm"),
-          array_sort(array_distinct(Text.shingleHashes16(col("text"), 3))).as("ssh"))
+          array_sort(array_distinct(Text.shingleHashes60(col("text"), 3))).as("ssh"))
         .filter(size(col("lm")) === nl)
         .repartition(col("doc_id")))
     val keyed = base.select(col("doc_id"), explode(array((0 until NgramBands).map { k =>
@@ -608,7 +611,7 @@ object Dedup {
       .join(base.select(col("doc_id").as("id_a"), col("ssh").as("sa")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("ssh").as("sb")), Seq("id_b"))
       .select(col("id_b"),
-        kcol(SortedIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
+        kcol(SortedLongIntersectCount(kexp(col("sa")), kexp(col("sb")))).as("c"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
     sc.select(col("id_b"), col("c"), (col("na") + col("nb") - col("c")).as("u"),
         explode(array(ThresholdsPerMille.map(lit(_)): _*)).as("tau"))
@@ -653,7 +656,7 @@ object Dedup {
       |            for i in range(0, len(words)-2)], x -> md5(x))) AS sh
       |  FROM w WHERE len(words) >= 3),
       |lanes AS (SELECT doc_id,
-      |                 list_sort(list_distinct(list_transform(sh, x -> substr(x, 1, 16)))) AS ssh
+      |                 list_sort(list_distinct(list_transform(sh, x -> CAST(concat('0x', substr(x, 1, 15)) AS BIGINT)))) AS ssh
       |          FROM s),
       |b AS (
       |  $bandedCteSql),
