@@ -67,6 +67,30 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleMd5Prefixes and ShingleMd5Long60s equal their full-digest derivations") {
+    // the two r13 transport forms must be pure functions of the already-
+    // pinned full digests: 16-hex prefix = substring(md5, 0, 16), and the
+    // 60-bit long = hex chars 1-15 parsed as an integer (the DuckDB
+    // CAST(concat('0x', substr(x, 1, 15)) AS BIGINT) convention the lane
+    // mirrors share)
+    val texts = Seq("the quick brown fox jumps over", "a b c", "a b", "",
+      "a b c ", " a b c", "zz yy xx zz yy xx")
+    texts.foreach { t =>
+      val hexes = TextHashes.shingleMd5s(UTF8String.fromString(t), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      val gotPrefix = TextHashes.shingleMd5Prefixes(UTF8String.fromString(t), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(gotPrefix == hexes.map(_.substring(0, 16)).toSeq, s"prefixes diverge on '$t'")
+      val gotLong = TextHashes.shingleMd5Long60s(UTF8String.fromString(t), 3)
+        .toLongArray().toSeq
+      assert(gotLong == hexes.map(h => java.lang.Long.parseLong(h.substring(0, 15), 16)).toSeq,
+        s"60-bit longs diverge on '$t'")
+      // and every value is non-negative: it must round-trip through a
+      // signed BIGINT in the oracle
+      assert(gotLong.forall(_ >= 0L))
+    }
+  }
+
   test("ShingleMd5Lanes equals the independent BigInt hex-parse computation") {
     // independent re-derivation of the lane minima: md5-hex each shingle
     // (via the already-pinned ShingleMd5s kernel semantics), parse hex
