@@ -104,14 +104,11 @@ object Bench {
     // is absorbed (an OOM/fatal JVM error should kill the bench rather
     // than publish totals from a dying executor), and the first failure
     // reason lands in the headline as calib_error next to the -1 reading.
-    var calibError: Option[String] = None
-    def tryCalibrate(): Double =
-      try calibrate() catch {
-        case scala.util.control.NonFatal(e) =>
-          if (calibError.isEmpty)
-            calibError = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          -1.0
-      }
+    // (Guard factored out as Bench.CalibGuard so the spec can pin both
+    // behaviors — the r13 fix was live but untested.)
+    val calibGuard = new CalibGuard
+    def tryCalibrate(): Double = calibGuard.run(() => calibrate())
+    def calibError: Option[String] = calibGuard.firstError
     tryCalibrate() // calib's own warmup
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (driver unset)
@@ -174,4 +171,20 @@ object Bench {
     println(s"""{"metric":"total","value":${ms(total)},"value_median":${ms(totalMed)},"pass_totals":$pts,"unit":"sec","n_queries":${ok.size},"errors":$es,"passes":$passes,"calib_s":$calibS$calibErr,"calib_passes":$calibArr,"sf":"$sfDir"}""")
     spark.stop()
   }
+}
+
+/** The bench calibration failure guard: NonFatal → -1.0 reading with
+  * the FIRST failure reason kept for the headline's `calib_error`
+  * (later failures don't overwrite the root cause); fatal JVM errors
+  * propagate — a bench on a dying executor must die, not publish.
+  * Factored from Bench.main so the spec can pin both behaviors. */
+private[graft] final class CalibGuard {
+  @volatile private[graft] var firstError: Option[String] = None
+  def run(f: () => Double): Double =
+    try f() catch {
+      case scala.util.control.NonFatal(e) =>
+        if (firstError.isEmpty)
+          firstError = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        -1.0
+    }
 }

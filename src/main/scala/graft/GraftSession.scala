@@ -29,11 +29,19 @@ object GraftSession {
   private[graft] val MaxShufflePartitions: Int = 4096
 
   /** Recursive on-disk byte count of a dataset directory (0 when the
-    * path is missing — callers fall back to the cpu floor). */
+    * path is missing — callers fall back to the cpu floor). Counts
+    * DATA files only (.parquet/.orc/.csv/.json and Spark part- files):
+    * stray logs or checkpoints dropped next to a dataset must not
+    * inflate the partition count (r13 advisory). */
   private[graft] def inputBytes(dir: String): Long = {
+    def isData(name: String): Boolean =
+      name.endsWith(".parquet") || name.endsWith(".orc") ||
+        name.endsWith(".csv") || name.endsWith(".json") ||
+        name.startsWith("part-")
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
+      else if (isData(f.getName)) f.length()
+      else 0L
     val f = new java.io.File(dir)
     if (f.exists()) walk(f) else 0L
   }
@@ -49,8 +57,10 @@ object GraftSession {
   /** Partition count for a session over `sfDir`: env override first,
     * then the bytes rule. */
   def partitionsFor(sfDir: String, cpus: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt)
-      .getOrElse(shufflePartitionsFor(inputBytes(sfDir), cpus))
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SHUFFLE must be a positive integer, got '$v'"))
+    }.getOrElse(shufflePartitionsFor(inputBytes(sfDir), cpus))
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
               shufflePartitions: Int = -1,

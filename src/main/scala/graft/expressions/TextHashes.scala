@@ -233,6 +233,34 @@ object TextHashes {
     new GenericArrayData(if (any) mins else Array.emptyLongArray)
   }
 
+  /** Lane i of the SAME universal-hash family the minhash mirrors
+    * bake into SQL — public for driver/executor-side sketch folds
+    * (heavy_hitters_cms' count-min grid rows): (a_i·h1 + b_i·h2) mod
+    * 2^61-1 with (a_i, b_i) read from the fixed laneConsts stream. */
+  def laneHash(i: Int, h1: Long, h2: Long): Long = {
+    val cs = if (2 * i + 1 < CachedConsts.length) CachedConsts else laneConsts(2 * i + 2)
+    var h = mulmodP(cs(2 * i), h1) + mulmodP(cs(2 * i + 1), h2)
+    if (h >= LaneP) h -= LaneP
+    h
+  }
+
+  /** The two 60-bit md5 halves of `s` (hex chars 1-15 / 17-31 — the
+    * transport parse every lane mirror uses), with the caller's reused
+    * MessageDigest. Returned as (h1, h2) packed in a 2-array. */
+  def md5Halves60(s: String, md: java.security.MessageDigest): Array[Long] = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var u1 = 0L
+    var u2 = 0L
+    var b = 0
+    while (b < 8) {
+      u1 = (u1 << 8) | (d(b) & 0xffL)
+      u2 = (u2 << 8) | (d(b + 8) & 0xffL)
+      b += 1
+    }
+    Array(u1 >>> 4, u2 >>> 4)
+  }
+
   /** Exact word-k-shingle Jaccard between two texts in one compiled
     * pass — distinct shingle STRING sets, |A∩B| / |A∪B| as the IEEE
     * division of exact ints, the same number as the md5-list
@@ -432,6 +460,44 @@ object TextHashes {
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash with md5 word hashes — the ORACLE-REPRODUCIBLE form
+    * (r14, the dedup_minhash_lsh r13 recipe): the per-word hash is the
+    * first 8 digest bytes big-endian (= the u64 spelled by hex chars
+    * 1-16), majority vote per bit. DuckDB reproduces every bit from two
+    * BIGINT-parseable pieces of the same digest — h1 = chars 1-15
+    * (60 bits, the transport parse every lane mirror already uses) and
+    * hc = char 16 (4 bits): bit b of the word hash is (hc >> b) & 1 for
+    * b < 4 and (h1 >> (b-4)) & 1 above. Same split(" ", -1)
+    * tokenization as every kernel here; md5 digest bits are i.i.d.
+    * uniform, so the SimHash estimator is unchanged vs the xxhash64
+    * form (SimHash64 stays registered for SQL users). */
+  def simHashMd5(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var u1 = 0L
+      var b = 0
+      while (b < 8) { u1 = (u1 << 8) | (d(b) & 0xffL); b += 1 }
+      b = 0
+      while (b < 64) {
+        if (((u1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
       i += 1
@@ -658,5 +724,52 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.simHash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** simhash_md5(text): 64-bit SimHash over per-word md5 — the oracle-
+  * reproducible variant (see TextHashes.simHashMd5). */
+case class SimHashMd5(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simHashMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashes.simHashMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+/** bloom_might_contain(bc, v): membership probe of a BROADCAST
+  * `org.apache.spark.util.sketch.BloomFilter` against a long key —
+  * graft's manual form of the runtime bloom-filter join pruning Spark
+  * injects for shuffle joins over scans (ScaleSpec pins the built-in
+  * mechanism). The built-in InjectRuntimeFilter rule cannot fire when
+  * the application-side key is born from a Generate (explode) rather
+  * than a scan column, which is exactly dedup_containment's posting
+  * side — so the operator builds the filter itself (stat.bloomFilter
+  * over the probe keys) and splices this predicate between the explode
+  * and the candidate exchange. Holding the Broadcast handle (not the
+  * serialized bytes) keeps plan strings O(1) and ships the filter once
+  * per executor instead of once per task binary. No false negatives:
+  * the downstream equi-join re-checks every surviving row exactly, so
+  * the plan's RESULT is invariant to the filter — only shuffle volume
+  * changes. */
+case class BroadcastBloomMightContain(
+    bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+    child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Predicate {
+  override def prettyName: String = "bloom_might_contain"
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    bf.value.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bf,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $ref.value()).mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BroadcastBloomMightContain =
     copy(child = newChild)
 }

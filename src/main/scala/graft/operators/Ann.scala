@@ -480,7 +480,11 @@ object Ann {
     val e = emb(spark, dir)
     buildIvfIndex(e, e.count()) match {
       case None =>
-        annBruteTopk(spark, dir)
+        // no index ⇒ no probed retrieval: empty output with the query's
+        // schema — annProbeCurve's None convention (r13 advisory: the
+        // earlier brute-rows fallback diverged from the mirror, which
+        // always derives its legs from the IVF CTEs)
+        annBruteTopk(spark, dir).limit(0)
           .select(lit(ProbeDepths.max).as("nprobe"), col("q_id"), col("rank"),
             col("n_id"), col("cos_sim"))
       case Some(idx) =>

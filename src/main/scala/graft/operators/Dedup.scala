@@ -22,11 +22,11 @@ import graft.sources.Tables
   *    unioned over 3 LSH tables — bucket count 2^planes is the knob
   *    that grows with data, so block size (and pair work) stays bounded.
   *
-  * simhash uses Spark's xxhash64 (seed differs from any DuckDB
-  * equivalent) → rows-only at the driver; the ngram-jaccard band lanes
-  * AND (since r13) the 32 minhash signature lanes are md5-derived
-  * universal hashes, so DuckDB reproduces the exact candidate sets and
-  * minhash/ngram/clusters/incremental are all fully oracled.
+  * Every signature here is md5-derived and therefore fully oracled:
+  * the ngram-jaccard band lanes and (since r13) the 32 minhash
+  * signature lanes are md5-seeded universal hashes, and (since r14)
+  * simhash votes on the md5 digest bits themselves — DuckDB reproduces
+  * the exact candidate sets and signatures across the whole family.
   */
 object Dedup {
 
@@ -198,24 +198,25 @@ object Dedup {
     * the quote/excerpt/boilerplate-wrapper case Jaccard misses (a short
     * doc fully inside a long one has low Jaccard but containment 1.0).
     *
-    * Candidates come from a min-shingle INVERTED probe, not the banded
-    * Jaccard generator (symmetric MinHash bands lose recall exactly on
-    * the asymmetric pairs this operator exists for): if sh(a) ⊆ sh(b),
-    * then a's MINIMUM shingle hash is necessarily one of b's shingles —
-    * so probing each doc's single min hash against an inverted index of
-    * every doc's distinct shingles finds every FULL containment by
-    * construction (spec-pinned), and a ≥0.8-contained doc's min shingle
-    * lands in the shared 80% with matching probability ≥ its
-    * containment. Exact md5-set intersections on the staged hash arrays
-    * then score each candidate; containment = n_shared/na is one exact
-    * integer division, bit-identical in the oracle.
+    * Candidates come from a bottom-shingle INVERTED probe, not the
+    * banded Jaccard generator (symmetric MinHash bands lose recall
+    * exactly on the asymmetric pairs this operator exists for): if
+    * sh(a) ⊆ sh(b), then EVERY one of a's smallest shingle hashes is
+    * one of b's shingles — so probing each doc's bottom-4 hashes
+    * against an inverted index of every doc's distinct shingles, and
+    * requiring ≥ min(2, |sh(a)|) hits (see containmentFrom's r14
+    * note), finds every FULL containment by construction (spec-pinned)
+    * and a ≥0.8-contained doc with probability ≈ 0.97. Exact md5-set
+    * intersections on the staged hash arrays then score each
+    * candidate; containment = n_shared/na is one exact integer
+    * division, bit-identical in the oracle.
     *
-    * Scale: the probe side is ONE scalar (min hash) per doc; the
-    * posting side explodes distinct shingles — linear in corpus tokens,
-    * the inverted-index cost (same explode family as text_lm_score),
-    * shuffling only (hash, id) scalar pairs; candidate work equals the
-    * true min-hash hit count, never all pairs; texts are fetched only
-    * for candidates. */
+    * Scale: the probe side is FOUR scalars per doc; the posting side
+    * explodes distinct shingles pre-pruned by a broadcast bloom of the
+    * probe keys — linear in corpus tokens at worst, a few % of them
+    * after the prune, shuffling only (hash, id) scalar pairs; candidate
+    * work equals the ≥2-shared-probe hit count, never all pairs; texts
+    * are fetched only for candidates. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentFrom(Tables.documents(spark, dir))
 
@@ -237,13 +238,27 @@ object Dedup {
     *    end — output-size cost is inherent to the pair contract
     *    (dedup_embedding's argument; `dedup_clusters` is the scale
     *    path for cluster-shaped output).
-    *  - BOTTOM-3 PROBE: each class probes its three smallest distinct
-    *    shingle hashes, not just the minimum. A ≥0.8-contained doc's
-    *    min-hash probe hits only with ~containment probability (~20%
-    *    miss at the threshold); three near-independent probes bound
-    *    the miss at ~0.2³ ≈ 1%. Full containments are still found by
-    *    construction (every probe lies in the superset). Probe cost:
-    *    3 scalars per class. */
+    *  - BOTTOM-4 PROBE, ≥2 SHARED (r14): each class probes its FOUR
+    *    smallest distinct shingle hashes, and a candidate pair must
+    *    share at least min(2, |sh(a)|) of them. The r13 1-of-3 rule
+    *    admitted every class that shared ONE probe hash — and globally
+    *    common shingles whose hash happens to be small are the bottom
+    *    probe of thousands of classes at once, so candidates grew to
+    *    ~29× docs (1.44M pairs at 50k docs) and the exact-scoring
+    *    joins shipped class arrays per pair: the actual owner of the
+    *    sf100 spill blow-up (the posting explode the bloom filter
+    *    prunes was the lesser term). Requiring a SECOND independent
+    *    probe hit is the same AND-rule that fixed the r6 hot-bucket
+    *    banding in ngramJaccard: measured at the same 50k-doc corpus,
+    *    candidates drop 1.44M → ~16k. Recall: full containments are
+    *    still found BY CONSTRUCTION (every probe lies in the superset;
+    *    classes with ≤4 shingles probe all of them, and ≥0.8 of ≤4
+    *    rounds up to all-contained), a doc with ≤2 non-shared shingles
+    *    still deterministically lands ≥2 of its bottom-4 in the shared
+    *    region (pigeonhole — the DedupSpec partial-doc pin), and a
+    *    general ≥0.8-contained doc hits ≥2 of 4 with
+    *    1 - 0.2⁴ - 4·0.8·0.2³ ≈ 0.97. Probe cost: 4 scalars per
+    *    class. */
   def containmentFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     // 60-bit LONG md5 prefixes (r13): the staged hash arrays are the
@@ -276,15 +291,38 @@ object Dedup {
           collect_list(col("doc_id")).as("members"),
           first(col("ssh")).as("ssh")))
     val probe = cls.select(col("rep").as("id_a"),
-      explode(slice(col("ssh"), 1, 3)).as("m"))
+      least(lit(2), col("csz")).as("need"),
+      explode(slice(col("ssh"), 1, 4)).as("m"))
+    // r14: BLOOM-PRUNE THE POSTING EXPLODE. The posting side used to
+    // push every distinct shingle of every class through the candidate
+    // exchange — linear, but ~3-4× the corpus as shuffle scratch (part
+    // of the sf100 single-box ENOSPC, BASELINE r13). Only postings
+    // whose hash equals SOME class's bottom-4 probe hash can ever
+    // join, so a bloom filter of the probe keys (≤4/class; a few % of
+    // distinct shingles) drops the rest BEFORE the exchange. Spark's
+    // own InjectRuntimeFilter can't reach a Generate-born key, so the
+    // filter is built manually (one treeAggregate over the probe side)
+    // and broadcast; fpp 1% only adds spurious join INPUT — the
+    // equi-join + hit-count keep the result exact.
+    val nCls = cls.count()
+    val bloom = probe.stat.bloomFilter("m", math.max(64L, 4L * nCls), 0.01)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
     val post = cls.select(col("rep").as("id_b"), explode(col("ssh")).as("m"))
+      .filter(kcol(graft.expressions.BroadcastBloomMightContain(bloomBc, kexp(col("m")))))
+    // hit-counted candidates (probes and postings are both distinct per
+    // class, so count(*) per pair = #shared probe hashes); the partial
+    // aggregate collapses the hit rows map-side before the exchange
     val cands = probe.join(post, Seq("m"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("hits"), max(col("need")).as("need"))
+      .filter(col("hits") >= col("need"))
+      .select(col("id_a"), col("id_b"))
     // exact set intersection by linear merge over the sorted class
-    // arrays (SortedIntersectCount) — array_intersect's per-row hash
-    // structure was ~70 µs/candidate, the dominant cost of the r8 first
-    // cut; set-equal to the oracle's list_intersect
+    // arrays (SortedLongIntersectCount since the r13 60-bit long
+    // transport) — array_intersect's per-row hash structure was
+    // ~70 µs/candidate, the dominant cost of the r8 first cut;
+    // set-equal to the oracle's list_intersect
     val scored = cands
       .join(cls.select(col("rep").as("id_a"), col("ssh").as("sa"),
         col("members").as("ma")), Seq("id_a"))
@@ -330,11 +368,13 @@ object Dedup {
       |  FROM w WHERE len(words) >= 3),
       |cls AS (SELECT list_sort(sh) AS ssh, min(doc_id) AS rep, list(doc_id) AS members
       |        FROM s GROUP BY list_sort(sh)),
-      |probe AS (SELECT rep AS id_a, unnest(ssh[1:3]) AS m FROM cls),
+      |probe AS (SELECT rep AS id_a, least(2, len(ssh)) AS need, unnest(ssh[1:4]) AS m FROM cls),
       |post AS (SELECT rep AS id_b, unnest(ssh) AS m FROM cls),
       |cand AS (
-      |  SELECT DISTINCT p.id_a, q.id_b FROM probe p JOIN post q ON p.m = q.m
-      |  WHERE p.id_a <> q.id_b),
+      |  SELECT p.id_a, q.id_b FROM probe p JOIN post q ON p.m = q.m
+      |  WHERE p.id_a <> q.id_b
+      |  GROUP BY p.id_a, q.id_b
+      |  HAVING count(*) >= max(p.need)),
       |sc AS (
       |  SELECT c.id_a, c.id_b, sa.members AS ma, sb.members AS mb,
       |         len(list_intersect(sa.ssh, sb.ssh)) AS n_shared,
@@ -969,11 +1009,35 @@ object Dedup {
     * barrier, where it reads the materialized sig instead of forcing a
     * second kernel evaluation in a Filter node; net: the signature kernel
     * runs ONCE per corpus where the unstaged shape ran it up to 4×. */
-  def minhashLshFrom(docs: DataFrame): DataFrame = {
-    val sigs = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+  def minhashLshFrom(docs: DataFrame): DataFrame =
+    minhashLshFromSigs(org.apache.spark.sql.GraftColumnBridge.stageBarrier(
         docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
           .repartition(col("doc_id")))
-      .filter(size(col("sig")) === NumHashes)
+      .filter(size(col("sig")) === NumHashes))
+
+  /** dedup_minhash_lsh_staged: identical banding off the staged per-doc
+    * signature table (stagedMinhashSigs) — the r13 sf100 probe put
+    * dedup_minhash_lsh at 120.1 s, dominated by the in-query 32-lane
+    * signature kernel over 5M docs; production signs once per ingest
+    * and every LSH re-run (threshold tuning, incremental batches) scans
+    * 32 integers per doc. Oracled against the SAME SQL as the in-query
+    * twin (array<bigint> round-trips bit-exact). */
+  def dedupMinhashLshStaged(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFromSigs(
+      stagedMinhashSigs(spark, dir).filter(size(col("sig")) === NumHashes))
+
+  /** Staged (doc_id, sig) — the 32-lane md5 MinHash signatures
+    * (sources.Staged cache: once per JVM per dir content; sub-k-word
+    * docs keep their empty array in the table, callers filter). */
+  def stagedMinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "minhash32", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    }
+
+  /** The banding + candidate self-join + agreement estimate over any
+    * (doc_id, sig array<long>) frame with full-length signatures. */
+  private def minhashLshFromSigs(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band") +:
@@ -1030,11 +1094,16 @@ object Dedup {
 
   // -------------------------------------------------------- dedup_simhash
   /** 64-bit SimHash (majority vote per bit over word hashes) via the
-    * native graft.expressions.SimHash64 kernel — one compiled pass per
-    * row; the declarative 64-bit-vote formulation ran interpreted. */
+    * native graft.expressions.SimHashMd5 kernel — one compiled pass per
+    * row; the declarative 64-bit-vote formulation ran interpreted.
+    * r14: the word hash moved from xxhash64(seed 42) to the first 64
+    * digest bits of md5(word) — the r13 minhash-lane recipe — so every
+    * signature bit is DuckDB-reproducible and the query is fully
+    * oracled (dedupSimhashSql below reconstructs the majority votes
+    * from the h1/hc digest parses). */
   def simhash(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.expressions.SimHash64(
+    GraftColumnBridge.column(graft.expressions.SimHashMd5(
       GraftColumnBridge.expression(text)))
   }
 
@@ -1042,6 +1111,34 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** The mirror rebuilds each of the 64 majority votes as a signed SUM
+    * over the doc's words: bit b of a word's hash is (hc >> b) & 1 for
+    * b < 4 and (h1 >> (b-4)) & 1 above, with h1/hc the two
+    * BIGINT-parseable pieces of md5's first 16 hex chars (the lane
+    * mirrors' h1 parse). Bit 63 lands as the sign bit, so the final
+    * assembly adds -2^63 instead of 1<<63 — same two's-complement long
+    * both engines. 64 vectorized CASE sums per word row beat the
+    * nested-lambda form ~10× in DuckDB at sf0.1. */
+  val dedupSimhashSql: String = {
+    def bitExpr(b: Int): String =
+      if (b < 4) s"(hc >> $b) & 1" else s"(h1 >> ${b - 4}) & 1"
+    val sums = (0 until 64).map(b =>
+      s"sum(CASE WHEN ${bitExpr(b)} = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n      |  ")
+    val assemble = (0 until 64).map(b =>
+      if (b == 63) s"CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END"
+      else s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" +\n      |  ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
+      |h AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) AS h1,
+      |        CAST(concat('0x', substr(md5(x), 16, 1)) AS BIGINT) AS hc
+      |      FROM w),
+      |s AS (SELECT doc_id,
+      |  $sums
+      |  FROM h GROUP BY doc_id)
+      |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -1833,6 +1930,7 @@ object Dedup {
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_lsh_staged" -> (dedupMinhashLshStaged _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_reps" -> (dedupEmbeddingReps _),
@@ -1858,9 +1956,13 @@ object Dedup {
     "dedup_semantic" -> dedupSemanticSql,
     "embed_threshold_eval" -> embedThresholdEvalSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
-    "dedup_incremental" -> dedupIncrementalSql
-    // dedup_simhash: xxhash64-seeded, rows-only; DedupSpec bounds the
-    // hamming behavior. (dedup_minhash_lsh moved to md5 lanes in r13
-    // and is fully oracled above.)
+    // the staged twin reads the staged signature table — the oracle is
+    // the in-query twin's SQL verbatim
+    "dedup_minhash_lsh_staged" -> dedupMinhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    // dedup_simhash joined the oracled set in r14: md5 word hashes
+    // (the r13 minhash-lane recipe) make every signature bit
+    // DuckDB-reproducible; DedupSpec still bounds the hamming behavior.
+    "dedup_simhash" -> dedupSimhashSql
   )
 }

@@ -202,27 +202,102 @@ object TextAnalysis {
     * cardinality), where the exact groupBy shuffles |distinct tokens|.
     * At gate scale both run and the sketch is audited against truth:
     * CMS never underestimates, and overshoots ≤ ε·N with prob 1-δ
-    * (ε=1e-4, δ=0.01 — TextSpec asserts both bounds). Probing 20
-    * driver-held keys against the driver-held sketch is O(1) — the same
-    * bounded-driver-work exception as the IVF index build
-    * (Ann.scala:206). Sketch seeded (seed=42) → no DuckDB twin;
-    * rows-only at the gate, spec is the correctness authority. */
+    * (ε=1e-4, δ=0.01 → w=⌈e/ε⌉=27183, d=⌈ln 1/δ⌉=5 — TextSpec asserts
+    * both bounds). Probing 20 driver-held keys against the driver-held
+    * grid is O(1) — the same bounded-driver-work exception as the IVF
+    * index build (Ann.scala:206).
+    *
+    * r14: the grid's row hashes moved from `stat.countMinSketch`'s
+    * seeded Murmur3 to the md5-derived universal-hash lane family
+    * (TextHashes.laneHash — the dedup_minhash_lsh r13 recipe), folded
+    * over partitions exactly as before (one partial grid per partition,
+    * treeReduce merge — NO shuffle, memory independent of token
+    * cardinality). Every counter is now integer state DuckDB replays:
+    * the oracle recomputes each top-token's d bucket sums from the same
+    * h1/h2 digest parses and lane constants, so the query is fully
+    * oracled (was rows-only through r13). */
+  private val CmsDepth = 5
+  private val CmsWidth = 27183 // ⌈e / 1e-4⌉
+
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.TextHashes
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val cms = toks.stat.countMinSketch("tok", 1e-4, 0.99, 42)
+    val (d, w) = (CmsDepth, CmsWidth)
+    val grid = toks.select(col("tok")).rdd
+      .mapPartitions { it =>
+        val g = new Array[Long](d * w)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.foreach { row =>
+          val hs = TextHashes.md5Halves60(row.getString(0), md)
+          var i = 0
+          while (i < d) {
+            g(i * w + (TextHashes.laneHash(i, hs(0), hs(1)) % w).toInt) += 1L
+            i += 1
+          }
+        }
+        Iterator.single(g)
+      }
+      .treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }, depth = 2)
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok"))
       .limit(20)
       .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
     val rows = top.map { r =>
-      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))
+      val hs = TextHashes.md5Halves60(r.getString(0), md)
+      val est = (0 until d)
+        .map(i => grid(i * w + (TextHashes.laneHash(i, hs(0), hs(1)) % w).toInt)).min
+      (r.getString(0), r.getLong(1), est)
     }.toSeq
     import spark.implicits._
     rows.toDF("tok", "n_exact", "cms_est")
       .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  /** The mirror rebuilds the d bucket sums per top token instead of the
+    * whole grid: bucket_i(t) over the DISTINCT-token frequency table
+    * (sum of n within a bucket ≡ the grid counter, since the fold adds
+    * 1 per occurrence), then cms_est = least of the d sums — the exact
+    * replay of the treeReduce'd integer grid. Lane constants are baked
+    * from the SAME laneConsts stream as the kernel (the laneMinSqlAt
+    * convention), products in HUGEINT. */
+  val heavyHittersCmsSql: String = {
+    import graft.expressions.TextHashes
+    val cs = TextHashes.laneConsts(2 * CmsDepth)
+    def bucket(i: Int): String =
+      s"""CAST((CAST(${cs(2 * i)} AS HUGEINT) * h1
+         |            + CAST(${cs(2 * i + 1)} AS HUGEINT) * h2)
+         |           % ${TextHashes.LaneP} % $CmsWidth AS BIGINT)""".stripMargin
+    val buckets = (0 until CmsDepth).map(i => s"${bucket(i)} AS b$i").mkString(",\n      |  ")
+    val gSums = (0 until CmsDepth).map(i =>
+      s"g$i AS (SELECT b$i, sum(n) AS s FROM b GROUP BY b$i)").mkString(",\n      |")
+    val gJoins = (0 until CmsDepth).map(i => s"JOIN g$i ON tb.b$i = g$i.b$i").mkString("\n      |")
+    val leasts = (0 until CmsDepth).map(i => s"g$i.s").mkString(", ")
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t AS (SELECT tok FROM tk WHERE len(tok) > 0),
+      |f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+      |h AS (SELECT tok, n,
+      |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+      |        CAST(concat('0x', substr(md5(tok), 17, 15)) AS BIGINT) AS h2
+      |      FROM f),
+      |b AS (SELECT tok, n,
+      |  $buckets
+      |  FROM h),
+      |$gSums,
+      |top AS (SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT 20)
+      |SELECT top.tok, CAST(top.n AS BIGINT) AS n_exact,
+      |       CAST(least($leasts) AS BIGINT) AS cms_est
+      |FROM top
+      |JOIN b tb ON top.tok = tb.tok
+      |$gJoins
+      |ORDER BY n_exact DESC, top.tok""".stripMargin
   }
 
   // ----------------------------------------------------------- text_entropy
@@ -680,6 +755,9 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_shingle_fp" -> textShingleFpSql,
     "text_repetition" -> textRepetitionSql,
-    "text_entropy" -> textEntropySql
+    "text_entropy" -> textEntropySql,
+    // heavy_hitters_cms joined the oracled set in r14: md5-lane row
+    // hashes make the count-min grid DuckDB-replayable.
+    "heavy_hitters_cms" -> heavyHittersCmsSql
   )
 }

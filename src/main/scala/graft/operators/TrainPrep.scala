@@ -39,24 +39,19 @@ object TrainPrep {
     * sampler scans five integer columns. The _staged twins below are
     * that production shape, oracled against the SAME SQL as their
     * in-query twins (the parquet round-trip is bit-exact: BIGINT
-    * columns only, lang restored from the directory key). */
-  private val signalPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def stagedDocSignals(spark: SparkSession, dir: String): DataFrame = {
-    val path = signalPaths.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-docsig-").toString
-      graft.sources.Ingest.writePartitioned(
-        Tables.documents(spark, dir).select(
-          col("doc_id"), col("source"),
-          expr("CAST(size(array_distinct(split(text, ' '))) * CAST(65536 AS BIGINT)" +
-            " DIV size(split(text, ' ')) AS BIGINT)").as("q16"),
-          Text.nBpeTokens(col("text")).cast("long").as("n_tokens"),
-          size(split(col("text"), " ")).cast("long").as("n_words"),
-          col("lang")),
-        p, Seq("lang"))
-      p
-    })
-    spark.read.parquet(path)
-  }
+    * columns only, lang restored from the directory key). Caching,
+    * content-fingerprint invalidation, and shutdown cleanup live in
+    * sources.Staged (r14). */
+  def stagedDocSignals(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "docsig", dir, Seq("lang")) {
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"),
+        expr("CAST(size(array_distinct(split(text, ' '))) * CAST(65536 AS BIGINT)" +
+          " DIV size(split(text, ' ')) AS BIGINT)").as("q16"),
+        Text.nBpeTokens(col("text")).cast("long").as("n_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("lang"))
+    }
 
   /** Greedy-ish sequence packing: docs are pre-partitioned into shards
     * (doc_id % packShards(n)) and packed into fixed token-capacity
@@ -822,12 +817,34 @@ object TrainPrep {
   def corpusDupSpans(spark: SparkSession, dir: String): DataFrame =
     corpusDupSpansFrom(Tables.documents(spark, dir))
 
-  private[graft] def corpusDupSpansFrom(docs: DataFrame): DataFrame = {
+  private[graft] def corpusDupSpansFrom(docs: DataFrame): DataFrame =
+    corpusDupSpansFromSignals(org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+      docs.select(col("doc_id"), Text.shingleHashes16(col("text"), 8).as("hs"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens"))))
+
+  /** corpus_dup_spans_staged: identical span accounting off the staged
+    * per-doc 8-gram hash table (stagedGramHashes) — the r13 sf100 probe
+    * put corpus_dup_spans at 127.5 s, almost all of it the in-query
+    * ~300M-gram md5 sweep; production hashes once per ingest and every
+    * re-tuning of the dup thresholds scans the staged arrays. Oracled
+    * against the SAME SQL as the in-query twin. */
+  def corpusDupSpansStaged(spark: SparkSession, dir: String): DataFrame =
+    corpusDupSpansFromSignals(stagedGramHashes(spark, dir))
+
+  /** Staged (doc_id, hs, n_tokens) — the 16-hex 8-gram hash arrays +
+    * token counts corpus_dup_spans consumes (sources.Staged cache:
+    * once per JVM per dir content). */
+  def stagedGramHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "gram8", dir) {
+      Tables.documents(spark, dir).select(
+        col("doc_id"), Text.shingleHashes16(col("text"), 8).as("hs"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens"))
+    }
+
+  /** The dup-span pipeline over any (doc_id, hs, n_tokens) frame. */
+  private[graft] def corpusDupSpansFromSignals(hsFrame: DataFrame): DataFrame = {
     // 16-hex prefix transport (r13): the gram hash is the shuffle key of
     // the dup aggregate and never reaches output — prefixes halve it.
-    val hsFrame = org.apache.spark.sql.GraftColumnBridge.stageBarrier(
-      docs.select(col("doc_id"), Text.shingleHashes16(col("text"), 8).as("hs"),
-        size(Text.words(col("text"))).cast("long").as("n_tokens")))
     val grams = hsFrame.select(col("doc_id"),
       posexplode(col("hs")).as(Seq("pos", "h")))
     val dup = grams.groupBy(col("h"))
@@ -1393,6 +1410,7 @@ object TrainPrep {
     "corpus_source_report" -> (corpusSourceReport _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_dup_spans" -> (corpusDupSpans _),
+    "corpus_dup_spans_staged" -> (corpusDupSpansStaged _),
     "corpus_dup_trim" -> (corpusDupTrim _),
     "text_pack_ffd_staged" -> (textPackFfdStaged _),
     "corpus_token_budget_staged" -> (corpusTokenBudgetStaged _),
@@ -1422,6 +1440,9 @@ object TrainPrep {
     "corpus_vocab_growth" -> corpusVocabGrowthSql,
     "corpus_ngram_novelty" -> corpusNgramNoveltySql,
     "corpus_dup_spans" -> corpusDupSpansSql,
+    // the staged twin answers the same question from the staged gram
+    // table — the oracle is the in-query twin's SQL verbatim
+    "corpus_dup_spans_staged" -> corpusDupSpansSql,
     "corpus_dup_trim" -> corpusDupTrimSql,
     // staged twins share their in-query oracles verbatim (the warehouse
     // fin_*_staged convention — the staging must change nothing)

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-JVM staged signal tables: compute a per-doc (or per-row) signal
+  * projection ONCE per source dir, write it through the parquet sink,
+  * and hand every downstream query a plain integer/array scan — the
+  * warehouse stagedUpserted convention generalized for the _staged
+  * query twins (text_pack_ffd_staged, dedup_minhash_lsh_staged, …).
+  * At 100 TB this is the production shape: tokenize/hash once per
+  * ingest, not once per query.
+  *
+  * Cache key = source dir + a cheap content fingerprint (file count,
+  * total bytes, max mtime — the same walk GraftSession.inputBytes
+  * does), so a dataset REPLACED in-session re-stages instead of
+  * silently serving stale signals; the usual per-round gate runs see
+  * immutable inputs and hit the cache. Temp dirs are removed by a JVM
+  * shutdown hook (they live under java.io.tmpdir and held gigabytes at
+  * sf100 before r14's cleanup).
+  */
+object Staged {
+  private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    paths.values().forEach(p => deleteRecursively(new java.io.File(p)))))
+
+  /** (n_files, total_bytes, max_mtime) walk — cheap relative to any
+    * staging job, and enough to catch replace/append within a JVM. */
+  private def fingerprint(dir: String): String = {
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else { n += 1; bytes += f.length(); mtime = math.max(mtime, f.lastModified()) }
+    val f = new java.io.File(dir)
+    if (f.exists()) walk(f)
+    s"$n:$bytes:$mtime"
+  }
+
+  /** The staged table for (`name`, `dir`): built by `build` on first
+    * use this JVM (or after the dir's content changes), then read back
+    * as plain parquet. `partitionBy` columns become directory keys. */
+  def table(spark: SparkSession, name: String, dir: String,
+            partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    val key = s"$name|$dir|${fingerprint(dir)}"
+    val path = paths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+      if (partitionBy.isEmpty) build.write.mode("overwrite").parquet(p)
+      else Ingest.writePartitioned(build, p, partitionBy)
+      p
+    })
+    spark.read.parquet(path)
+  }
+}

@@ -407,10 +407,11 @@ class DedupSpec extends SparkSpec {
     // all 20 ordered within-clique pairs re-expand at containment 1.0
     val clique = got.filter(t => t._1 <= 5 && t._2 <= 5)
     assert(clique.length == 20 && clique.forall(_._3 == 1.0), s"clique: ${got.toSeq}")
-    // the partial doc has only 2 non-shared shingles, so at least one of
-    // its bottom-3 probes MUST land in the shared region: all 5
-    // (partial, copy) pairs are found deterministically, each expanded
-    // from the single class-level score 28/30
+    // the partial doc has only 2 non-shared shingles, so at least TWO of
+    // its bottom-4 probes MUST land in the shared region (pigeonhole —
+    // the r14 ≥2-hit rule's determinism case): all 5 (partial, copy)
+    // pairs are found deterministically, each expanded from the single
+    // class-level score 28/30
     val part = got.filter(_._1 == 9L)
     assert(part.length == 5 && part.forall(t => math.abs(t._3 - 28.0 / 30) < 1e-12),
       s"partial: ${got.toSeq}")

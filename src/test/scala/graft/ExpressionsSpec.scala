@@ -215,6 +215,53 @@ class ExpressionsSpec extends SparkSpec {
     assert(d <= 16, s"one-word edit flipped $d bits")
   }
 
+  test("simhash_md5: codegen == kernel, votes == per-word md5 bit recount") {
+    val texts = Seq("the quick brown fox jumps", "a b", "", "solo")
+    val viaSql = texts.toDF("text")
+      .select(expr("simhash_md5(text)").as("h")).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaSql(i).getLong(0) == TextHashes.simHashMd5(UTF8String.fromString(t)))
+      // independent recount: majority vote over each word's first 64
+      // md5 digest bits (the h1/hc parse the DuckDB mirror spells)
+      val words = t.split(" ", -1)
+      val counts = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      words.foreach { wd =>
+        val d = md.digest(wd.getBytes("UTF-8"))
+        val u1 = (0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL))
+        (0 until 64).foreach(b =>
+          if (((u1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      }
+      val expect = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (counts(b) > 0) acc | (1L << b) else acc)
+      assert(viaSql(i).getLong(0) == expect, s"text '$t'")
+    }
+  }
+
+  test("simhash_md5 flips few bits for small edits") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy cat again and again today")
+      .toDF("text").select(expr("simhash_md5(text)")).collect()
+    val d = java.lang.Long.bitCount(rows(0).getLong(0) ^ rows(1).getLong(0))
+    assert(d <= 16, s"one-word edit flipped $d bits")
+  }
+
+  test("BroadcastBloomMightContain: no false negatives, join-safe prune") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    val keys = (0L until 1000L).filter(_ % 7 == 0)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(keys.length, 0.01)
+    keys.foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val got = (0L until 1000L).toDF("k")
+      .filter(kcol(graft.expressions.BroadcastBloomMightContain(bc, kexp(col("k")))))
+      .collect().map(_.getLong(0)).toSet
+    // every true member survives (bloom has no false negatives)...
+    assert(keys.forall(got.contains), "bloom dropped a true member")
+    // ...and the prune is selective (fpp 1% on 857 non-members)
+    assert(got.size <= keys.length + 40, s"prune not selective: ${got.size}")
+  }
+
   test("FormatCents kernel == declarative fmtAmount bit-for-bit") {
     import graft.warehouse.Statements
     val cents = Seq(0L, 1L, -1L, 99L, 100L, -100L, 999L, 1000L, 99999L,

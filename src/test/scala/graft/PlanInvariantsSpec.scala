@@ -26,6 +26,20 @@ class PlanInvariantsSpec extends SparkSpec {
       s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
+  test("bench CalibGuard: NonFatal -> -1 + first reason kept; fatal propagates") {
+    val g = new CalibGuard
+    assert(g.run(() => 1.5) == 1.5 && g.firstError.isEmpty)
+    assert(g.run(() => throw new RuntimeException("box on fire")) == -1.0)
+    assert(g.firstError.contains("box on fire"))
+    // a later failure must NOT overwrite the root cause
+    assert(g.run(() => throw new RuntimeException("secondary")) == -1.0)
+    assert(g.firstError.contains("box on fire"))
+    // fatal errors escape the guard (bench must die, not publish)
+    intercept[OutOfMemoryError] {
+      g.run(() => throw new OutOfMemoryError("synthetic"))
+    }
+  }
+
   test("no registered query plans a non-broadcast cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
