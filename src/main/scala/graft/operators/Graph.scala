@@ -104,7 +104,20 @@ object Graph {
   private[graft] def graphPartRankFrom(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
-    val edges = stageBarrier(
+    // Ephemeral PARQUET staging, NOT a stage barrier and NOT a block
+    // checkpoint (r14, all three measured at sf100): a barrier reuses
+    // the agg's shuffle files but RE-RUNS its reduce stage in every
+    // consuming job — and the 5 rank rounds + the final pass each scan
+    // the edges, so the ~saturated-|V|² edge reduce re-ran 6× (321.6 s,
+    // r13). localCheckpoint persists row-format blocks, which
+    // serialized the edge frame ~4× its columnar size: MEMORY_AND_DISK
+    // squatted the unified pool for the whole query (282.9 s warm,
+    // GC-bound), DISK_ONLY paid the fat write AND the fat reads
+    // (335.8 s). Parquet's delta/dictionary encodings store the three
+    // long columns in ~1/6 the block footprint, so the one-time write
+    // is cheap and every round's re-scan is a columnar read through
+    // the OS page cache.
+    val edges = graft.sources.Staged.ephemeral(
       li.select(col("ok"), col("p").as("src"))
         .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
         .filter(col("src") =!= col("dst"))

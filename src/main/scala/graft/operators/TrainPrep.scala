@@ -823,42 +823,57 @@ object TrainPrep {
         size(Text.words(col("text"))).cast("long").as("n_tokens"))))
 
   /** corpus_dup_spans_staged: identical span accounting off the staged
-    * per-doc 8-gram hash table (stagedGramHashes) — the r13 sf100 probe
-    * put corpus_dup_spans at 127.5 s, almost all of it the in-query
-    * ~300M-gram md5 sweep; production hashes once per ingest and every
-    * re-tuning of the dup thresholds scans the staged arrays. Oracled
-    * against the SAME SQL as the in-query twin. */
+    * DUP-POSITION INDEX (stagedDupPositions) + the per-doc signal
+    * table's word counts — the r13 sf100 probe put corpus_dup_spans at
+    * 127.5 s, and almost all of it is once-per-corpus work (the
+    * ~300M-gram md5 sweep AND the corpus-wide gram aggregate).
+    * Production maintains exactly that index per ingest batch; every
+    * re-tune of the trim/drop thresholds is then a window + two counts
+    * over dup positions only. (The first r14 cut staged the raw
+    * 16-hex gram ARRAYS instead — 237 s warm at sf100, SLOWER than
+    * in-query: 16 B/gram of near-incompressible hex reads worse than
+    * re-hashing the 6 B/word text. The gram aggregate, not the hash
+    * sweep, is the stageable cost.) Oracled against the SAME SQL as
+    * the in-query twin. */
   def corpusDupSpansStaged(spark: SparkSession, dir: String): DataFrame =
-    corpusDupSpansFromSignals(stagedGramHashes(spark, dir))
+    dupSpanAccounting(
+      stagedDocSignals(spark, dir)
+        .select(col("doc_id"), col("n_words").as("n_tokens")),
+      stagedDupPositions(spark, dir))
 
-  /** Staged (doc_id, hs, n_tokens) — the 16-hex 8-gram hash arrays +
-    * token counts corpus_dup_spans consumes (sources.Staged cache:
-    * once per JVM per dir content). */
-  def stagedGramHashes(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Staged.table(spark, "gram8", dir) {
-      Tables.documents(spark, dir).select(
-        col("doc_id"), Text.shingleHashes16(col("text"), 8).as("hs"),
-        size(Text.words(col("text"))).cast("long").as("n_tokens"))
+  /** Staged (doc_id, pos) dup-position index: every position whose
+    * 8-gram appears in ≥2 documents (sources.Staged cache: once per
+    * JVM per dir content). Two int-ish columns — the ingest-maintained
+    * form of the dup aggregate. */
+  def stagedDupPositions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "dup8pos", dir) {
+      dupPositionsFrom(org.apache.spark.sql.GraftColumnBridge.stageBarrier(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          Text.shingleHashes16(col("text"), 8).as("hs"))))
     }
 
-  /** The dup-span pipeline over any (doc_id, hs, n_tokens) frame. */
-  private[graft] def corpusDupSpansFromSignals(hsFrame: DataFrame): DataFrame = {
-    // 16-hex prefix transport (r13): the gram hash is the shuffle key of
-    // the dup aggregate and never reaches output — prefixes halve it.
+  /** (doc_id, pos) of duplicated grams over any (doc_id, hs) frame.
+    * 16-hex prefix transport (r13): the gram hash is the shuffle key of
+    * the dup aggregate and never reaches output — prefixes halve it. */
+  private[graft] def dupPositionsFrom(hsFrame: DataFrame): DataFrame = {
     val grams = hsFrame.select(col("doc_id"),
       posexplode(col("hs")).as(Seq("pos", "h")))
     val dup = grams.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("h"))
+    grams.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  /** The span accounting over (doc_id, n_tokens) × dup positions. */
+  private[graft] def dupSpanAccounting(base: DataFrame, dp: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val perDoc = grams.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    val perDoc = dp
       .withColumn("covered",
         least(lit(8), coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(8))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_grams"),
         sum(col("covered")).cast("long").as("covered_tokens"))
-    hsFrame.select(col("doc_id"), col("n_tokens"),
+    base.select(col("doc_id"), col("n_tokens"),
         greatest(col("n_tokens") - 7, lit(0L)).as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
@@ -872,6 +887,12 @@ object TrainPrep {
           .otherwise("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** The dup-span pipeline over any (doc_id, hs, n_tokens) frame. */
+  private[graft] def corpusDupSpansFromSignals(hsFrame: DataFrame): DataFrame =
+    dupSpanAccounting(
+      hsFrame.select(col("doc_id"), col("n_tokens")),
+      dupPositionsFrom(hsFrame))
 
   val corpusDupSpansSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -41,9 +41,30 @@ object Staged {
     s"$n:$bytes:$mtime"
   }
 
+  /** One-query ephemeral materialization: write `df` to a temp parquet
+    * dir (cleaned at JVM exit) and hand back the scan. For iterative
+    * plans that re-consume a big intermediate many times (the
+    * graph_part_rank rank rounds): a stage barrier re-RUNS the final
+    * stage per consuming job and a block checkpoint stores fat
+    * row-format blocks (the sf100 edge frame serialized ~4× its
+    * columnar size and squatted on memory/disk), while parquet's
+    * delta/dictionary encodings make each re-scan a cheap columnar
+    * read through the OS page cache. NOT cached across calls — each
+    * call writes its own dir. */
+  def ephemeral(df: DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ephem-").toString
+    paths.put(s"ephem:$p", p)
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
   /** The staged table for (`name`, `dir`): built by `build` on first
     * use this JVM (or after the dir's content changes), then read back
-    * as plain parquet. `partitionBy` columns become directory keys. */
+    * as plain parquet. `partitionBy` columns become directory keys.
+    * Stage NARROW signal tables (ints, hashes, short arrays) — staging
+    * wide string-array columns both OOMs the default-128MB-row-group
+    * writers at scale and reads back SLOWER than recomputing from text
+    * (the r14 gram-array experiment: 237 s vs 127 s at sf100). */
   def table(spark: SparkSession, name: String, dir: String,
             partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val key = s"$name|$dir|${fingerprint(dir)}"

@@ -7,6 +7,26 @@ import graft.operators.Multimodal.MediaRow
 /** Multimodal plumbing specs (driver check is rows-only for binary). */
 class MultimodalSpec extends SparkSpec {
 
+  test("payloads never shuffle: no mm query's exchange carries a binary column") {
+    // The family's 100 TB claim, pinned at the PLAN level: media bytes
+    // stay in their scan partitions — only hashes/lengths/hex scalars
+    // cross exchanges. AQE is disabled for the walk so the full
+    // pre-stage plan is visible to collect().
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val mm = SparkEntry.queries.keys.filter(_.startsWith("mm_")).toSeq.sorted
+    assert(mm.size >= 8, s"mm family shrank: $mm")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mm.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val offenders = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+      }
+      if (offenders.nonEmpty)
+        fail(s"$name shuffles binary payload bytes:\n${offenders.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mm_caption_pairs: keep is the AND of its gates, reason names the first failure") {
     val rows = SparkEntry.queries("mm_caption_pairs")(spark, sf).collect()
     assert(rows.nonEmpty)
