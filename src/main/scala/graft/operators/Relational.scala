@@ -265,31 +265,114 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ------------------------------------------------------- approx_distinct
-  /** HLL++ approximate distinct per group — the 100 TB-scale form of
-    * distinct_agg: a fixed-size mergeable sketch per group, so the plan is
-    * a single ordinary aggregation (NO partial-distinct expand/shuffle —
-    * that shuffle is exactly what HLL exists to avoid). Sketch seeds
-    * differ across engines → rows-only driver check; ApproxSpec bounds
-    * the error against the exact count. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** HyperLogLog approximate distinct per group (Flajolet '07) — the
+    * 100 TB-scale form of distinct_agg: a fixed m=4096-register sketch per
+    * group, so the plan is two ordinary map-side-combined aggregations
+    * (registers, then the estimate) and NO partial-distinct expand/shuffle
+    * — at most |groups|·4096 register rows ever cross an exchange, which
+    * is exactly the HLL merge (max per register). r14: the register hash
+    * is the 60-bit md5 prefix transport (bucket = top 12 bits, rank =
+    * leading zeros of the low 48 + 1 via bin()/length — no transcendentals
+    * in the per-row path), and 2^-rank sums are carried as exact integers
+    * scaled by 2^49, so DuckDB replays every register and the estimate
+    * bit-for-bit — the sketch is fully oracled, not rows-only. Linear
+    * counting below 2.5m per the original paper; ApproxSpec keeps the ±5%
+    * bound against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = v.bitwiseAND(lit((1L << 48) - 1))
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+              shiftright(v, 48).as("bucket"),
+              when(w === 0L, lit(49)).otherwise(lit(49) - length(bin(w))).as("rank"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rank")).as("r"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(count(lit(1)).as("n_present"),
+           sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("s_scaled"))
+      .select(col("l_returnflag"),
+              (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) * lit(4096.0)
+                 * lit(4096.0) * lit(562949953421312.0)
+                 / (col("s_scaled")
+                    + (lit(4096L) - col("n_present")) * lit(562949953421312L)))
+                .as("e_raw"),
+              (lit(4096L) - col("n_present")).as("v0"))
+      .select(col("l_returnflag"),
+              round(when(col("e_raw") <= 10240.0 && col("v0") > 0,
+                         lit(4096.0) * log(lit(4096.0) / col("v0")))
+                      .otherwise(col("e_raw")))
+                .cast("long").as("approx_parts"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val approxDistinctSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, v >> 48 AS bucket,
+      |    MAX(CASE WHEN (v & 281474976710655) = 0 THEN 49
+      |             ELSE 49 - length(bin(v & 281474976710655)) END) AS r
+      |  FROM h GROUP BY l_returnflag, v >> 48),
+      |g AS (
+      |  SELECT l_returnflag, count(*) AS n_present,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT) AS s_scaled
+      |  FROM r GROUP BY l_returnflag),
+      |e AS (
+      |  SELECT l_returnflag,
+      |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+      |      * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+      |      / (s_scaled + (4096 - n_present) * 562949953421312) AS e_raw,
+      |    4096 - n_present AS v0
+      |  FROM g)
+      |SELECT l_returnflag,
+      |  CAST(round(CASE WHEN e_raw <= CAST(10240.0 AS DOUBLE) AND v0 > 0
+      |                  THEN CAST(4096.0 AS DOUBLE) * ln(CAST(4096.0 AS DOUBLE) / v0)
+      |                  ELSE e_raw END) AS BIGINT) AS approx_parts
+      |FROM e ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------- approx_percentiles
   /** Approximate percentiles per group — the 100 TB-scale form of
-    * `percentiles`: a bounded-memory mergeable quantile sketch instead of
-    * buffering whole groups (exact percentile on a 3-value grouping key
-    * means tens of TB per task at 100 TB → OOM). Sketch internals differ
-    * across engines → rows-only driver check; ApproxSpec bounds error
-    * against exact percentiles. */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    * `percentiles`: exact percentile on a 3-value grouping key means tens
+    * of TB per task at 100 TB → OOM, so estimate from a bounded sample
+    * instead. r14: deterministic hash-threshold sampling (bottom-k by a
+    * 60-bit md5 row priority, Cohen & Kaplan's bottom-k sketch shape) —
+    * keep a row iff priority·n_g < k·2^60 with k=4096, so each group's
+    * sample concentrates at ~k rows regardless of corpus size, selected
+    * by a broadcast of |groups| counts + a map-side filter: no window, no
+    * full-group sort, and the exact-percentile agg touches only ~k rows
+    * per group. The hash selection is engine-independent, so DuckDB
+    * replays the identical sample and interpolation — fully oracled.
+    * Sampling error ~1/sqrt(k) ≈ 1.6% rank; below k rows/group the
+    * threshold admits everything and the result is exact. ApproxSpec
+    * keeps the ±5% bound against exact percentiles. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_g"))
+    val priority = conv(substring(
+      md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+      .cast("long")
+    li.join(broadcast(counts), "l_returnflag")
+      .where(priority.cast("double") * col("n_g").cast("double")
+               < lit(4096.0) * lit(1.152921504606846976e18))
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
-           expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val approxPercentilesSql: String =
+    """WITH n AS (SELECT l_returnflag, count(*) AS n_g FROM lineitem GROUP BY l_returnflag),
+      |s AS (
+      |  SELECT l.l_returnflag, l.l_quantity
+      |  FROM lineitem l JOIN n ON l.l_returnflag = n.l_returnflag
+      |  WHERE CAST(CAST(concat('0x', substr(md5(concat(l.l_orderkey, '-', l.l_linenumber)), 1, 15)) AS BIGINT) AS DOUBLE)
+      |        * CAST(n.n_g AS DOUBLE) < CAST(4096.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE))
+      |SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty
+      |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------ percentiles
   /** Exact interpolated percentiles per group (DuckDB quantile_cont
@@ -1242,8 +1325,11 @@ object Relational {
     "events_session_stats" -> eventsSessionStatsSql,
     "range_join" -> rangeJoinSql,
     "range_window" -> rangeWindowSql,
-    "dedup_exact_keyed" -> dedupExactKeyedSql
-    // approx_distinct / approx_percentiles: sketch-seeded, rows-only
-    // (ApproxSpec bounds their error against the exact aggregates)
+    "dedup_exact_keyed" -> dedupExactKeyedSql,
+    // r14: both sketch queries moved to md5-derived state (HLL registers /
+    // bottom-k sample) that DuckDB replays exactly — fully oracled now;
+    // ApproxSpec still bounds their error against the exact aggregates.
+    "approx_distinct" -> approxDistinctSql,
+    "approx_percentiles" -> approxPercentilesSql
   )
 }

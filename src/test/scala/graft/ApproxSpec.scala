@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Error bounds for the sketch-based queries (rows-only at the driver:
-  * sketch seeds differ across engines, so this spec is the correctness
-  * authority for approx_distinct / approx_percentiles). */
+/** Error bounds for the sketch-based queries. Since r14 both are fully
+  * oracled at the driver (md5-derived HLL registers / bottom-k sample
+  * thresholds that DuckDB replays bit-for-bit), so the driver owns
+  * exactness vs the mirror and this spec owns the approximation bound
+  * vs the EXACT aggregates — the two checks are complementary. */
 class ApproxSpec extends SparkSpec {
 
   test("approx_distinct within 5% of exact countDistinct") {
