@@ -100,10 +100,35 @@ object Graph {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
 
-  /** `pairs` = raw (ok, p) membership rows; distinct applied here. */
-  private[graft] def graphPartRankFrom(pairs: DataFrame): DataFrame = {
+  /** The weighted co-purchase edge frame (src, dst, w) from raw (ok, p)
+    * membership rows — the shared derivation every graph query pays:
+    * 1.9B per-order pairs through one agg exchange at sf100 (~170 s of
+    * each heavy graph query's wall there). */
+  private[graft] def coEdgesFrom(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
+    li.select(col("ok"), col("p").as("src"))
+      .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** The once-per-ingest staged form of coEdgesFrom (sources.Staged:
+    * content-fingerprint cache, shutdown cleanup) — the graph twin of
+    * the fin staged warehouse and the text staged signal tables. The
+    * edge build is the dominant sf100 cost of graph_part_rank (170 of
+    * 273.7 s) and graph_assortativity (170 of 259.3 s), and it is
+    * byte-identical between them, so the _staged twins read it here
+    * instead of re-deriving it per query. Three long columns — exactly
+    * the narrow-signal shape Staged.table's contract asks for. */
+  private[graft] def stagedCoEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "coedges", dir) {
+      coEdgesFrom(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
+    }
+
+  /** `pairs` = raw (ok, p) membership rows; distinct applied here. */
+  private[graft] def graphPartRankFrom(pairs: DataFrame): DataFrame =
     // Ephemeral PARQUET staging, NOT a stage barrier and NOT a block
     // checkpoint (r14, all three measured at sf100): a barrier reuses
     // the agg's shuffle files but RE-RUNS its reduce stage in every
@@ -117,11 +142,12 @@ object Graph {
     // long columns in ~1/6 the block footprint, so the one-time write
     // is cheap and every round's re-scan is a columnar read through
     // the OS page cache.
-    val edges = graft.sources.Staged.ephemeral(
-      li.select(col("ok"), col("p").as("src"))
-        .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+    graphPartRankFromEdges(graft.sources.Staged.ephemeral(coEdgesFrom(pairs)))
+
+  /** The 5 rank rounds over an already-materialized (src, dst, w) edge
+    * frame (ephemeral parquet in-query; the staged table for the twin). */
+  private[graft] def graphPartRankFromEdges(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val nodeStats = stageBarrier(
       edges.groupBy(col("src")).agg(sum(col("w")).as("s")))
     // Broadcast dial (r10): the rank frame is |V| rows of 3 scalars —
@@ -554,6 +580,14 @@ object Graph {
         .join(li.select(col("ok"), col("p").as("dst")), Seq("ok"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct())
+    graphAssortativityFromEdges(ed)
+  }
+
+  /** The degree-moment statistic over an already-distinct (src, dst)
+    * edge frame — the staged twin enters here with the staged weighted
+    * table's key columns (grouping made them distinct). */
+  private[graft] def graphAssortativityFromEdges(ed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val deg = stageBarrier(ed.groupBy(col("src")).agg(count(lit(1)).as("d")))
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val xy = ed
@@ -591,17 +625,32 @@ object Graph {
       |  END AS assortativity
       |FROM m, nn""".stripMargin
 
+  /** Staged twins (r14): identical rank/statistic off the staged
+    * co-purchase edge table — the oracle SQL is the in-query twin's
+    * verbatim, so the driver gate asserts the staged read IS the
+    * in-query derivation. */
+  def graphPartRankStaged(spark: SparkSession, dir: String): DataFrame =
+    graphPartRankFromEdges(stagedCoEdges(spark, dir))
+
+  def graphAssortativityStaged(spark: SparkSession, dir: String): DataFrame =
+    graphAssortativityFromEdges(
+      stagedCoEdges(spark, dir).select(col("src"), col("dst")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_assortativity_staged" -> (graphAssortativityStaged _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_similar_parts" -> (graphSimilarParts _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_part_rank" -> (graphPartRank _))
+    "graph_part_rank" -> (graphPartRank _),
+    "graph_part_rank_staged" -> (graphPartRankStaged _))
 
   def oracles: Map[String, String] = Map(
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_assortativity_staged" -> graphAssortativitySql,
     "graph_degree_dist" -> graphDegreeDistSql,
     "graph_similar_parts" -> graphSimilarPartsSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_part_rank" -> graphPartRankSql)
+    "graph_part_rank" -> graphPartRankSql,
+    "graph_part_rank_staged" -> graphPartRankSql)
 }

@@ -176,4 +176,15 @@ class GraphSpec extends SparkSpec {
       assert(lo == (1L << b) && sd >= np * lo && sd < np * (lo << 1), s"bucket: $r")
     }
   }
+
+  test("staged twins: part_rank/assortativity off the staged edge table match in-query") {
+    // The driver gate asserts this against the shared oracle SQL too;
+    // here it's pinned suite-side so a Staged.table regression (stale
+    // cache key, partial write) can't hide between gate runs.
+    for (name <- Seq("graph_part_rank", "graph_assortativity")) {
+      val inQuery = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val staged = SparkEntry.queries(s"${name}_staged")(spark, sf).collect().toSeq
+      assert(staged == inQuery, s"$name staged twin diverged")
+    }
+  }
 }
