@@ -225,11 +225,18 @@ object Graph {
   private[graft] def graphTrianglesFrom(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
-    val und = stageBarrier(
+    graphTrianglesFromUnd(stageBarrier(
       li.select(col("ok"), col("p").as("u"))
         .join(li.select(col("ok"), col("p").as("v")), Seq("ok"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct())
+        .select(col("u"), col("v")).distinct()))
+  }
+
+  /** The closure count over an already-distinct undirected (u, v)
+    * edge frame (u < v) — the staged twin enters here with the staged
+    * edge table's upper-triangle half. */
+  private[graft] def graphTrianglesFromUnd(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val dg = stageBarrier(
       und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
@@ -357,14 +364,22 @@ object Graph {
   private[graft] def graphSimilarPartsFrom(
       pairs: DataFrame, forceBranch: Option[String]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
-    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
-    import graft.expressions.{SortedLongIntersect, SortedLongIntersectCount}
     val li = stageBarrier(pairs.select(col("ok"), col("p")).distinct())
-    val und = stageBarrier(
+    graphSimilarPartsFromUnd(stageBarrier(
       li.select(col("ok"), col("p").as("u"))
         .join(li.select(col("ok"), col("p").as("v")), Seq("ok"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct())
+        .select(col("u"), col("v")).distinct()), forceBranch)
+  }
+
+  /** Scoring over an already-distinct undirected (u, v) edge frame —
+    * the staged twin's entry (the density dial and all three scoring
+    * branches are unchanged; they never looked at the membership rows). */
+  private[graft] def graphSimilarPartsFromUnd(
+      und: DataFrame, forceBranch: Option[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+    import graft.expressions.{SortedLongIntersect, SortedLongIntersectCount}
     val dg = stageBarrier(
       und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
@@ -511,10 +526,16 @@ object Graph {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val li = stageBarrier(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-    val pairs = li.select(col("ok"), col("pk").as("pa"))
-      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
+    graphDegreeDistFromUnd(
+      li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct())
+  }
+
+  /** Bucketing over an already-distinct undirected (pa, pb) edge frame. */
+  private[graft] def graphDegreeDistFromUnd(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("degree"))
     val agg = stageBarrier(deg
@@ -636,12 +657,34 @@ object Graph {
     graphAssortativityFromEdges(
       stagedCoEdges(spark, dir).select(col("src"), col("dst")))
 
+  /** The staged table's upper-triangle half = the distinct undirected
+    * edge list (the weighted table carries both directions, so
+    * src < dst keeps each undirected edge exactly once). */
+  private def stagedUnd(spark: SparkSession, dir: String): DataFrame =
+    stagedCoEdges(spark, dir).filter(col("src") < col("dst"))
+
+  def graphTrianglesStaged(spark: SparkSession, dir: String): DataFrame =
+    graphTrianglesFromUnd(
+      stagedUnd(spark, dir).select(col("src").as("u"), col("dst").as("v")))
+
+  def graphSimilarPartsStaged(spark: SparkSession, dir: String): DataFrame =
+    graphSimilarPartsFromUnd(
+      stagedUnd(spark, dir).select(col("src").as("u"), col("dst").as("v")),
+      forceBranch = None)
+
+  def graphDegreeDistStaged(spark: SparkSession, dir: String): DataFrame =
+    graphDegreeDistFromUnd(
+      stagedUnd(spark, dir).select(col("src").as("pa"), col("dst").as("pb")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_assortativity" -> (graphAssortativity _),
     "graph_assortativity_staged" -> (graphAssortativityStaged _),
     "graph_degree_dist" -> (graphDegreeDist _),
+    "graph_degree_dist_staged" -> (graphDegreeDistStaged _),
     "graph_similar_parts" -> (graphSimilarParts _),
+    "graph_similar_parts_staged" -> (graphSimilarPartsStaged _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_triangles_staged" -> (graphTrianglesStaged _),
     "graph_part_rank" -> (graphPartRank _),
     "graph_part_rank_staged" -> (graphPartRankStaged _))
 
@@ -649,8 +692,11 @@ object Graph {
     "graph_assortativity" -> graphAssortativitySql,
     "graph_assortativity_staged" -> graphAssortativitySql,
     "graph_degree_dist" -> graphDegreeDistSql,
+    "graph_degree_dist_staged" -> graphDegreeDistSql,
     "graph_similar_parts" -> graphSimilarPartsSql,
+    "graph_similar_parts_staged" -> graphSimilarPartsSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_triangles_staged" -> graphTrianglesSql,
     "graph_part_rank" -> graphPartRankSql,
     "graph_part_rank_staged" -> graphPartRankSql)
 }

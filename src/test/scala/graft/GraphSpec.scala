@@ -181,7 +181,8 @@ class GraphSpec extends SparkSpec {
     // The driver gate asserts this against the shared oracle SQL too;
     // here it's pinned suite-side so a Staged.table regression (stale
     // cache key, partial write) can't hide between gate runs.
-    for (name <- Seq("graph_part_rank", "graph_assortativity")) {
+    for (name <- Seq("graph_part_rank", "graph_assortativity",
+                     "graph_triangles", "graph_similar_parts", "graph_degree_dist")) {
       val inQuery = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val staged = SparkEntry.queries(s"${name}_staged")(spark, sf).collect().toSeq
       assert(staged == inQuery, s"$name staged twin diverged")
