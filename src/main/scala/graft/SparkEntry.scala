@@ -190,7 +190,7 @@ object SparkEntry {
       Bpe.oracles ++ Dedup.oracles ++ Ann.oracles ++ Graph.oracles ++
       Layout.oracles ++
       graft.streaming.EventStreams.oracles ++ Multimodal.oracles)
-      // mm_metadata / mm_features: binary + stub semantics, rows-only
-      // (MultimodalSpec); mm_dedup IS oracled (md5 over the same bytes)
+      // r14: every registered query carries an oracle — mm_features, the
+      // last rows-only holdout, joined via the 60-bit md5 checksum stub
       .map { case (k, v) => k -> materializeCtes(v) }
 }

@@ -376,6 +376,14 @@ object Ann {
       nprobe: Int = IvfProbe): Seq[(Long, Seq[Double], Int)] = {
     val flat = for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
       yield (ci * idx.maxSub + si, idx.refinedSub(ci)(si))
+    driverProbesFlat(flat, qRows, nprobe)
+  }
+
+  /** The same ranking over an explicit (cell, centroid) list — the
+    * staged twin collects this from the index's centroid sidecar. */
+  private def driverProbesFlat(flat: Seq[(Int, Array[Double])],
+      qRows: Seq[(Long, Seq[Double])],
+      nprobe: Int): Seq[(Long, Seq[Double], Int)] =
     qRows.flatMap { case (qid, qv) =>
       flat.map { case (cell, c) =>
         var s = 0.0; var d = 0
@@ -385,6 +393,21 @@ object Ann {
       }.sortBy { case (cell, s) => (-s, cell) }.take(nprobe)
         .map { case (cell, _) => (qid, qv, cell) }
     }
+
+  /** The probe-join/re-rank tail shared by the in-query search and the
+    * staged twin: broadcast the (q_id, qv, cell) probe list against a
+    * celled corpus frame, exact cosine inside probed cells, top-K. */
+  private def ivfTopkFrom(celled: DataFrame, probes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probes).join(celled, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Vectors.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("cos"), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The IVF top-K search given a built index — shared by the
@@ -397,17 +420,7 @@ object Ann {
     val session = spark
     import session.implicits._
     val probes = driverProbes(idx, qRows, nprobe).toDF("q_id", "qv", "cell")
-
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(probes).join(idx.celled, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        Vectors.cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        (round(col("cos"), 4) + 0.0).as("cos_sim"))
-      .orderBy(col("q_id"), col("rank"))
+    ivfTopkFrom(idx.celled, probes)
   }
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -417,6 +430,58 @@ object Ann {
       case None => annBruteTopk(spark, dir)
       case Some(idx) => ivfTopkWithIdx(spark, e, idx, IvfProbe)
     }
+  }
+
+  // ------------------------------------------------------- ann_ivf_topk_staged
+  /** ann_ivf_topk_staged: the identical IVF top-K off a STAGED inverted
+    * file — sources.Staged.tablePair("ivfindex") persists the celled
+    * corpus ONCE per ingest, PARTITIONED BY cell, plus a (cell,
+    * centroid) sidecar. This is the production ANN serving shape: a
+    * real IVF deployment builds its index at ingest and answers probes
+    * against it; it does not re-run seed collects + a Lloyd step per
+    * query the way the (honest cold-start) in-query twin must.
+    *
+    * The staged layout makes the IVF read pattern REAL at the storage
+    * level: probed cells are known on the driver BEFORE the scan, so
+    * the isin filter statically prunes cell directories and a warm
+    * probe reads ~|probed cells|/nlist of the corpus — versus the
+    * in-query twin's four full passes (count, seed window, Lloyd sums,
+    * assignment). At 100 TB the inverted file lives beside the corpus
+    * like any secondary index; probe I/O scales with nprobe, not n.
+    *
+    * Degenerate corpora (<2 coarse seeds) stage an all-cells-0 file
+    * with an EMPTY sidecar, and the query falls back to the exact
+    * brute scan exactly like the in-query twin. Oracle: ann_ivf_topk's
+    * SQL verbatim — the build is deterministic and parquet round-trips
+    * doubles exactly, so staged == in-query row for row (AnnSpec). */
+  def annIvfTopkStaged(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val (celled0, cents) = graft.sources.Staged.tablePair(
+      spark, "ivfindex", dir, partitionBy1 = Seq("cell")) {
+      val e = emb(spark, dir)
+      buildIvfIndex(e, e.count()) match {
+        case Some(idx) =>
+          val centRows = flatCents(idx).zipWithIndex.collect {
+            case (c, cell) if c.nonEmpty => (cell, c.toSeq)
+          }.toSeq
+          (idx.celled, centRows.toDF("cell", "c"))
+        case None =>
+          (e.select(col("vec_id"), col("v"), lit(0).as("cell")),
+            Seq.empty[(Int, Seq[Double])].toDF("cell", "c"))
+      }
+    }
+    val flat = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    if (flat.length < 2) return annBruteTopk(spark, dir)
+    val qRows = emb(spark, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probes = driverProbesFlat(flat, qRows, IvfProbe)
+    val probedCells = probes.map(_._3).distinct
+    val celled = celled0
+      .where(col("cell").isin(probedCells: _*)) // static partition pruning
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+    ivfTopkFrom(celled, probes.toDF("q_id", "qv", "cell"))
   }
 
   // ----------------------------------------------------------- ann_probe_curve
@@ -2857,6 +2922,7 @@ object Ann {
     "ann_brute_topk" -> (annBruteTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_topk_staged" -> (annIvfTopkStaged _),
     "ann_ivf_batch" -> (annIvfBatch _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
@@ -2886,6 +2952,7 @@ object Ann {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_topk_staged" -> annIvfTopkSql,
     "ann_ivf_batch" -> annIvfBatchSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_mmr_topk" -> annMmrTopkSql,

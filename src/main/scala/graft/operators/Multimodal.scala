@@ -58,15 +58,28 @@ object Multimodal {
     * decode (???: no media libs in this environment). Derives pseudo
     * dimensions from payload bytes; a real implementation would return
     * decoded frames/spectrograms. Signature takes a whole batch so the
-    * per-batch init cost of a real codec is amortized. */
-  def stubDecodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    * per-batch init cost of a real codec is amortized — and the digest
+    * instance is allocated once per batch for the same reason.
+    *
+    * r14: the pseudo-checksum is the top 60 bits of md5(payload) (the
+    * repo's md5-prefix lane convention, TextHashes.scala:124) instead of
+    * CRC32, which DuckDB lacks — every derived column is then integer
+    * arithmetic a mirror can replay, so the one remaining rows-only
+    * query gained a full oracle without touching the batching plumbing
+    * that is the actual point of this operator. */
+  def stubDecodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
-      val crc = new java.util.zip.CRC32
-      crc.update(r.payload)
-      val c = crc.getValue
+      md.reset()
+      val d = md.digest(r.payload)
+      // big-endian first 8 digest bytes >>> 4 = first 15 hex chars
+      // = a nonnegative 60-bit long, bit-identical to DuckDB's
+      // CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+      val c = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
       MediaFeatures(r.doc_id, r.kind, r.payload.length, c,
         width = (c % 1920).toInt + 1, height = ((c >> 16) % 1080).toInt + 1)
     }
+  }
 
   /** Batched decode over partitions: groups each partition's rows into
     * fixed-size batches and runs the (stubbed) decoder once per batch.
@@ -78,13 +91,30 @@ object Multimodal {
     }
   }
 
-  /** mm_features: the batched stub-decode as a registered query
-    * (rows-only: binary + stub semantics; MultimodalSpec is authority). */
+  /** mm_features: the batched stub-decode as a registered query. Fully
+    * oracled since r14 (was the last rows-only query): the stub's
+    * checksum is the 60-bit md5 prefix, so the mirror replays the whole
+    * feature row — doc_id/kind/byte_len from the media projection,
+    * width/height as integer arithmetic on the checksum. MultimodalSpec
+    * stays authority for the batching semantics the SQL can't see
+    * (batch grouping, partitioning-independence). */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeFeatures(mediaTable(spark, dir).as[MediaRow]).toDF()
       .orderBy(col("doc_id"))
   }
+
+  val mmFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |         CAST(strlen(text) AS INT) AS byte_len,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS checksum
+      |  FROM documents)
+      |SELECT doc_id, kind, byte_len, checksum,
+      |       CAST(checksum % 1920 + 1 AS INT) AS width,
+      |       CAST((checksum >> 16) % 1080 + 1 AS INT) AS height
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** mm_dedup: exact payload dedup by content hash — the multimodal
     * analogue of image/audio dedup in a training pipeline: identical
@@ -480,6 +510,7 @@ object Multimodal {
     "mm_near_dup" -> mmNearDupSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_metadata" -> mmMetadataSql,
+    "mm_features" -> mmFeaturesSql,
     "mm_dedup" -> mmDedupSql,
     "mm_shard_pack" -> mmShardPackSql)
 }

@@ -76,4 +76,25 @@ object Staged {
     })
     spark.read.parquet(path)
   }
+
+  /** Two staged tables produced by ONE build (an index and its sidecar
+    * state — e.g. the IVF inverted file + its centroid table): the
+    * closure runs once per (name, dir, content); BOTH frames persist
+    * under the same key, so a cache hit re-reads parquet without
+    * re-running the build that derived either. `partitionBy1` keys the
+    * FIRST frame's directory layout (the probe-pruned read path). */
+  def tablePair(spark: SparkSession, name: String, dir: String,
+                partitionBy1: Seq[String] = Nil)
+               (build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val key = s"$name|$dir|${fingerprint(dir)}"
+    val path = paths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
+      val (a, b) = build
+      if (partitionBy1.isEmpty) a.write.mode("overwrite").parquet(s"$p/a")
+      else Ingest.writePartitioned(a, s"$p/a", partitionBy1)
+      b.write.mode("overwrite").parquet(s"$p/b")
+      p
+    })
+    (spark.read.parquet(s"$path/a"), spark.read.parquet(s"$path/b"))
+  }
 }

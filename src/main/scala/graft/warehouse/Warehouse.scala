@@ -1217,6 +1217,14 @@ object Warehouse {
   def finAnomalyMad(spark: SparkSession, dir: String): DataFrame =
     finAnomalyMadFrom(upserted(spark, dir))
 
+  /** fin_anomaly_mad_staged: same screen off the staged warehouse table
+    * (the fin_cusum_staged convention — production amortizes the
+    * statements parse+upsert once per ingest; same oracle SQL verbatim).
+    * Completes the staged trio for the three fin screens whose sf100
+    * in-query walls (~250 s each) are ~all statements re-derivation. */
+  def finAnomalyMadStaged(spark: SparkSession, dir: String): DataFrame =
+    finAnomalyMadFrom(stagedUpserted(spark, dir))
+
   private[graft] def finAnomalyMadFrom(up: DataFrame): DataFrame = {
     val monthly = stageBarrier(up
       .groupBy(col("department"), col("gl_code"), col("year"), col("month"))
@@ -2289,6 +2297,7 @@ object Warehouse {
     "fin_dept_correlation" -> (finDeptCorrelation _),
     "fin_anomaly_zscore" -> (finAnomalyZscore _),
     "fin_anomaly_mad" -> (finAnomalyMad _),
+    "fin_anomaly_mad_staged" -> (finAnomalyMadStaged _),
     "fin_cusum" -> (finCusum _),
     "fin_cusum_staged" -> (finCusumStaged _),
     "fin_reconciliation" -> (finReconciliation _),
@@ -2332,6 +2341,7 @@ object Warehouse {
     "fin_dept_correlation" -> finDeptCorrelationSql,
     "fin_anomaly_zscore" -> finAnomalyZscoreSql,
     "fin_anomaly_mad" -> finAnomalyMadSql,
+    "fin_anomaly_mad_staged" -> finAnomalyMadSql,
     "fin_cusum" -> finCusumSql,
     "fin_cusum_staged" -> finCusumSql,
     "fin_reconciliation" -> finReconciliationSql,

@@ -151,6 +151,21 @@ class AnnSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("ann_ivf_topk_staged == ann_ivf_topk (the staged inverted file serves identical rows)") {
+    // The staged twin shares the in-query twin's oracle SQL verbatim, so
+    // any drift (index round-trip, partition-column typing, probe tie
+    // rule) must be caught here, not at the driver gate.
+    val staged = SparkEntry.queries("ann_ivf_topk_staged")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val inQuery = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(staged.nonEmpty && staged == inQuery)
+    // warm call hits the per-ingest cache and still serves the same rows
+    val warm = SparkEntry.queries("ann_ivf_topk_staged")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(warm == inQuery)
+  }
+
   test("ann_ivf_batch: distributed probe ranking, recall@10 >= 0.5 on a 1000-query set") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -73,6 +73,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("stub checksum is the 60-bit md5 prefix (the cross-engine oracle contract)") {
+    // mm_features' oracle replays width/height from
+    // CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT); pin the
+    // kernel's ByteBuffer derivation against Spark's own md5 so a stub
+    // refactor can't silently break the mirror.
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).as[MediaRow]
+    val kernel = Multimodal.decodeFeatures(media).select("doc_id", "checksum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sqlSide = Multimodal.mediaTable(spark, sf)
+      .select(col("doc_id"),
+        conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel.nonEmpty && kernel == sqlSide)
+  }
+
   test("payload survives shuffle opaquely (checksum stable across repartition)") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf).as[MediaRow]
