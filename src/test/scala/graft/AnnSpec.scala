@@ -166,6 +166,25 @@ class AnnSpec extends SparkSpec {
     assert(warm == inQuery)
   }
 
+  test("ann_ivf_topk_staged: the inverted-file scan is partition-pruned to probed cells") {
+    // The family's scale claim at the STORAGE level: probed cells are
+    // driver-known before the scan, so the staged parquet read must
+    // carry a partition filter on cell — probe I/O ~nprobe/nlist of the
+    // corpus, not a full-file scan. AQE off so collect() sees the scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("ann_ivf_topk_staged")(spark, sf)
+        .queryExecution.executedPlan
+      val stagedScans = plan.collect {
+        case s: FileSourceScanExec if s.relation.partitionSchema.fieldNames.contains("cell") => s
+      }
+      assert(stagedScans.nonEmpty, "staged inverted-file scan not found in the plan")
+      assert(stagedScans.forall(_.partitionFilters.nonEmpty),
+        "cell isin filter must statically prune the inverted file's partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ann_ivf_batch: distributed probe ranking, recall@10 >= 0.5 on a 1000-query set") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
