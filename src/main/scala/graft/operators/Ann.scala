@@ -457,31 +457,103 @@ object Ann {
   def annIvfTopkStaged(spark: SparkSession, dir: String): DataFrame = {
     val session = spark
     import session.implicits._
-    val (celled0, cents) = graft.sources.Staged.tablePair(
+    val (celled0, hier) = stagedIvf(spark, dir)
+    hier match {
+      case None => annBruteTopk(spark, dir)
+      case Some((_, refinedSub, maxSub)) =>
+        val flat = for (ci <- refinedSub.indices; si <- refinedSub(ci).indices)
+          yield (ci * maxSub + si, refinedSub(ci)(si))
+        val qRows = emb(spark, dir).filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val probes = driverProbesFlat(flat, qRows, IvfProbe)
+        val probedCells = probes.map(_._3).distinct
+        val celled = celled0
+          .where(col("cell").isin(probedCells: _*)) // static partition pruning
+          .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+        ivfTopkFrom(celled, probes.toDF("q_id", "qv", "cell"))
+    }
+  }
+
+  /** ann_ivf_batch_staged: the distributed-probe batch search off the
+    * SAME staged inverted file — the serving twin for query TABLES. The
+    * sidecar persists the full two-level hierarchy (coarse rows si=-1,
+    * sub rows (ci, si)), so the TopCells kernel gets the identical
+    * broadcast state the in-query build produces; each query row ranks
+    * its own cells map-side and the cell-keyed join against the staged
+    * file replaces the four per-query index-build passes. Probed cells
+    * here are NOT driver-known (that is the point of the batch shape),
+    * so pruning happens at the join, not the scan — the trade
+    * ann_ivf_topk_staged's isin path makes in the opposite direction. */
+  def annIvfBatchStaged(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val (celled0, hier) = stagedIvf(spark, dir)
+    hier match {
+      case None => bruteTopkFrom(e, q)
+      case Some((coarse, refinedSub, maxSub)) =>
+        import org.apache.spark.sql.GraftColumnBridge.{column => kcol, expression => kexp}
+        // One exchange on cell after the read: the staged file lands as
+        // ~one compact file per cell, so a raw scan coalesces into a
+        // handful of byte-sized splits and the broadcast-join cosine
+        // scoring (the |Q|-scaled cost of the batch shape) would run
+        // near-serial in the scan stage — measured 62 s vs 12 s in-query
+        // at sf10. The repartition restores shuffle-width scoring
+        // parallelism for one corpus pass of shuffle I/O.
+        val celled = celled0.select(col("vec_id"), col("v"),
+          col("cell").cast("int").as("cell"))
+          .repartition(col("cell"))
+        val probed = q.select(col("q_id"), col("qv"),
+          explode(kcol(graft.expressions.TopCells(kexp(col("qv")), coarse,
+            refinedSub, maxSub, BatchProbeCoarse, IvfProbe))).as("cell"))
+        ivfTopkFrom(celled, probed)
+    }
+  }
+
+  /** The staged inverted file: celled corpus (partitioned by cell) + a
+    * centroid sidecar carrying the FULL two-level hierarchy — coarse
+    * centroids as (ci, -1, vec), refined sub-centroids as (ci, si, vec)
+    * — so both the driver-ranked topk probes (flat cells) and the
+    * TopCells batch descent reconstruct the exact in-query index state.
+    * Built once per ingest (Staged.tablePair content-fingerprint
+    * cache); degenerate corpora stage an empty sidecar → None, and
+    * callers fall back to brute force like their in-query twins. */
+  private def stagedIvf(spark: SparkSession, dir: String)
+      : (DataFrame, Option[(Array[Array[Double]], Array[Array[Array[Double]]], Int)]) = {
+    val session = spark
+    import session.implicits._
+    val (celled, side) = graft.sources.Staged.tablePair(
       spark, "ivfindex", dir, partitionBy1 = Seq("cell")) {
       val e = emb(spark, dir)
       buildIvfIndex(e, e.count()) match {
         case Some(idx) =>
-          val centRows = flatCents(idx).zipWithIndex.collect {
-            case (c, cell) if c.nonEmpty => (cell, c.toSeq)
-          }.toSeq
-          (idx.celled, centRows.toDF("cell", "c"))
+          val rows =
+            idx.coarse.zipWithIndex.map { case (c, ci) => (ci, -1, c.toSeq) }.toSeq ++
+              (for (ci <- idx.refinedSub.indices; si <- idx.refinedSub(ci).indices)
+                yield (ci, si, idx.refinedSub(ci)(si).toSeq))
+          // repartition on the directory key: without it every write
+          // task splits into per-cell files (tasks × cells tiny files —
+          // measured 115 s to write + slow full-file reads at sf10);
+          // with it each cell lands as ~one file in its directory
+          (idx.celled.repartition(col("cell")), rows.toDF("ci", "si", "c"))
         case None =>
           (e.select(col("vec_id"), col("v"), lit(0).as("cell")),
-            Seq.empty[(Int, Seq[Double])].toDF("cell", "c"))
+            Seq.empty[(Int, Int, Seq[Double])].toDF("ci", "si", "c"))
       }
     }
-    val flat = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
-    if (flat.length < 2) return annBruteTopk(spark, dir)
-    val qRows = emb(spark, dir).filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("v"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val probes = driverProbesFlat(flat, qRows, IvfProbe)
-    val probedCells = probes.map(_._3).distinct
-    val celled = celled0
-      .where(col("cell").isin(probedCells: _*)) // static partition pruning
-      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
-    ivfTopkFrom(celled, probes.toDF("q_id", "qv", "cell"))
+    val rows = side.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    if (rows.isEmpty) (celled, None)
+    else {
+      val coarse = rows.filter(_._2 == -1).sortBy(_._1).map(_._3)
+      val subs = rows.filter(_._2 >= 0)
+      val maxSub = subs.iterator.map(_._2).max + 1
+      val refinedSub = Array.tabulate(coarse.length) { ci =>
+        subs.filter(_._1 == ci).sortBy(_._2).map(_._3)
+      }
+      (celled, Some((coarse, refinedSub, maxSub)))
+    }
   }
 
   // ----------------------------------------------------------- ann_probe_curve
@@ -2924,6 +2996,7 @@ object Ann {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_topk_staged" -> (annIvfTopkStaged _),
     "ann_ivf_batch" -> (annIvfBatch _),
+    "ann_ivf_batch_staged" -> (annIvfBatchStaged _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_mmr_topk" -> (annMmrTopk _),
@@ -2954,6 +3027,7 @@ object Ann {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_topk_staged" -> annIvfTopkSql,
     "ann_ivf_batch" -> annIvfBatchSql,
+    "ann_ivf_batch_staged" -> annIvfBatchSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_mmr_topk" -> annMmrTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,

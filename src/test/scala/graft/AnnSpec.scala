@@ -166,6 +166,14 @@ class AnnSpec extends SparkSpec {
     assert(warm == inQuery)
   }
 
+  test("ann_ivf_batch_staged == ann_ivf_batch (the sidecar hierarchy feeds TopCells exactly)") {
+    val staged = SparkEntry.queries("ann_ivf_batch_staged")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val inQuery = SparkEntry.queries("ann_ivf_batch")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(staged.nonEmpty && staged == inQuery)
+  }
+
   test("ann_ivf_topk_staged: the inverted-file scan is partition-pruned to probed cells") {
     // The family's scale claim at the STORAGE level: probed cells are
     // driver-known before the scan, so the staged parquet read must
