@@ -70,13 +70,26 @@ class PlanInvariantsSpec extends SparkSpec {
       case _: FileSourceScanExec => false
       case other => other.children.forall(bounded)
     }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
-      val bad = plan.collectWithSubqueries {
+    // Manual subquery descent instead of collectWithSubqueries: at the
+    // sparkPlan stage a dynamic-partition-pruning subquery (planted by
+    // the staged inverted file's cell-keyed join) still holds a LOGICAL
+    // plan, which collectWithSubqueries passes to the physical-typed
+    // partial function (ClassCastException). Logical subqueries here
+    // duplicate probe-side fragments of the main plan, which is already
+    // scanned — checking physical subqueries only loses nothing.
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val here = p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w.getClass.getSimpleName
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !bounded(w.child) => w.getClass.getSimpleName
       }
-      if (bad.nonEmpty) Some(name) else None
+      val subs = p.flatMap(_.expressions.flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+      })).collect { case sp: org.apache.spark.sql.execution.SparkPlan => sp }
+      here ++ subs.flatMap(scan)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      if (scan(plan).nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"single-reducer global windows in: ${offenders.mkString(", ")}")
