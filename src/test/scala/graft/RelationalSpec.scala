@@ -244,6 +244,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length)
   }
 
+  test("range_join: planted boundary and tie fixtures (the r14 sort-merge corners)") {
+    // The density-independent rewrite reads prev/next errors off two
+    // bucket-partitioned sorts; plant exactly the corners that walk can
+    // get wrong: a nearest error in the ADJACENT bucket, equal-|dt|
+    // errors on both sides (min event_id wins), two errors at one
+    // nearest timestamp (min event_id wins), an exact-ts (dt=0) error,
+    // an out-of-tolerance probe (no row), and an unmatched lone probe.
+    import spark.implicits._
+    val d = 300000000L
+    val rows = Seq(
+      // probe 10 at bucket edge: nearest error 100 sits in the previous bucket
+      (10L, "purchase", 3L * d + 1L), (100L, "error", 3L * d - 5L),
+      // probe 11: errors 102 (left, dt=-7) and 101 (right, dt=+7) tie -> min e_id 101
+      (11L, "purchase", 10L * d), (102L, "error", 10L * d - 7L), (101L, "error", 10L * d + 7L),
+      // probe 12: two errors share the nearest ts -> min e_id 103
+      (12L, "purchase", 20L * d), (104L, "error", 20L * d + 9L), (103L, "error", 20L * d + 9L),
+      // probe 13: exact-ts error (dt = 0)
+      (13L, "purchase", 30L * d), (105L, "error", 30L * d),
+      // probe 14: nearest error beyond tolerance -> no output row
+      (14L, "purchase", 40L * d), (106L, "error", 40L * d + d + 1L),
+      // probe 15: no error anywhere near
+      (15L, "purchase", 60L * d)
+    ).toDF("event_id", "event_type", "ts_us")
+    val got = graft.operators.Relational.rangeJoinFrom(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 100L, -6L), (11L, 101L, 7L), (12L, 103L, 9L), (13L, 105L, 0L)))
+  }
+
   test("q15: the revenue aggregate is staged once, not re-derived by the max probe") {
     val df = run("q15_top_supplier")
     val rows = df.collect()
