@@ -57,6 +57,18 @@ object DebugContainment {
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("hits"), max(col("need")).as("need"))
         .filter(col("hits") >= col("need")).count())
+    // the registered query's explain stops at the pre-sort stage
+    // barrier, so print the candidate stage's plan here — this is
+    // where the r14 bloom prune (Filter broadcastbloommightcontain
+    // above the posting Generate) must be visible
+    if (args.contains("explain")) {
+      println("==== candidate stage (pre-barrier) plan")
+      probe.join(postPruned, Seq("m")).filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("hits"), max(col("need")).as("need"))
+        .filter(col("hits") >= col("need"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
