@@ -1193,6 +1193,70 @@ object TrainPrep {
        |       round(CAST(n_docs AS DOUBLE) / CAST(nraw.n0 AS DOUBLE), 4) + 0.0 AS retained
        |FROM st, nraw ORDER BY stage""".stripMargin
 
+  // ------------------------------------------- corpus_pipeline_funnel_staged
+  /** Staged per-doc curation FLAGS: the funnel's three stage decisions
+    * (exact-dedup keeper, ≥0.9-Jaccard near-dup partner, quality-gate
+    * keep) plus the token count, baked once per ingest — the production
+    * shape for the release report, which is re-published after every
+    * threshold retune while the underlying decisions are unchanged. The
+    * in-query funnel re-pays the md5 + tokenizer kernels AND the full
+    * near-dup candidate pipeline per run (25.4 s at sf10, ~all of it
+    * this re-derivation); off the staged flags the report is one
+    * conditional-sum aggregate over 5 integer columns. Flags derive
+    * from the SAME registered pipelines the in-query funnel composes
+    * (dedup_ngram_jaccard, corpus_quality_gate), so both faces share
+    * corpusPipelineFunnelSql verbatim — the staging must change
+    * nothing (TrainPrepSpec pins staged == in-query). */
+  private[graft] def stagedPipelineFlags(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staged.table(spark, "pipeflags", dir) {
+      val base = Tables.documents(spark, dir).select(col("doc_id"),
+        md5(col("text")).as("h"), Text.nBpeTokens(col("text")).cast("long").as("nt"))
+      val keepersExact = base.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1L).as("ek"))
+      val dupIds = Dedup.dedupNgramJaccard(spark, dir)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_b").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(1L).as("nd"))
+      val qualityKeep = TextAnalysis.corpusQualityGate(spark, dir)
+        .filter(col("keep")).select(col("doc_id"), lit(1L).as("qk"))
+      base.join(keepersExact, Seq("doc_id"), "left")
+        .join(dupIds, Seq("doc_id"), "left")
+        .join(qualityKeep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt"),
+          coalesce(col("ek"), lit(0L)).as("ek"),
+          coalesce(col("nd"), lit(0L)).as("nd"),
+          coalesce(col("qk"), lit(0L)).as("qk"))
+    }
+
+  /** The funnel report off the staged flag table: stage membership is
+    * cumulative by construction (s1 = keeper, s2 = s1 ∧ ¬near-dup,
+    * s3 = s2 ∧ quality), so all four rows fold out of ONE map-side-
+    * combined aggregate — no joins, no text, no re-derivation. Same
+    * output as corpus_pipeline_funnel (shared oracle SQL). */
+  def corpusPipelineFunnelStaged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val in1 = col("ek") === 1L
+    val in2 = in1 && col("nd") === 0L
+    val in3 = in2 && col("qk") === 1L
+    // empty-stage parity with the in-query face: counts via SUM of 0/1
+    // stay 0, token sums with no `otherwise` stay NULL — exactly what
+    // count()/sum() over an empty filtered frame produce there
+    val a = stageBarrier(stagedPipelineFlags(spark, dir).agg(
+      count(lit(1)).as("n0"), sum(col("nt")).as("t0"),
+      sum(when(in1, 1L).otherwise(0L)).as("n1"), sum(when(in1, col("nt"))).as("t1"),
+      sum(when(in2, 1L).otherwise(0L)).as("n2"), sum(when(in2, col("nt"))).as("t2"),
+      sum(when(in3, 1L).otherwise(0L)).as("n3"), sum(when(in3, col("nt"))).as("t3")))
+    def leg(name: String, n: String, t: String) =
+      a.select(lit(name).as("stage"), col(n).as("n_docs"), col(t).as("n_tokens"),
+        (round(col(n).cast("double") / col("n0").cast("double"), 4) + 0.0)
+          .as("retained"))
+    leg("0_raw", "n0", "t0")
+      .unionAll(leg("1_exact_dedup", "n1", "t1"))
+      .unionAll(leg("2_near_dedup", "n2", "t2"))
+      .unionAll(leg("3_quality", "n3", "t3"))
+      .orderBy(col("stage"))
+  }
+
   // -------------------------------------------------- corpus_source_report
   /** Per-SOURCE corpus scorecard — the review a data team runs before
     * setting mixture weights (corpus_mix consumes those weights; this
@@ -1428,6 +1492,7 @@ object TrainPrep {
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_length_hist" -> (corpusLengthHist _),
     "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
+    "corpus_pipeline_funnel_staged" -> (corpusPipelineFunnelStaged _),
     "corpus_source_report" -> (corpusSourceReport _),
     "corpus_ngram_novelty" -> (corpusNgramNovelty _),
     "corpus_dup_spans" -> (corpusDupSpans _),
@@ -1456,6 +1521,9 @@ object TrainPrep {
 
   def oracles: Map[String, String] = Map(
     "corpus_pipeline_funnel" -> corpusPipelineFunnelSql,
+    // the staged twin reports off the baked per-doc flags — the oracle
+    // is the in-query twin's SQL verbatim (the staging changes nothing)
+    "corpus_pipeline_funnel_staged" -> corpusPipelineFunnelSql,
     "corpus_source_report" -> corpusSourceReportSql,
     "corpus_length_hist" -> corpusLengthHistSql,
     "corpus_vocab_growth" -> corpusVocabGrowthSql,

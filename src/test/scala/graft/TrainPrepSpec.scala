@@ -263,6 +263,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows("3_quality")._1 <= nKeep)
   }
 
+  test("pipeline_funnel staged twin == in-query (shared oracle SQL, warm cache path too)") {
+    // the staged flags must reproduce the composed stage semantics
+    // exactly — any drift (join vs flag logic, null token sums on an
+    // empty stage, rounding) must be caught here, not at the driver gate
+    val inQuery = SparkEntry.queries("corpus_pipeline_funnel")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val staged = SparkEntry.queries("corpus_pipeline_funnel_staged")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(staged == inQuery, "staged funnel diverged from in-query")
+    val warm = SparkEntry.queries("corpus_pipeline_funnel_staged")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(warm == inQuery, "warm cache-hit path diverged")
+  }
+
   test("source_report: docs conserve, dup counts pair up, shares in range") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("corpus_source_report")(spark, sf).collect()
